@@ -1,0 +1,261 @@
+"""Painless-subset compiler: condition / script source -> Spark Columns.
+
+The reference embeds the full Painless script engine for processor ``if``
+conditions and ``script`` processors (reference:
+EventProcessorBuilder.java:233-240 wires the painless ScriptService; the
+supported-subset caveat is docs/index.asciidoc:192).  Full Painless is a JVM
+language — out of scope.  Following the reference's own pattern of failing
+loudly on unsupported processors (spec/integration/
+elastic_integration_spec.rb:1515-1570), we compile a *declared subset* to
+pure Catalyst Column expressions and raise ``UnsupportedScriptError`` for
+anything outside it, so unsupported pipelines fail at compile time, not
+silently at run time.
+
+Subset: ctx field refs (``ctx.a.b``, ``ctx['x']``, null-safe ``ctx?.a``),
+literals, params refs, ``== != < <= > >= && || !``, arithmetic ``+ - * / %``
+(``+`` is concat when either side is a string), ternary ``c ? a : b``,
+method calls ``contains/startsWith/endsWith/length/isEmpty/toLowerCase/
+toUpperCase/trim``, ``Processors.lowercase/uppercase`` helpers, and
+assignment statements ``ctx.x = expr;`` in scripts.
+
+Strategy: textually rewrite Painless tokens to Python syntax, parse with the
+stdlib ``ast`` module, and fold the AST to Columns.  This keeps the entire
+conditional surface inside Catalyst (whole-stage codegen) — conditions never
+drop to Python at run time.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+
+class UnsupportedScriptError(ValueError):
+    pass
+
+
+_REWRITES = [
+    (re.compile(r"&&"), " and "),
+    (re.compile(r"\|\|"), " or "),
+    (re.compile(r"!(?![=])"), " not "),
+    (re.compile(r"\bnull\b"), "None"),
+    (re.compile(r"\btrue\b"), "True"),
+    (re.compile(r"\bfalse\b"), "False"),
+    (re.compile(r"\?\."), "."),
+]
+_TERNARY = re.compile(r"^(?P<c>[^?]+)\?(?P<a>[^:]+):(?P<b>.+)$")
+
+
+def _to_python(src: str) -> str:
+    src = src.strip().rstrip(";")
+    for rx, rep in _REWRITES:
+        src = rx.sub(rep, src)
+    # painless ternary -> python conditional (single, non-nested)
+    m = _TERNARY.match(src)
+    if m and "==" not in src.split("?")[0][-2:]:
+        src = f"({m.group('a').strip()}) if ({m.group('c').strip()}) else ({m.group('b').strip()})"
+    return src
+
+
+class _Ctx:
+    """Compilation context: resolves ctx.* field paths to (Column, DataType)."""
+
+    def __init__(self, resolve, params: dict | None = None):
+        self.resolve = resolve          # path:str -> (Column, DataType|None)
+        self.params = params or {}
+
+
+def _field_path(node: ast.AST) -> str | None:
+    """Fold ctx.a.b / ctx['a']['b'] chains into dotted path; None if not a ctx ref."""
+    parts: list[str] = []
+    cur = node
+    while True:
+        if isinstance(cur, ast.Attribute):
+            parts.append(cur.attr)
+            cur = cur.value
+        elif isinstance(cur, ast.Subscript):
+            sl = cur.slice
+            if isinstance(sl, ast.Constant) and isinstance(sl.value, str):
+                parts.append(sl.value)
+                cur = cur.value
+            else:
+                return None
+        elif isinstance(cur, ast.Name):
+            if cur.id == "ctx":
+                return ".".join(reversed(parts)) if parts else "__ctx__"
+            return None
+        else:
+            return None
+
+
+def _is_string(dt) -> bool:
+    return isinstance(dt, T.StringType)
+
+
+def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
+    """Return (column, datatype-or-None)."""
+    path = _field_path(node)
+    if path is not None and path != "__ctx__":
+        return c.resolve(path)
+
+    if isinstance(node, ast.Constant):
+        if node.value is None:
+            return F.lit(None), None
+        dt = (T.StringType() if isinstance(node.value, str)
+              else T.BooleanType() if isinstance(node.value, bool)
+              else T.LongType() if isinstance(node.value, int)
+              else T.DoubleType())
+        return F.lit(node.value), dt
+
+    if isinstance(node, ast.Subscript):  # params['x']
+        base = node.value
+        if isinstance(base, ast.Name) and base.id == "params":
+            if isinstance(node.slice, ast.Constant):
+                v = c.params.get(node.slice.value)
+                return F.lit(v), (T.StringType() if isinstance(v, str) else None)
+        raise UnsupportedScriptError(f"unsupported subscript: {ast.dump(node)}")
+
+    if isinstance(node, ast.Attribute):
+        base = node.value
+        if isinstance(base, ast.Name) and base.id == "params":
+            v = c.params.get(node.attr)
+            return F.lit(v), (T.StringType() if isinstance(v, str) else None)
+        raise UnsupportedScriptError(f"unsupported attribute: {ast.dump(node)}")
+
+    if isinstance(node, ast.Compare):
+        left, _ = _eval(node.left, c)
+        if len(node.ops) != 1:
+            raise UnsupportedScriptError("chained comparisons unsupported")
+        op = node.ops[0]
+        right_node = node.comparators[0]
+        if isinstance(right_node, ast.Constant) and right_node.value is None:
+            if isinstance(op, ast.Eq):
+                return left.isNull(), T.BooleanType()
+            if isinstance(op, ast.NotEq):
+                return left.isNotNull(), T.BooleanType()
+        right, _ = _eval(right_node, c)
+        m = {ast.Eq: "__eq__", ast.NotEq: "__ne__", ast.Lt: "__lt__",
+             ast.LtE: "__le__", ast.Gt: "__gt__", ast.GtE: "__ge__"}
+        for k, meth in m.items():
+            if isinstance(op, k):
+                return getattr(left, meth)(right), T.BooleanType()
+        raise UnsupportedScriptError(f"unsupported comparison {op}")
+
+    if isinstance(node, ast.BoolOp):
+        vals = [_eval(v, c)[0] for v in node.values]
+        out = vals[0]
+        for v in vals[1:]:
+            out = (out & v) if isinstance(node.op, ast.And) else (out | v)
+        return out, T.BooleanType()
+
+    if isinstance(node, ast.UnaryOp):
+        v, dt = _eval(node.operand, c)
+        if isinstance(node.op, ast.Not):
+            return ~v, T.BooleanType()
+        if isinstance(node.op, ast.USub):
+            return -v, dt
+        raise UnsupportedScriptError("unsupported unary op")
+
+    if isinstance(node, ast.BinOp):
+        lv, ldt = _eval(node.left, c)
+        rv, rdt = _eval(node.right, c)
+        if isinstance(node.op, ast.Add):
+            if _is_string(ldt) or _is_string(rdt):
+                return F.concat(lv.cast("string"), rv.cast("string")), T.StringType()
+            return lv + rv, ldt or rdt
+        if isinstance(node.op, ast.Sub):
+            return lv - rv, ldt or rdt
+        if isinstance(node.op, ast.Mult):
+            return lv * rv, ldt or rdt
+        if isinstance(node.op, ast.Div):
+            return lv / rv, T.DoubleType()
+        if isinstance(node.op, ast.Mod):
+            return lv % rv, ldt or rdt
+        raise UnsupportedScriptError("unsupported binary op")
+
+    if isinstance(node, ast.IfExp):
+        cond, _ = _eval(node.test, c)
+        a, adt = _eval(node.body, c)
+        b, bdt = _eval(node.orelse, c)
+        return F.when(cond, a).otherwise(b), adt or bdt
+
+    if isinstance(node, ast.Call):
+        fn = node.func
+        if isinstance(fn, ast.Attribute):
+            # Processors.* helpers (reference: script-processor-pipelines/pipeline.json)
+            if isinstance(fn.value, ast.Name) and fn.value.id == "Processors":
+                arg, _ = _eval(node.args[0], c)
+                helpers = {"lowercase": F.lower, "uppercase": F.upper,
+                           "trim": F.trim, "urlDecode": F.url_decode}
+                if fn.attr in helpers:
+                    return helpers[fn.attr](arg), T.StringType()
+                raise UnsupportedScriptError(f"Processors.{fn.attr} unsupported")
+            recv, rdt = _eval(fn.value, c)
+            args = [_eval(a, c)[0] for a in node.args]
+            meth = fn.attr
+            if meth == "contains":
+                if isinstance(rdt, T.ArrayType):
+                    return F.array_contains(recv, args[0]), T.BooleanType()
+                return recv.contains(args[0]), T.BooleanType()
+            if meth == "startsWith":
+                return recv.startswith(args[0]), T.BooleanType()
+            if meth == "endsWith":
+                return recv.endswith(args[0]), T.BooleanType()
+            if meth == "length":
+                return F.length(recv), T.IntegerType()
+            if meth == "isEmpty":
+                return F.length(recv) == 0, T.BooleanType()
+            if meth == "toLowerCase":
+                return F.lower(recv), T.StringType()
+            if meth == "toUpperCase":
+                return F.upper(recv), T.StringType()
+            if meth == "trim":
+                return F.trim(recv), T.StringType()
+            if meth == "size":
+                return F.size(recv), T.IntegerType()
+            raise UnsupportedScriptError(f"method .{meth}() unsupported")
+        raise UnsupportedScriptError(f"call unsupported: {ast.dump(node)}")
+
+    raise UnsupportedScriptError(f"unsupported syntax: {ast.dump(node)}")
+
+
+def compile_condition(source: str, resolve, params: dict | None = None) -> Column:
+    """Painless ``if`` condition -> boolean Column (null-safe: null -> false)."""
+    py = _to_python(source)
+    try:
+        tree = ast.parse(py, mode="eval")
+    except SyntaxError as e:
+        raise UnsupportedScriptError(f"cannot parse condition {source!r}: {e}") from e
+    col, _ = _eval(tree.body, _Ctx(resolve, params))
+    return F.coalesce(col.cast("boolean"), F.lit(False))
+
+
+def compile_script(source: str, resolve, params: dict | None = None) -> list[tuple[str, Column]]:
+    """Painless script body -> ordered [(field_path, value Column), ...].
+
+    Only sequences of ``ctx.<path> = <expr>;`` assignments are supported —
+    the shape exercised by the reference's script-processor fixture
+    (src/test/resources/.../script-processor-pipelines/pipeline.json).
+    """
+    ctx = _Ctx(resolve, params)
+    out: list[tuple[str, Column]] = []
+    for stmt in [s.strip() for s in source.split(";") if s.strip()]:
+        py = _to_python(stmt)
+        try:
+            tree = ast.parse(py, mode="exec")
+        except SyntaxError as e:
+            raise UnsupportedScriptError(f"cannot parse script stmt {stmt!r}: {e}") from e
+        if len(tree.body) != 1 or not isinstance(tree.body[0], ast.Assign):
+            raise UnsupportedScriptError(f"only assignments supported, got: {stmt!r}")
+        assign = tree.body[0]
+        if len(assign.targets) != 1:
+            raise UnsupportedScriptError("multi-target assignment unsupported")
+        path = _field_path(assign.targets[0])
+        if not path or path == "__ctx__":
+            raise UnsupportedScriptError(f"assignment target must be ctx field: {stmt!r}")
+        col, _ = _eval(assign.value, ctx)
+        out.append((path, col))
+    return out

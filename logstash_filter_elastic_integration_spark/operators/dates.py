@@ -1,0 +1,112 @@
+"""date / date_index_name processors — all JVM Column expressions.
+
+Reference contracts: date spec/integration/elastic_integration_spec.rb:
+252-276 (golden "2023-03-08T09:10:17.000+01:00" for dd/MM/yyyy HH:mm:ss @
+Europe/Amsterdam); date_index_name :278-301 (golden index
+"<monthly-index-{2023-03-08||/M{yyyy-MM-dd|UTC}}>" prefix-checked).
+
+ES date formats are java.time DateTimeFormatter patterns — the same pattern
+language Spark's to_timestamp/date_format use natively, so format strings
+pass straight through (plus the named formats ISO8601 / UNIX / UNIX_MS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from ..plans.document import fcol, guarded
+from .common import template_column
+
+
+def _parse_one(src: Column, fmt: str, tz: str) -> Column:
+    """Parse one format in the *document's* timezone -> UTC timestamp."""
+    if fmt == "ISO8601":
+        parsed = F.coalesce(
+            F.try_to_timestamp(src),
+            F.try_to_timestamp(src, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+            F.try_to_timestamp(src, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        )
+        return parsed
+    if fmt == "UNIX":
+        return F.try_cast(src, "double").cast("timestamp")
+    if fmt == "UNIX_MS":
+        return (F.try_cast(src, "double") / 1000.0).cast("timestamp")
+    if fmt == "TAI64N":
+        return F.lit(None).cast("timestamp")
+    parsed = F.try_to_timestamp(src.cast("string"), F.lit(fmt))
+    # try_to_timestamp parses in the session tz (UTC); shift from doc tz
+    if tz and tz != "UTC":
+        parsed = F.to_utc_timestamp(parsed, tz)
+    return parsed
+
+
+def _iso_with_offset(ts_utc: Column, tz: str) -> Column:
+    """ES stores the parsed date as an ISO8601 *string with the document
+    timezone's offset* — build '...+01:00' from the UTC instant."""
+    local = F.convert_timezone(F.lit("UTC"), F.lit(tz), ts_utc)  # TIMESTAMP_NTZ
+    offset_sec = local.cast("timestamp").cast("long") - ts_utc.cast("long")
+    sign = F.when(offset_sec < 0, "-").otherwise("+")
+    a = F.abs(offset_sec)
+    offset = F.when(
+        offset_sec == 0, F.lit("Z")
+    ).otherwise(
+        F.concat(sign,
+                 F.lpad((a / 3600).cast("int").cast("string"), 2, "0"),
+                 F.lit(":"),
+                 F.lpad(((a % 3600) / 60).cast("int").cast("string"), 2, "0")))
+    body = F.date_format(local, "yyyy-MM-dd'T'HH:mm:ss.SSS")
+    return F.concat(body, offset)
+
+
+def p_date(df, spec, ctx):
+    cfg = spec.config
+    f_name = cfg["field"]
+    formats = cfg.get("formats", ["ISO8601"])
+    tz = cfg.get("timezone", "UTC")
+    target = cfg.get("target_field", "@timestamp")
+    active = ctx.active(df, spec)
+    if f_name not in df.columns:
+        df = ctx.fail(df, active, spec,
+                      f"field [{f_name}] not present as part of path [{f_name}]")
+        return df
+    src = fcol(f_name).cast("string")
+    parsed = F.coalesce(*[_parse_one(src, fmt, tz) for fmt in formats])
+    df = ctx.fail(df, active & src.isNotNull() & parsed.isNull(), spec,
+                  f"unable to parse date [{f_name}]")
+    out_fmt = cfg.get("output_format")
+    value = (F.date_format(F.convert_timezone(F.lit("UTC"), F.lit(tz), parsed), out_fmt)
+             if out_fmt else _iso_with_offset(parsed, tz))
+    return guarded(df, active & parsed.isNotNull(), {target: value})
+
+
+_ROUND_TRUNC = {"y": "year", "M": "month", "w": "week", "d": "day",
+                "h": "hour", "H": "hour", "m": "minute", "s": "second"}
+
+
+def p_date_index_name(df, spec, ctx):
+    """Builds the date-math index expression into ``_index`` exactly like
+    ES DateIndexNameProcessor:
+    ``<prefix{formattedDate||/rounding{format|tz}}>``."""
+    cfg = spec.config
+    f_name = cfg["field"]
+    prefix = cfg.get("index_name_prefix", "")
+    rounding = cfg["date_rounding"]
+    fmt = cfg.get("index_name_format", "yyyy-MM-dd")
+    tz = cfg.get("timezone", "UTC")
+    formats = cfg.get("date_formats", ["ISO8601"])
+    active = ctx.active(df, spec)
+    if f_name not in df.columns:
+        return ctx.fail(df, active, spec,
+                        f"field [{f_name}] not present as part of path [{f_name}]")
+    src = fcol(f_name).cast("string")
+    parsed = F.coalesce(*[_parse_one(src, f, tz) for f in formats])
+    df = ctx.fail(df, active & parsed.isNull(), spec,
+                  f"unable to parse date [{f_name}]")
+    prefix_col = template_column(df, prefix)
+    formatted = F.date_format(
+        F.date_trunc(_ROUND_TRUNC[rounding],
+                     F.convert_timezone(F.lit("UTC"), F.lit(tz), parsed)), fmt)
+    index_expr = F.concat(
+        F.lit("<"), prefix_col, F.lit("{"), formatted,
+        F.lit("||/" + rounding + "{" + fmt + "|" + tz + "}}>"))
+    return guarded(df, active & parsed.isNotNull(), {"_index": index_expr})

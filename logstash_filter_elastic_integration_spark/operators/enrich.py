@@ -1,0 +1,75 @@
+"""Lookup-enrichment processors: ``lookup`` (generic) and ``geoip``.
+
+The reference's geoip processor resolves IPs against MaxMind .mmdb
+databases discovered on disk (geoip/IpDatabaseProvider.java:36-99); a
+missing database tags the event ``_geoip_database_unavailable_<db>``
+(spec/integration/elastic_integration_spec.rb:1034-1049).
+
+Spark-first shape: every lookup database is a *broadcast dimension
+DataFrame* registered on the PipelineRegistry (``registry.dims[name]``).
+The processor compiles to ``df.join(F.broadcast(dim), key, 'left')`` — a
+broadcast hash join, no shuffle of the fact side, which is exactly the
+plan we want at 100 TB (dims are tiny: role/tool metadata, geo tables).
+Miss-path parity: unmatched keys simply add no fields; a missing *database*
+adds the unavailable tag like the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..plans.document import fcol, guarded
+
+
+def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
+                      unavailable_tag: str | None):
+    cfg = spec.config
+    f_name = cfg["field"]
+    target = cfg.get("target_field", default_target)
+    active = ctx.active(df, spec)
+    dims = getattr(ctx.registry, "dims", {})
+    if dim_name not in dims:
+        # reference behavior: tag and continue (not a failure)
+        if unavailable_tag:
+            tag = F.lit(unavailable_tag)
+            return df.withColumn(
+                "tags",
+                F.when(active, F.array_union(
+                    F.coalesce(fcol("tags"), F.array().cast("array<string>")),
+                    F.array(tag))).otherwise(fcol("tags")))
+        return ctx.fail(df, active, spec, f"lookup table [{dim_name}] not registered")
+    if f_name not in df.columns:
+        if not cfg.get("ignore_missing", False):
+            df = ctx.fail(df, active, spec,
+                          f"field [{f_name}] not present as part of path [{f_name}]")
+        return df
+    dim = dims[dim_name]
+    key_col = cfg.get("lookup_key", dim.columns[0])
+    props = cfg.get("properties") or [c for c in dim.columns if c != key_col]
+    joined = "__lk_" + dim_name
+    renamed = dim.select(
+        F.col(key_col).alias(joined),
+        *[F.col(p).alias(f"{joined}.{p}") for p in props])
+    df = df.join(F.broadcast(renamed),
+                 fcol(f_name).cast("string") == F.col(joined), "left")
+    updates = {f"{target}.{p}": fcol(f"{joined}.{p}") for p in props}
+    df = guarded(df, active, updates)
+    return df.drop(joined, *[f"{joined}.{p}" for p in props])
+
+
+def p_lookup(df, spec, ctx):
+    """Generic broadcast-dimension enrich (role/tool metadata per the north
+    rule).  config: field, table, target_field, properties, lookup_key."""
+    table = spec.config["table"]
+    return _broadcast_lookup(df, spec, ctx, table,
+                             default_target=table,
+                             unavailable_tag=f"_lookup_table_unavailable_{table}")
+
+
+def p_geoip(df, spec, ctx):
+    """geoip with broadcast dim standing in for the .mmdb file; missing dim
+    -> tag `_geoip_database_unavailable_<db>` (reference parity)."""
+    db = spec.config.get("database_file", "GeoLite2-City.mmdb")
+    return _broadcast_lookup(df, spec, ctx, db,
+                             default_target=spec.config.get("target_field", "geoip"),
+                             unavailable_tag=f"_geoip_database_unavailable_{db}")

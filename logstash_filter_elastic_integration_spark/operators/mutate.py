@@ -1,0 +1,295 @@
+"""Mutate-family processors: set/remove/rename/convert/append/trim/case/
+split/join/sort/gsub/dot_expander/drop/fail/terminate/foreach/script.
+
+Every one compiles to pure Column expressions (JVM-side, whole-stage
+codegen) — zero Python at run time.  Reference behavioral contracts are the
+per-processor goldens in /root/reference/spec/integration/
+elastic_integration_spec.rb (line refs per function).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+from ..plans.document import DROPPED, TERMINATED, fcol, field_type, guarded
+from ..functions.painless import UnsupportedScriptError, compile_script
+from ..plans.document import resolver_for
+from .common import str_targets, template_column
+
+
+def p_set(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:813-836 (+ templates)."""
+    cfg = spec.config
+    field = cfg["field"]
+    active = ctx.active(df, spec)
+    if "copy_from" in cfg:
+        src = cfg["copy_from"]
+        value = fcol(src) if src in df.columns else F.lit(None)
+    else:
+        value = template_column(df, cfg.get("value"))
+    if not cfg.get("override", True) and field in df.columns:
+        active = active & fcol(field).isNull()
+    return guarded(df, active, {field: value})
+
+
+def p_remove(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:695-726: removing an
+    absent field fails the pipeline unless ignore_missing.  Flat-column
+    model: removal = null-out (schema is global; tests treat null as
+    absent)."""
+    cfg = spec.config
+    fields = cfg["field"] if isinstance(cfg["field"], list) else [cfg["field"]]
+    ignore_missing = cfg.get("ignore_missing", False)
+    active = ctx.active(df, spec)
+    for f_name in fields:
+        if f_name not in df.columns:
+            if not ignore_missing:
+                df = ctx.fail(df, active, spec,
+                              f"field [{f_name}] not present as part of path [{f_name}]")
+            continue
+        if not ignore_missing:
+            df = ctx.fail(df, active & fcol(f_name).isNull(), spec,
+                          f"field [{f_name}] not present as part of path [{f_name}]")
+        df = guarded(df, active, {f_name: F.lit(None).cast(field_type(df, f_name))})
+    return df
+
+
+def p_rename(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:728-752."""
+    cfg = spec.config
+    src_name, dst = cfg["field"], cfg["target_field"]
+    ignore_missing = cfg.get("ignore_missing", False)
+    active = ctx.active(df, spec)
+    if src_name not in df.columns:
+        if not ignore_missing:
+            df = ctx.fail(df, active, spec,
+                          f"field [{src_name}] doesn't exist")
+        return df
+    src = fcol(src_name)
+    if dst in df.columns:
+        df = ctx.fail(df, active & fcol(dst).isNotNull(), spec,
+                      f"field [{dst}] already exists")
+    if not ignore_missing:
+        df = ctx.fail(df, active & src.isNull(), spec,
+                      f"field [{src_name}] doesn't exist")
+    move = active & src.isNotNull()
+    df = guarded(df, move, {dst: src})
+    return guarded(df, move, {src_name: F.lit(None).cast(field_type(df, src_name))})
+
+
+_CONVERT_TYPES = {"integer": "int", "long": "bigint", "float": "float",
+                  "double": "double", "string": "string", "boolean": "boolean"}
+_IP_RX = (r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+          r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$|^[0-9A-Fa-f:]+:[0-9A-Fa-f:.]*$")
+
+
+def p_convert(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:201-223.  try_cast
+    semantics with per-row failure when a non-null value doesn't convert."""
+    cfg = spec.config
+    f_name, typ = cfg["field"], cfg["type"]
+    dst = cfg.get("target_field", f_name)
+    ignore_missing = cfg.get("ignore_missing", False)
+    active = ctx.active(df, spec)
+    if f_name not in df.columns:
+        if not ignore_missing:
+            df = ctx.fail(df, active, spec,
+                          f"field [{f_name}] not present as part of path [{f_name}]")
+        return df
+    src = fcol(f_name)
+    if typ == "ip":
+        ok = src.rlike(_IP_RX)
+        df = ctx.fail(df, active & src.isNotNull() & ~ok, spec,
+                      f"[{f_name}] is not an IP string literal.")
+        return guarded(df, active & ok, {dst: src})
+    if typ == "auto":
+        new = F.coalesce(
+            src.try_cast("bigint").cast("string"),
+            src.try_cast("double").cast("string"),
+            src.try_cast("boolean").cast("string"),
+            src.cast("string"),
+        )
+        return guarded(df, active & src.isNotNull(), {dst: new})
+    sql_t = _CONVERT_TYPES[typ]
+    dt = field_type(df, f_name)
+    if typ == "boolean":
+        lowered = F.lower(src.cast("string"))
+        ok_bool = lowered.isin("true", "false")
+        df = ctx.fail(df, active & src.isNotNull() & ~ok_bool, spec,
+                      f"[{src}] is not a boolean value, cannot convert to boolean")
+        new = lowered == "true"
+        return guarded(df, active & src.isNotNull() & ok_bool, {dst: new})
+    # ES integer conversion of "1.5" fails (no truncation): go via string
+    new = src.cast("string").try_cast(sql_t)
+    if not isinstance(dt, T.StringType):
+        new = src.cast(sql_t)
+    err = active & src.isNotNull() & new.isNull()
+    df = ctx.fail(df, err, spec,
+                  f"unable to convert [{f_name}] to {typ}")
+    return guarded(df, active & new.isNotNull(), {dst: new})
+
+
+def p_append(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:129-152: scalar existing
+    value is promoted to a list; value may be scalar or list."""
+    cfg = spec.config
+    f_name = cfg["field"]
+    values = cfg["value"] if isinstance(cfg["value"], list) else [cfg["value"]]
+    allow_dup = cfg.get("allow_duplicates", True)
+    active = ctx.active(df, spec)
+    add = F.array(*[template_column(df, v) for v in values])
+    dt = field_type(df, f_name)
+    if dt is None:
+        existing = F.array().cast(T.ArrayType(T.StringType()))
+    elif isinstance(dt, T.ArrayType):
+        existing = F.coalesce(fcol(f_name), F.array().cast(dt))
+    else:  # scalar promotion
+        existing = F.when(fcol(f_name).isNotNull(), F.array(fcol(f_name))) \
+                    .otherwise(F.array().cast(T.ArrayType(dt)))
+    if allow_dup:
+        new = F.concat(existing, add)
+    else:
+        new = F.array_union(existing, add)
+    return guarded(df, active, {f_name: new})
+
+
+def p_trim(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:885-906."""
+    return str_targets(df, spec, ctx, F.trim)
+
+
+def p_lowercase(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:592-614."""
+    return str_targets(df, spec, ctx, F.lower)
+
+
+def p_uppercase(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:908-930."""
+    return str_targets(df, spec, ctx, F.upper)
+
+
+def p_split(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:861-883 (separator is a
+    regex, like the ES processor)."""
+    cfg = spec.config
+    sep = cfg["separator"]
+    fn = lambda c: F.split(c, sep)  # noqa: E731
+    if not cfg.get("preserve_trailing", False):
+        # java String.split default drops trailing empties; F.split keeps
+        # them -> trim trailing "" elements
+        def fn(c):  # noqa: F811
+            arr = F.split(c, sep)
+            rev = F.reverse(arr)
+            n_trail = F.aggregate(
+                rev, F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
+                lambda acc, x: F.struct(
+                    F.when(acc["go"] & (x == ""), acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+                    (acc["go"] & (x == "")).alias("go")),
+            )["n"]
+            return F.slice(arr, 1, F.greatest(F.size(arr) - n_trail, F.lit(0)))
+    return str_targets(df, spec, ctx, fn, elementwise=False)
+
+
+def p_join(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:519-541."""
+    sep = spec.config["separator"]
+    fn = lambda c: F.array_join(F.transform(c, lambda x: x.cast("string")), sep)  # noqa: E731
+    return str_targets(df, spec, ctx, fn, elementwise=False)
+
+
+def p_sort(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:838-859 — sorts an
+    *array field* within one row (not a relational sort)."""
+    asc = spec.config.get("order", "asc") != "desc"
+    fn = lambda c: F.sort_array(c, asc=asc)  # noqa: E731
+    return str_targets(df, spec, ctx, fn, elementwise=False)
+
+
+def p_gsub(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:471-494.  Java-regex
+    pattern evaluated by F.regexp_replace — JVM-side even for arrays."""
+    cfg = spec.config
+    pat, rep = cfg["pattern"], cfg["replacement"]
+    fn = lambda c: F.regexp_replace(c, pat, rep)  # noqa: E731
+    return str_targets(df, spec, ctx, fn)
+
+
+def p_dot_expander(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:335-358.  In the flat
+    column model a dotted key *is* the nested path, so expansion is the
+    identity — kept as an explicit no-op for DSL compatibility."""
+    return df
+
+
+def p_drop(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:360-390: event is
+    cancelled but stays in the batch (EventProcessor.java:185-189) — we keep
+    the row, flagged __dropped; the router excludes it from data sinks."""
+    active = ctx.active(df, spec)
+    return df.withColumn(DROPPED, fcol(DROPPED) | active)
+
+
+def p_fail(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:1250-1272."""
+    active = ctx.active(df, spec)
+    msg = template_column(df, spec.config.get("message", "Fail processor"))
+    return ctx.fail(df, active, spec, msg)
+
+
+def p_terminate(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:1139-1167: remaining
+    processors are skipped, event still succeeds."""
+    active = ctx.active(df, spec)
+    return df.withColumn(TERMINATED, fcol(TERMINATED) | active)
+
+
+_ELEMENTWISE = {
+    "uppercase": lambda cfg: F.upper,
+    "lowercase": lambda cfg: F.lower,
+    "trim": lambda cfg: F.trim,
+    "gsub": lambda cfg: (lambda c: F.regexp_replace(c, cfg["pattern"], cfg["replacement"])),
+    "urldecode": lambda cfg: F.url_decode,
+    "convert": lambda cfg: (lambda c: c.cast(_CONVERT_TYPES[cfg["type"]])),
+}
+
+
+def p_foreach(df, spec, ctx):
+    """spec/integration/elastic_integration_spec.rb:416-442: the inner
+    processor (addressing ``_ingest._value``) is applied per element —
+    compiled to F.transform (higher-order function, JVM-side)."""
+    cfg = spec.config
+    f_name = cfg["field"]
+    ignore_missing = cfg.get("ignore_missing", False)
+    (inner_type, inner_cfg), = cfg["processor"].items()
+    if inner_type not in _ELEMENTWISE:
+        raise UnsupportedScriptError(
+            f"foreach inner processor [{inner_type}] not supported "
+            f"(supported: {sorted(_ELEMENTWISE)})")
+    fn = _ELEMENTWISE[inner_type](inner_cfg)
+    active = ctx.active(df, spec)
+    if f_name not in df.columns:
+        if not ignore_missing:
+            df = ctx.fail(df, active, spec,
+                          f"field [{f_name}] not present as part of path [{f_name}]")
+        return df
+    return guarded(df, active & fcol(f_name).isNotNull(),
+                   {f_name: F.transform(fcol(f_name), fn)})
+
+
+def p_script(df, spec, ctx):
+    """Painless-subset script processor
+    (spec/integration/elastic_integration_spec.rb:754-809; subset caveat
+    docs/index.asciidoc:192 — unsupported painless fails at compile, the
+    reference's fail-loud parity)."""
+    cfg = spec.config
+    active = ctx.active(df, spec)
+    try:
+        assignments = compile_script(
+            cfg.get("source", ""), resolver_for(df), cfg.get("params"))
+    except UnsupportedScriptError as e:
+        return ctx.fail(df, active, spec, f"unsupported painless script: {e}")
+    for path, col in assignments:
+        path = "_index" if path == "_index" else path
+        df = guarded(df, active, {path: col})
+    return df

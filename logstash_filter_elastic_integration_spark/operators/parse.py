@@ -1,0 +1,295 @@
+"""Parse/extract processors: grok, dissect, kv, csv, json, redact.
+
+Execution strategy (SURVEY.md §2.3):
+- dissect, redact, kv, csv, json: pure JVM Column expressions always.
+- grok: two physical paths chosen at compile time —
+  (a) JVM lowering: the expanded pattern is Java-regex compatible, so each
+      capture becomes ``F.regexp_extract`` (match gate via ``rlike``) —
+      no Python at all; used for single-pattern groks (the common case).
+  (b) vectorized pandas UDF (Arrow-batched ``Series.str.extract``) for
+      multi-pattern grok lists — ONE UDF call per chain, never per row.
+
+Reference contracts: grok spec/integration/elastic_integration_spec.rb:
+444-468 + failure golden :1222-1248; dissect :303-333; kv :567-590;
+csv :225-250; json :543-565; redact :640-666.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.dissect import compile_dissect
+from ..functions.grok import GrokCompiler
+from ..plans.document import fcol, guarded
+from .common import template_column
+
+_SPARK_TYPE = {"string": T.StringType(), "long": T.LongType(),
+               "double": T.DoubleType(), "boolean": T.BooleanType()}
+
+
+def _noncapture(pattern: str) -> str:
+    """Turn every unnamed capturing ``(`` into ``(?:`` so that named groups
+    are the only captures (stable group indexing for regexp_extract)."""
+    out = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if c == "(" and (i + 1 >= n or pattern[i + 1] != "?"):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _to_java_regex(py_regex: str) -> str:
+    return py_regex.replace("(?P<", "(?<")
+
+
+_NAMED_GROUP = re.compile(r"\(\?P?<([A-Za-z][A-Za-z0-9]*)>")
+
+
+def _group_indexes(regex: str) -> dict[str, int]:
+    """group name -> 1-based capture index, assuming ALL captures are named
+    (after _noncapture)."""
+    return {m.group(1): i + 1 for i, m in enumerate(_NAMED_GROUP.finditer(regex))}
+
+
+def _grok_compiler(spec):
+    return GrokCompiler(extra_patterns=spec.config.get("pattern_definitions"))
+
+
+def p_grok(df, spec, ctx):
+    cfg = spec.config
+    f_name = cfg["field"]
+    patterns = cfg.get("patterns") or [cfg["pattern"]]
+    ignore_missing = cfg.get("ignore_missing", False)
+    active = ctx.active(df, spec)
+
+    compiler = _grok_compiler(spec)
+    compiled = compiler.compile(patterns)
+
+    if f_name not in df.columns:
+        if not ignore_missing:
+            df = ctx.fail(
+                df, active, spec,
+                "java.lang.IllegalArgumentException: field "
+                f"[{f_name}] not present as part of path [{f_name}]")
+        return df
+    src = fcol(f_name).cast("string")
+
+    if len(compiled.regexes) == 1:
+        # -- JVM lowering ---------------------------------------------------
+        nc = _noncapture(compiled.regexes[0].pattern)
+        # re-mangle: _noncapture may have eaten "(?P<"? no: "(?P<" starts with
+        # "(?" so it is preserved. Convert to java named groups.
+        java_rx = _to_java_regex(nc)
+        gidx = _group_indexes(nc)
+        matched = src.rlike(java_rx)
+        updates = {}
+        for g, fname in compiled.group_maps[0].items():
+            gtype = compiled.fields[fname]
+            val = F.regexp_extract(src, java_rx, gidx[g])
+            val = F.when(matched & (val != ""), val)
+            if gtype != "string":
+                val = val.cast(_SPARK_TYPE[gtype])
+            updates[fname] = val
+        df = guarded(df, active & matched, updates)
+    else:
+        # -- vectorized pandas UDF path ------------------------------------
+        out_fields = list(compiled.fields)
+        schema = T.StructType(
+            [T.StructField(f, T.StringType()) for f in out_fields]
+            + [T.StructField("__matched", T.BooleanType())])
+
+        def extract(series):
+            import pandas as pd
+            vals, matched = compiled.extract(series)
+            vals = vals.where(pd.notna(vals), None)
+            vals["__matched"] = matched
+            return vals
+
+        udf = F.pandas_udf(extract, schema)
+        df = df.withColumn("__grok", udf(src))
+        df = df.withColumn("__grok_matched",
+                           F.coalesce(fcol("__grok")["__matched"], F.lit(False)))
+        matched = fcol("__grok_matched")
+        updates = {}
+        for fname in out_fields:
+            gtype = compiled.fields[fname]
+            val = fcol("__grok")[fname]
+            if gtype != "string":
+                val = val.cast(_SPARK_TYPE[gtype])
+            updates[fname] = val
+        df = guarded(df, active & matched, updates).drop("__grok")
+
+    if not ignore_missing:
+        df = ctx.fail(
+            df, active & src.isNull(), spec,
+            "java.lang.IllegalArgumentException: field "
+            f"[{f_name}] not present as part of path [{f_name}]")
+    df = ctx.fail(df, active & src.isNotNull() & ~matched, spec,
+                  "Provided Grok expressions do not match field value: ["
+                  + f_name + "]")
+    if "__grok_matched" in df.columns:
+        df = df.drop("__grok_matched")
+    return df
+
+
+def p_dissect(df, spec, ctx):
+    cfg = spec.config
+    f_name = cfg["field"]
+    compiled = compile_dissect(cfg["pattern"], cfg.get("append_separator", ""))
+    ignore_missing = cfg.get("ignore_missing", False)
+    active = ctx.active(df, spec)
+    if f_name not in df.columns:
+        if not ignore_missing:
+            df = ctx.fail(df, active, spec,
+                          f"field [{f_name}] not present as part of path [{f_name}]")
+        return df
+    src = fcol(f_name).cast("string")
+    java_rx = _to_java_regex(compiled.regex)
+    gidx = _group_indexes(compiled.regex)
+    matched = src.rlike(java_rx)
+    updates = {}
+    for g, fname in compiled.group_map.items():
+        updates[fname] = F.regexp_extract(src, java_rx, gidx[g])
+    for fname, groups in compiled.appends.items():
+        parts = [F.regexp_extract(src, java_rx, gidx[g]) for g in groups]
+        updates[fname] = F.concat_ws(compiled.append_separator, *parts)
+    df = guarded(df, active & matched, updates)
+    if not ignore_missing:
+        df = ctx.fail(df, active & src.isNull(), spec,
+                      f"field [{f_name}] is null, cannot process it.")
+    return ctx.fail(
+        df, active & src.isNotNull() & ~matched, spec,
+        f"Unable to find match for dissect pattern: {cfg['pattern']} "
+        f"against source: [{f_name}]")
+
+
+def p_kv(df, spec, ctx):
+    """``str_to_map`` (JVM).  Static-schema constraint: dynamic keys land as
+    a MapType column at ``target_field`` (default ``<field>_kv``); passing
+    ``include_keys`` lifts those keys to flat root fields like ES does."""
+    cfg = spec.config
+    f_name = cfg["field"]
+    fs, vs = cfg["field_split"], cfg["value_split"]
+    include_keys = cfg.get("include_keys")
+    prefix = cfg.get("prefix", "")
+    target = cfg.get("target_field")
+    active = ctx.active(df, spec)
+    ignore_missing = cfg.get("ignore_missing", False)
+    if f_name not in df.columns:
+        if not ignore_missing:
+            df = ctx.fail(df, active, spec,
+                          f"field [{f_name}] not present as part of path [{f_name}]")
+        return df
+    src = fcol(f_name).cast("string")
+    m = F.str_to_map(src, F.lit(fs), F.lit(vs))
+    if include_keys:
+        updates = {f"{target + '.' if target else ''}{prefix}{k}":
+                   F.element_at(m, k) for k in include_keys}
+    else:
+        updates = {(target or f"{f_name}_kv"): m}
+    df = guarded(df, active & src.isNotNull(), updates)
+    if not ignore_missing:
+        df = ctx.fail(df, active & src.isNull(), spec,
+                      f"field [{f_name}] is null, cannot extract key-value pairs.")
+    return df
+
+
+def p_csv(df, spec, ctx):
+    """``F.from_csv`` (JVM, quote-aware)."""
+    cfg = spec.config
+    f_name = cfg["field"]
+    targets = cfg["target_fields"]
+    sep = cfg.get("separator", ",")
+    quote = cfg.get("quote", '"')
+    trim = cfg.get("trim", False)
+    ignore_missing = cfg.get("ignore_missing", False)
+    active = ctx.active(df, spec)
+    if f_name not in df.columns:
+        if not ignore_missing:
+            df = ctx.fail(df, active, spec,
+                          f"field [{f_name}] not present as part of path [{f_name}]")
+        return df
+    src = fcol(f_name).cast("string")
+    ddl = ", ".join(f"c{i} STRING" for i in range(len(targets)))
+    parsed = F.from_csv(src, F.lit(ddl), {"sep": sep, "quote": quote,
+                                          "ignoreLeadingWhiteSpace": str(trim).lower(),
+                                          "ignoreTrailingWhiteSpace": str(trim).lower()})
+    updates = {t: parsed[f"c{i}"] for i, t in enumerate(targets)}
+    df = guarded(df, active & src.isNotNull(), updates)
+    if not ignore_missing:
+        df = ctx.fail(df, active & src.isNull(), spec,
+                      f"field [{f_name}] is null, cannot process it.")
+    return df
+
+
+def p_json(df, spec, ctx):
+    """``F.from_json`` when a schema is declared (config extension
+    ``schema``: DDL string), else Spark 4 VariantType via ``F.parse_json``
+    (dynamic shape, still JVM-side; access via ``variant_get``)."""
+    cfg = spec.config
+    f_name = cfg["field"]
+    target = cfg.get("target_field", f_name)
+    ignore_missing = cfg.get("ignore_missing", False)
+    active = ctx.active(df, spec)
+    if f_name not in df.columns:
+        if not ignore_missing:
+            df = ctx.fail(df, active, spec,
+                          f"field [{f_name}] not present as part of path [{f_name}]")
+        return df
+    src = fcol(f_name).cast("string")
+    if "schema" in cfg:
+        parsed = F.from_json(src, cfg["schema"])
+        ok = parsed.isNotNull()
+    else:
+        parsed = F.try_parse_json(src)
+        ok = parsed.isNotNull()
+    df = ctx.fail(df, active & src.isNotNull() & ~ok, spec,
+                  f"Unable to parse field [{f_name}] as JSON")
+    df = guarded(df, active & ok, {target: parsed})
+    if not ignore_missing:
+        df = ctx.fail(df, active & src.isNull(), spec,
+                      f"field [{f_name}] is null, cannot parse JSON.")
+    return df
+
+
+def p_redact(df, spec, ctx):
+    """Grok-pattern-driven masking (x-pack redact bridged at
+    EventProcessorBuilder.java:117).  Each pattern's whole match is replaced
+    by ``prefix + capture_name + suffix`` — a chain of JVM
+    ``regexp_replace`` calls, one per pattern."""
+    cfg = spec.config
+    f_name = cfg["field"]
+    prefix = cfg.get("prefix", "<")
+    suffix = cfg.get("suffix", ">")
+    ignore_missing = cfg.get("ignore_missing", False)
+    active = ctx.active(df, spec)
+    if f_name not in df.columns:
+        if not ignore_missing:
+            df = ctx.fail(df, active, spec,
+                          f"field [{f_name}] not present as part of path [{f_name}]")
+        return df
+    compiler = _grok_compiler(spec)
+    col = fcol(f_name).cast("string")
+    for pat in cfg["patterns"]:
+        compiled = compiler.compile([pat])
+        gmap = compiled.group_maps[0]
+        if len(gmap) != 1:
+            raise ValueError(f"redact pattern must have exactly one capture: {pat}")
+        label = next(iter(gmap.values()))
+        java_rx = _to_java_regex(_noncapture(compiled.regexes[0].pattern))
+        replacement = (prefix + label + suffix).replace("\\", "\\\\").replace("$", "\\$")
+        col = F.regexp_replace(col, java_rx, replacement)
+    return guarded(df, active & fcol(f_name).isNotNull(), {f_name: col})

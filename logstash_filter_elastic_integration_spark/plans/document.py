@@ -1,0 +1,95 @@
+"""Document/field model: ES field paths <-> flat DataFrame columns.
+
+The reference's working document is a mutable nested ``Map<String,Object>``
+(IngestDuplexMarshaller.java:79-102).  A nested MapType column would defeat
+Catalyst (no pruning, no codegen on map values), so we flatten: ES field
+path ``a.b.c`` is a *flat* DataFrame column literally named ``"a.b.c"``.
+Column creation (`withColumn`) treats the name literally; only resolution
+interprets dots, so all reads go through :func:`fcol` which backtick-quotes.
+
+Reserved engine columns (``__``-prefixed) carry per-row pipeline state —
+the Spark analogue of the IngestDocument metadata + the failure/cancel
+bookkeeping in EventProcessor.java:171-252.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+# engine state columns; never visible to user pipelines as fields
+FAILURE = "__failure"          # struct(pipeline, processor_type, processor_tag, message)
+TERMINATED = "__terminated"    # bool: `terminate` processor fired
+DROPPED = "__dropped"          # bool: `drop` processor fired (event cancelled, kept)
+REROUTED = "__rerouted"        # bool: `reroute` fired -> ends current pipeline
+PRISTINE = "__pristine"        # struct snapshot of the pre-pipeline row
+INDEX_HISTORY = "__index_history"  # array<string>: visited _index values (cycle det.)
+RESERVED = (FAILURE, TERMINATED, DROPPED, REROUTED, PRISTINE, INDEX_HISTORY)
+
+FAILURE_TYPE = T.StructType([
+    T.StructField("pipeline", T.StringType()),
+    T.StructField("processor_type", T.StringType()),
+    T.StructField("processor_tag", T.StringType()),
+    T.StructField("message", T.StringType()),
+])
+
+
+def fcol(name: str) -> Column:
+    """Reference a flat column whose name may contain dots."""
+    return F.col("`" + name + "`")
+
+
+def has_field(df: DataFrame, path: str) -> bool:
+    return path in df.columns
+
+
+def field_type(df: DataFrame, path: str):
+    for f in df.schema.fields:
+        if f.name == path:
+            return f.dataType
+    return None
+
+
+def resolve_field(df: DataFrame, path: str):
+    """-> (Column, DataType|None).  A missing field resolves to typed-null
+    (string), mirroring ES ``ctx.missing == null`` semantics."""
+    dt = field_type(df, path)
+    if dt is None:
+        return F.lit(None).cast("string"), None
+    return fcol(path), dt
+
+
+def resolver_for(df: DataFrame):
+    def resolve(path: str):
+        if path == "_index":
+            return resolve_field(df, "_index")
+        return resolve_field(df, path)
+    return resolve
+
+
+def guarded(df: DataFrame, cond: Column, updates: dict[str, Column]) -> DataFrame:
+    """Apply column updates only where ``cond``; elsewhere keep the old value
+    (or null when the column is new).  This is the per-row `if`/failure gate
+    — compiled straight into `F.when`, stays inside whole-stage codegen."""
+    out = {}
+    for name, new in updates.items():
+        if name in df.columns:
+            out[name] = F.when(cond, new).otherwise(fcol(name))
+        else:
+            out[name] = F.when(cond, new)
+    return df.withColumns(out)
+
+
+def drop_fields(df: DataFrame, cond: Column, names: list[str]) -> DataFrame:
+    """Per-row conditional field removal.  Columns are schema-global, so a
+    truly-removed column only happens when cond is literally `true`;
+    otherwise the value is nulled where cond holds."""
+    always = cond is None
+    for name in names:
+        if name not in df.columns:
+            continue
+        if always:
+            df = df.drop(name)
+        else:
+            df = df.withColumn(name, F.when(~cond, fcol(name)))
+    return df
