@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship north-rule job (parse -> enrich -> route ->
+reroute fixpoint) through the full Router over a transcript-shaped view of
+the sf0.001 events table.  ``queries``/``oracle_sql`` expose the operator
+surface (SURVEY.md §2 + dedup/ANN/text extras) with DuckDB oracles — see
+``logstash_filter_elastic_integration_spark/queries.py``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: events mapped to the
+    transcript input shape, run through the flagship pipeline (grok parse +
+    kv + broadcast enrich + fingerprint + reroute fan-out)."""
+    from pyspark.sql import Window
+    from logstash_filter_elastic_integration_spark.flagship import run_flagship
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transcripts = ev.select(
+        F.format_string("conv-%08d", F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(F.array(F.lit("user"), F.lit("assistant"),
+                             F.lit("system"), F.lit("tool")),
+                     (F.col("event_id") % 4 + 1).cast("int")).alias("role"),
+        F.format_string("%d.%d.%d.%d GET /api/ev/%d %d %d %s",
+                        (F.col("user_id") % 223 + 1).cast("int"),
+                        (F.col("event_id") % 255).cast("int"),
+                        (F.col("event_id") * 3 % 255).cast("int"),
+                        (F.col("user_id") % 254 + 1).cast("int"),
+                        F.col("event_id"),
+                        F.when(F.col("event_type") == "error", 500).otherwise(200),
+                        F.floor("value").cast("long") + 1,
+                        F.lit("0.5")).alias("text"),
+        F.when(F.col("event_type") == "error", "code_exec")
+         .otherwise("search").alias("tool"),
+        F.col("ts"),
+    )
+    out = run_flagship(spark, transcripts)
+    return out.select("conv_id", "turn_idx", "role", "tool", "__sink",
+                      "client_ip", "http_status", "http_class",
+                      F.col("_ingest_pipeline_failure").isNotNull().alias("failed"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from logstash_filter_elastic_integration_spark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from logstash_filter_elastic_integration_spark.queries import ORACLES
+    return dict(ORACLES)

@@ -196,6 +196,8 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
             recv, rdt = _eval(fn.value, c)
             args = [_eval(a, c)[0] for a in node.args]
             meth = fn.attr
+            if meth == "equals":
+                return recv.eqNullSafe(args[0]) & recv.isNotNull(), T.BooleanType()
             if meth == "contains":
                 if isinstance(rdt, T.ArrayType):
                     return F.array_contains(recv, args[0]), T.BooleanType()

@@ -151,6 +151,12 @@ def p_append(df, spec, ctx):
         new = F.concat(existing, add)
     else:
         new = F.array_union(existing, add)
+    # static-schema note: scalar promotion applies to the column type for
+    # ALL rows (inactive rows hold their old value as a 1-element array);
+    # failed rows are still restored to the pristine scalar at finalize.
+    if dt is not None and not isinstance(dt, T.ArrayType):
+        keep = F.when(fcol(f_name).isNotNull(), F.array(fcol(f_name)))
+        return df.withColumn(f_name, F.when(active, new).otherwise(keep))
     return guarded(df, active, {f_name: new})
 
 

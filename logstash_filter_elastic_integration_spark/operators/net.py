@@ -91,10 +91,17 @@ def p_uri_parts(df, spec, ctx):
 
 
 # ------------------------------------------------------------ html_strip ---
+_BLOCK_TAGS = ("h1|h2|h3|h4|h5|h6|p|div|br|hr|li|ul|ol|table|tr|td|th|"
+               "blockquote|pre|section|article|header|footer")
+
+
 def p_html_strip(df, spec, ctx):
-    """Lucene HTMLStripCharFilter replaces each tag with \\n
-    (golden :496-517)."""
-    fn = lambda c: F.regexp_replace(c, r"<[^>]*>", "\n")  # noqa: E731
+    """Lucene HTMLStripCharFilter semantics (golden :496-517):
+    block-level tags become \\n, inline tags are removed outright —
+    '<p> <em> x </em> </p>' -> '\\n  x  \\n'."""
+    def fn(c):
+        c = F.regexp_replace(c, r"(?i)</?(?:" + _BLOCK_TAGS + r")\b[^>]*>", "\n")
+        return F.regexp_replace(c, r"<[^>]*>", "")
     return str_targets(df, spec, ctx, fn)
 
 
@@ -139,7 +146,9 @@ def p_user_agent(df, spec, ctx):
     version = F.lit(None).cast("string")
     for bname, rx in reversed(_UA_BROWSERS):
         hit = ua.rlike(rx)
-        ver_parts = [F.regexp_extract(ua, rx, i) for i in (1, 2, 3)]
+        n_groups = rx.count("(") - rx.count("(?:")
+        ver_parts = [F.regexp_extract(ua, rx, i)
+                     for i in range(1, n_groups + 1)]
         ver = F.concat_ws(".", *[F.when(p != "", p) for p in ver_parts])
         name = F.when(hit, F.lit(bname)).otherwise(name)
         version = F.when(hit, ver).otherwise(version)
@@ -264,15 +273,14 @@ def p_registered_domain(df, spec, ctx):
         is_match = domain.endswith("." + sfx) | (domain == sfx)
         tld = F.when(tld.isNotNull(), tld).otherwise(F.when(is_match, F.lit(sfx)))
     # registered = last label before the suffix + suffix
-    stem = F.substring(domain, F.lit(1),
-                       F.length(domain) - F.length(tld) - F.lit(1))
+    stem = domain.substr(F.lit(1), F.length(domain) - F.length(tld) - F.lit(1))
     last_label = F.element_at(F.split(stem, r"\."), -1)
     registered = F.when(tld.isNotNull() & (F.length(stem) > 0),
                         F.concat(last_label, F.lit("."), tld))
     subdomain = F.when(
         registered.isNotNull() & (F.length(domain) > F.length(registered)),
-        F.substring(domain, F.lit(1),
-                    F.length(domain) - F.length(registered) - F.lit(1)))
+        domain.substr(F.lit(1),
+                      F.length(domain) - F.length(registered) - F.lit(1)))
     updates = {
         f"{tprefix}domain": domain,
         f"{tprefix}registered_domain": registered,

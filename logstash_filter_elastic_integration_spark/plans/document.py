@@ -67,14 +67,45 @@ def resolver_for(df: DataFrame):
     return resolve
 
 
+def probe_type(df: DataFrame, col: Column):
+    """Driver-side analysis of an expression's type (no job runs)."""
+    return df.select(col.alias("__probe")).schema[0].dataType
+
+
+def coerce_old(df: DataFrame, name: str, new: Column):
+    """Old-value expression coerced to the *new* column type, for rows where
+    an update does not apply.  Handles the ES dynamic-typing cases our static
+    schema must absorb: scalar->array promotion (append/split) and
+    array->scalar narrowing (join) via cast; incompatible -> typed null."""
+    old_dt = field_type(df, name)
+    old = fcol(name)
+    new_dt = probe_type(df, new)
+    if old_dt == new_dt or new_dt is None:
+        return old
+    if isinstance(new_dt, T.ArrayType) and new_dt.elementType == old_dt:
+        return F.when(old.isNotNull(), F.array(old))
+    try:
+        probe_type(df, old.cast(new_dt))
+        return old.cast(new_dt)
+    except Exception:
+        return F.lit(None).cast(new_dt)
+
+
 def guarded(df: DataFrame, cond: Column, updates: dict[str, Column]) -> DataFrame:
     """Apply column updates only where ``cond``; elsewhere keep the old value
     (or null when the column is new).  This is the per-row `if`/failure gate
-    — compiled straight into `F.when`, stays inside whole-stage codegen."""
+    — compiled straight into `F.when`, stays inside whole-stage codegen.
+    Type-changing updates coerce the kept old value to the new type."""
     out = {}
     for name, new in updates.items():
         if name in df.columns:
-            out[name] = F.when(cond, new).otherwise(fcol(name))
+            old_dt = field_type(df, name)
+            try:
+                new_dt = probe_type(df, new)
+            except Exception:
+                new_dt = old_dt
+            keep = fcol(name) if new_dt == old_dt else coerce_old(df, name, new)
+            out[name] = F.when(cond, new).otherwise(keep)
         else:
             out[name] = F.when(cond, new)
     return df.withColumns(out)

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field as dc_field
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 from .document import (
     DROPPED, FAILURE, FAILURE_TYPE, INDEX_HISTORY, PRISTINE, REROUTED,
@@ -252,16 +253,27 @@ def finalize(df: DataFrame) -> DataFrame:
     Success rows get `target_ingest_pipeline = _none`
     (EventProcessor.java:60-61,233-234)."""
     failed = fcol(FAILURE).isNotNull()
-    pristine_fields = [f.name for f in df.schema[PRISTINE].dataType.fields]
+    pristine_dt = {f.name: f.dataType for f in df.schema[PRISTINE].dataType.fields}
+    current_dt = {f.name: f.dataType for f in df.schema.fields}
     updates: dict[str, Column] = {}
     for c in df.columns:
         if c in RESERVED or c == "tags":
             continue
-        if c in pristine_fields:
-            updates[c] = F.when(failed, fcol(PRISTINE)[c]).otherwise(fcol(c))
+        if c in pristine_dt:
+            restored = fcol(PRISTINE)[c]
+            # a processor may have retyped the column (e.g. append's
+            # scalar->array promotion): coerce the pristine value to match
+            if pristine_dt[c] != current_dt[c]:
+                cur = current_dt[c]
+                if (isinstance(cur, T.ArrayType)
+                        and cur.elementType == pristine_dt[c]):
+                    restored = F.when(restored.isNotNull(), F.array(restored))
+                else:
+                    restored = restored.cast(cur)
+            updates[c] = F.when(failed, restored).otherwise(fcol(c))
         else:
             updates[c] = F.when(failed, F.lit(None)).otherwise(fcol(c))
-    pristine_tags = (fcol(PRISTINE)["tags"] if "tags" in pristine_fields
+    pristine_tags = (fcol(PRISTINE)["tags"] if "tags" in pristine_dt
                      else F.lit(None).cast("array<string>"))
     updates["tags"] = F.when(
         failed,

@@ -1,0 +1,705 @@
+"""Driver-contract query surface: one entry per implemented operator
+(SURVEY.md §2) plus the large-scale training-data extras (dedup, ANN,
+text analysis, multimodal stubs).
+
+Every query is a callable ``(spark, sf_dir) -> DataFrame`` over the
+driver-generated parquet tables; ``ORACLES[name]`` is the ANSI-SQL DuckDB
+equivalent (same column names — the driver hash-compares).  Queries that
+exercise processor semantics construct their parse input deterministically
+FROM table columns, so the oracle can state the expected output in closed
+form.  Non-SQL-expressible ops (minhash LSH, simhash, LSH-bucketed ANN)
+have no oracle -> driver records the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .plans.pipeline import PipelineRegistry, run_pipeline
+from .plans.document import fcol
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _pipe(spark, df, processors, dims=None):
+    reg = PipelineRegistry()
+    reg.register("q", {"processors": processors})
+    if dims:
+        reg.dims.update(dims)
+    return run_pipeline(df, "q", reg)
+
+
+# --------------------------------------------------------------- parse -----
+
+def q_pipe_grok_typed(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    df = ev.withColumn("msg", F.format_string(
+        "%d %s %d", F.col("user_id"), F.col("event_type"),
+        F.floor("value").cast("long")))
+    out = _pipe(spark, df, [
+        {"grok": {"field": "msg",
+                  "patterns": ["^%{INT:uid:int} %{WORD:etype} %{INT:val:int}$"]}}])
+    return out.select("event_id", "uid", "etype", "val")
+
+
+O_GROK = """
+SELECT event_id, user_id AS uid, event_type AS etype,
+       CAST(floor(value) AS BIGINT) AS val
+FROM events
+"""
+
+
+def q_pipe_dissect(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    df = ev.withColumn("line", F.concat_ws("|",
+                                           F.col("user_id").cast("string"),
+                                           "event_type",
+                                           F.col("event_id").cast("string")))
+    out = _pipe(spark, df, [
+        {"dissect": {"field": "line", "pattern": "%{uid}|%{etype}|%{eid}"}}])
+    return out.select("event_id", "uid", "etype", "eid")
+
+
+O_DISSECT = """
+SELECT event_id, CAST(user_id AS VARCHAR) AS uid, event_type AS etype,
+       CAST(event_id AS VARCHAR) AS eid
+FROM events
+"""
+
+
+def q_pipe_kv(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    df = ev.withColumn("msg", F.format_string(
+        "type=%s user=%d", F.col("event_type"), F.col("user_id")))
+    out = _pipe(spark, df, [
+        {"kv": {"field": "msg", "field_split": " ", "value_split": "=",
+                "include_keys": ["type", "user"], "prefix": "kv_"}}])
+    return out.select("event_id", "kv_type", "kv_user")
+
+
+O_KV = """
+SELECT event_id, event_type AS kv_type, CAST(user_id AS VARCHAR) AS kv_user
+FROM events
+"""
+
+
+def q_pipe_csv(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    df = doc.withColumn("line", F.concat_ws(",",
+                                            "source", "lang",
+                                            F.col("n_chars").cast("string")))
+    out = _pipe(spark, df, [
+        {"csv": {"field": "line",
+                 "target_fields": ["c_source", "c_lang", "c_chars"]}}])
+    return out.select("doc_id", "c_source", "c_lang", "c_chars")
+
+
+O_CSV = """
+SELECT doc_id, source AS c_source, lang AS c_lang,
+       CAST(n_chars AS VARCHAR) AS c_chars
+FROM documents
+"""
+
+
+def q_pipe_json(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    out = _pipe(spark, ev, [
+        {"json": {"field": "props", "target_field": "props_obj",
+                  "schema": "k BIGINT"}}])
+    return out.select("event_id", fcol("props_obj")["k"].alias("k"))
+
+
+O_JSON = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+"""
+
+
+def q_pipe_redact(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    ip = F.format_string("%d.%d.%d.%d",
+                         (F.col("doc_id") % 223 + 1).cast("int"),
+                         (F.col("doc_id") % 255).cast("int"),
+                         (F.col("doc_id") * 7 % 255).cast("int"),
+                         (F.col("doc_id") % 254 + 1).cast("int"))
+    df = doc.withColumn("msg", F.concat(F.lit("from "), ip,
+                                        F.lit(" by "), F.col("source")))
+    out = _pipe(spark, df, [
+        {"redact": {"field": "msg", "patterns": ["%{IP:IP}"],
+                    "prefix": "[", "suffix": "]"}}])
+    return out.select("doc_id", F.col("msg").alias("redacted"))
+
+
+O_REDACT = """
+SELECT doc_id, 'from [IP] by ' || source AS redacted FROM documents
+"""
+
+
+def q_pipe_failure_preserve(spark, sf_dir):
+    """Grok failure path: 'error' events carry an unparseable msg -> row is
+    failure-tagged, original preserved, extracted field stays NULL."""
+    ev = load(spark, sf_dir, "events")
+    df = ev.withColumn("msg", F.when(F.col("event_type") == "error",
+                                     F.lit("UNPARSEABLE !!"))
+                       .otherwise(F.format_string("%d ok", F.col("user_id"))))
+    out = _pipe(spark, df, [
+        {"grok": {"field": "msg", "patterns": ["^%{INT:uid2:int} ok$"]}}])
+    return out.select(
+        "event_id", "uid2",
+        F.coalesce(F.array_contains("tags", "_ingest_pipeline_failure"),
+                   F.lit(False)).alias("failed"))
+
+
+O_FAILURE = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS uid2,
+       (event_type = 'error') AS failed
+FROM events
+"""
+
+
+# ----------------------------------------------------- mutate / scalar -----
+
+def q_pipe_mutate_chain(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    out = _pipe(spark, doc, [
+        {"set": {"field": "marker", "value": "doc"}},
+        {"uppercase": {"field": "lang", "target_field": "lang_up"}},
+        {"gsub": {"field": "text", "target_field": "text_mod",
+                  "pattern": "a", "replacement": "@"}},
+        {"set": {"field": "padded", "value": "  {{lang}}  "}},
+        {"trim": {"field": "padded", "target_field": "lang_trim"}},
+        {"convert": {"field": "n_chars", "type": "string",
+                     "target_field": "n_chars_str"}},
+    ])
+    return out.select("doc_id", "marker", "lang_up", "text_mod",
+                      "lang_trim", "n_chars_str")
+
+
+O_MUTATE = """
+SELECT doc_id, 'doc' AS marker, upper(lang) AS lang_up,
+       replace(text, 'a', '@') AS text_mod, lang AS lang_trim,
+       CAST(n_chars AS VARCHAR) AS n_chars_str
+FROM documents
+"""
+
+
+def q_pipe_split_sort_join(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    out = _pipe(spark, doc, [
+        {"split": {"field": "text", "separator": " ",
+                   "target_field": "words"}},
+        {"sort": {"field": "words", "order": "desc"}},
+        {"join": {"field": "words", "separator": "-",
+                  "target_field": "joined"}},
+    ])
+    return out.select("doc_id", "joined")
+
+
+O_SPLIT_SORT_JOIN = """
+SELECT doc_id,
+       array_to_string(list_reverse_sort(str_split(text, ' ')), '-') AS joined
+FROM documents
+"""
+
+
+def q_pipe_foreach(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    df = doc.withColumn("w5", F.slice(F.split("text", " "), 1, 5))
+    out = _pipe(spark, df, [
+        {"foreach": {"field": "w5",
+                     "processor": {"uppercase": {"field": "_ingest._value"}}}},
+        {"join": {"field": "w5", "separator": ",", "target_field": "up5"}},
+    ])
+    return out.select("doc_id", "up5")
+
+
+O_FOREACH = """
+SELECT doc_id,
+       array_to_string(list_transform(str_split(text, ' ')[1:5],
+                                      x -> upper(x)), ',') AS up5
+FROM documents
+"""
+
+
+def q_pipe_bytes(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    df = ev.withColumn("size_str",
+                       F.format_string("%dkb", F.col("user_id") + 1))
+    out = _pipe(spark, df, [
+        {"bytes": {"field": "size_str", "target_field": "size_bytes"}}])
+    return out.select("event_id", "size_bytes")
+
+
+O_BYTES = """
+SELECT event_id, (user_id + 1) * 1024 AS size_bytes FROM events
+"""
+
+
+def q_pipe_date(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    df = ev.withColumn("date_str",
+                       F.date_format("ts", "dd/MM/yyyy HH:mm:ss"))
+    out = _pipe(spark, df, [
+        {"date": {"field": "date_str", "formats": ["dd/MM/yyyy HH:mm:ss"],
+                  "timezone": "UTC", "target_field": "ts_iso"}}])
+    return out.select("event_id", "ts_iso")
+
+
+O_DATE = """
+SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.000') || 'Z' AS ts_iso
+FROM events
+"""
+
+
+def q_pipe_fingerprint(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    out = _pipe(spark, doc, [
+        {"fingerprint": {"fields": ["source", "lang"], "method": "MD5",
+                         "target_field": "fp"}}])
+    return out.select("doc_id", "fp")
+
+
+O_FINGERPRINT = """
+SELECT doc_id,
+       to_base64(from_hex(md5('lang|' || lang || chr(0) || 'source|' || source))) AS fp
+FROM documents
+"""
+
+
+def q_pipe_urldecode(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    df = doc.withColumn("enc", F.concat(F.lit("a%26"), F.col("lang")))
+    out = _pipe(spark, df, [{"urldecode": {"field": "enc"}}])
+    return out.select("doc_id", F.col("enc").alias("decoded"))
+
+
+O_URLDECODE = """
+SELECT doc_id, 'a&' || lang AS decoded FROM documents
+"""
+
+
+def q_pipe_uri_parts(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    df = doc.withColumn("url_str", F.format_string(
+        "https://%s.example.com/%s/p%d?x=1#frag",
+        F.col("source"), F.col("lang"), F.col("doc_id")))
+    out = _pipe(spark, df, [{"uri_parts": {"field": "url_str"}}])
+    return out.select("doc_id",
+                      fcol("url.domain").alias("u_domain"),
+                      fcol("url.path").alias("u_path"),
+                      fcol("url.query").alias("u_query"),
+                      fcol("url.fragment").alias("u_fragment"),
+                      fcol("url.scheme").alias("u_scheme"))
+
+
+O_URI_PARTS = """
+SELECT doc_id, source || '.example.com' AS u_domain,
+       '/' || lang || '/p' || doc_id AS u_path,
+       'x=1' AS u_query, 'frag' AS u_fragment, 'https' AS u_scheme
+FROM documents
+"""
+
+
+def q_pipe_html_strip(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    df = doc.withColumn("html", F.format_string(
+        "<p>%s</p><em>%s</em>", F.col("lang"), F.col("source")))
+    out = _pipe(spark, df, [{"html_strip": {"field": "html"}}])
+    return out.select("doc_id", F.col("html").alias("stripped"))
+
+
+O_HTML_STRIP = """
+SELECT doc_id, chr(10) || lang || chr(10) || source AS stripped
+FROM documents
+"""
+
+
+def q_pipe_script(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    out = _pipe(spark, doc, [
+        {"script": {"lang": "painless",
+                    "source": "ctx['slug'] = ctx['lang'] + '-' + params['suffix']",
+                    "params": {"suffix": "v1"}}}])
+    return out.select("doc_id", "slug")
+
+
+O_SCRIPT = """
+SELECT doc_id, lang || '-v1' AS slug FROM documents
+"""
+
+
+# ------------------------------------------------ routing / enrichment -----
+
+_EV_CATEGORY = [("click", "ui"), ("view", "ui"), ("purchase", "commerce"),
+                ("signup", "growth")]  # 'error' intentionally absent -> miss
+
+
+def q_enrich_lookup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    dim = spark.createDataFrame(_EV_CATEGORY, "event_type string, category string")
+    out = _pipe(spark, ev, [
+        {"lookup": {"field": "event_type", "table": "etype_dim",
+                    "target_field": "et"}}],
+        dims={"etype_dim": dim})
+    return out.select("event_id", fcol("et.category").alias("category"))
+
+
+O_ENRICH = """
+SELECT event_id, CASE event_type
+  WHEN 'click' THEN 'ui' WHEN 'view' THEN 'ui'
+  WHEN 'purchase' THEN 'commerce' WHEN 'signup' THEN 'growth'
+  ELSE NULL END AS category
+FROM events
+"""
+
+
+def _events_router(spark):
+    from .router import Router
+    reg = PipelineRegistry()
+    reg.register("err-pipe", {"processors": [
+        {"set": {"field": "severity", "value": "high"}},
+        {"reroute": {"destination": "alerts-high"}},
+    ]})
+    reg.register("std-pipe", {"processors": [
+        {"set": {"field": "severity", "value": "low"}},
+    ]})
+    reg.register("alert-pipe", {"processors": [
+        {"set": {"field": "alerted", "value": "yes"}},
+    ]})
+    return Router(registry=reg, routing={
+        "logs-ev.error-default": "err-pipe",
+        "logs-ev.std-default": "std-pipe",
+        "alerts-high": "alert-pipe",
+    })
+
+
+def q_route_fanout(spark, sf_dir):
+    """Datastream resolution -> per-route pipelines -> reroute fixpoint:
+    'error' events route to err-pipe which reroutes them to alerts-high,
+    whose pipeline stamps them; everything else takes std-pipe."""
+    ev = load(spark, sf_dir, "events")
+    df = (ev.withColumn("data_stream.type", F.lit("logs"))
+          .withColumn("data_stream.dataset",
+                      F.when(F.col("event_type") == "error", "ev.error")
+                      .otherwise("ev.std"))
+          .withColumn("data_stream.namespace", F.lit("default")))
+    out = _events_router(spark).execute(df)
+    return out.select("event_id", F.col("__sink").alias("sink"),
+                      "severity", "alerted")
+
+
+O_ROUTE = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'alerts-high'
+            ELSE 'logs-ev.std-default' END AS sink,
+       CASE WHEN event_type = 'error' THEN 'high' ELSE 'low' END AS severity,
+       CASE WHEN event_type = 'error' THEN 'yes' ELSE NULL END AS alerted
+FROM events
+"""
+
+
+def q_agg_sink_counts(spark, sf_dir):
+    """North-rule per-sink aggregate shape: counts by route x user bucket x
+    hour window (partial+final hash agg)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(
+        F.col("event_type").alias("etype"),
+        (F.col("user_id") % 16).alias("bucket"),
+        F.window("ts", "1 hour")["start"].alias("win"))
+        .agg(F.count(F.lit(1)).alias("n")))
+
+
+O_AGG = """
+SELECT event_type AS etype, user_id % 16 AS bucket,
+       date_trunc('hour', ts) AS win, COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_window_turn_order(spark, sf_dir):
+    """Stable per-conversation ordering (north-rule text-equality check
+    shape): row_number over (user, ts, event_id)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", F.row_number().over(w).alias("rn"))
+
+
+O_WINDOW = """
+SELECT event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+"""
+
+
+# ------------------------------------------- dedup / similarity extras -----
+
+def q_dedup_exact(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    return (doc.groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+O_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    return doc.select("doc_id", F.md5(norm).alias("fp"))
+
+
+O_DOC_FP = """
+SELECT doc_id, md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    """Text quality / token stats (integer-exact for oracle parity):
+    token count, stopword hits, char length, n-gram-heuristic language id."""
+    doc = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop = F.size(F.filter(words, lambda x: x.isin("the", "a", "of", "and")))
+    return doc.select(
+        "doc_id",
+        F.size(words).alias("tokens"),
+        stop.alias("stop_n"),
+        F.length("text").alias("chars"),
+        F.when(stop > 0, "en").otherwise("other").alias("lang_pred"))
+
+
+O_TEXT_STATS = """
+SELECT doc_id,
+       len(str_split(text, ' ')) AS tokens,
+       len(list_filter(str_split(text, ' '),
+                       x -> x IN ('the', 'a', 'of', 'and'))) AS stop_n,
+       length(text) AS chars,
+       CASE WHEN len(list_filter(str_split(text, ' '),
+                    x -> x IN ('the', 'a', 'of', 'and'))) > 0
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (shingle -> minhash -> band ->
+    bucket-join).  No SQL oracle (xxhash64 is Spark-specific) -> rows-only.
+    Scale path: everything is explode + groupBy (shuffle on band key), no
+    cross join; at 100 TB add a shingle-frequency cap to bound hot bands."""
+    doc = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3))))
+    df = doc.select("doc_id", shingles.alias("sh")).filter(F.size("sh") > 0)
+    ex = df.select("doc_id", F.explode("sh").alias("s"))
+    N_HASH, BANDS = 16, 4
+    mins = ex.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        for i in range(N_HASH)])
+    rows_per_band = N_HASH // BANDS
+    bands = mins.select("doc_id", F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"h{b * rows_per_band + r}")
+                              for r in range(rows_per_band)]).alias("sig"))
+        for b in range(BANDS)]).alias("bands"))
+    eb = bands.select("doc_id", F.explode("bands").alias("bs")) \
+              .select("doc_id", "bs.band", "bs.sig")
+    pairs = (eb.alias("l").join(eb.alias("r"),
+                                (F.col("l.band") == F.col("r.band"))
+                                & (F.col("l.sig") == F.col("r.sig"))
+                                & (F.col("l.doc_id") < F.col("r.doc_id")))
+             .select(F.col("l.doc_id").alias("a"),
+                     F.col("r.doc_id").alias("b")).distinct())
+    return pairs.orderBy("a", "b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash over the word set — bitwise majority of per-word
+    hashes, pure Column expressions.  Rows-only check (Spark xxhash64)."""
+    doc = load(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split("text", " "))
+    bits = []
+    for b in range(0, 64, 8):  # 8 sampled bit positions keep the plan small
+        vote = F.aggregate(
+            words, F.lit(0),
+            lambda acc, w: acc + F.when(
+                F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+        bits.append(F.when(vote > 0, F.lit(1 << (b // 8))).otherwise(F.lit(0)))
+    sim = bits[0]
+    for x in bits[1:]:
+        sim = sim + x
+    return doc.select("doc_id", sim.cast("long").alias("simhash8"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exactness baseline for ANN): 5 query
+    vectors vs all, top-3 by similarity.  Query side is broadcast; at scale
+    swap in q_ann_lsh_bucketed.  Output is rank-only (float-free) so the
+    oracle hash-matches."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    dot = F.aggregate(F.zip_with("qe", "ne", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    joined = (q.join(F.broadcast(c), F.col("qid") != F.col("nid"))
+              .withColumn("sim", dot / (norm(F.col("qe")) * norm(F.col("ne")))))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("qid", "nid", "rank"))
+
+
+O_ANN = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
+     s AS (SELECT qid, nid, list_cosine_similarity(qe, ne) AS sim
+           FROM q, c WHERE qid <> nid)
+SELECT qid, nid, rank FROM (
+  SELECT qid, nid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+  FROM s) WHERE rank <= 3
+"""
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane signatures from hash-derived
+    pseudo-planes, bucket join, exact cosine rerank inside buckets.
+    Rows-only check (hash-derived planes are Spark-specific)."""
+    emb = load(spark, sf_dir, "embeddings")
+    PLANES = 6
+
+    def signature(col):
+        bits = []
+        for p in range(PLANES):
+            proj = F.aggregate(
+                F.zip_with(
+                    col,
+                    F.transform(F.sequence(F.lit(0), F.size(col) - 1),
+                                lambda i: (F.pmod(F.xxhash64(i, F.lit(p)),
+                                                  F.lit(1000)) - 500)
+                                .cast("double")),
+                    lambda a, h: a * h),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig + b
+        return sig
+
+    sigs = emb.select("vec_id", "embedding", signature(F.col("embedding")).alias("sig"))
+    q = sigs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "sig")
+    cand = sigs.select(F.col("vec_id").alias("nid"),
+                       F.col("embedding").alias("ne"), "sig")
+    dot = F.aggregate(F.zip_with("qe", "ne", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    joined = (q.join(cand, ["sig"]).filter(F.col("qid") != F.col("nid"))
+              .withColumn("sim", dot / (norm(F.col("qe")) * norm(F.col("ne")))))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3).select("qid", "nid", "rank"))
+
+
+def q_multimodal_stub(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column + Arrow-batched
+    mapInPandas 'decode' (deterministic stand-in — real image/audio codecs
+    aren't in this container; the Spark-side schema/batching is the real
+    thing)."""
+    doc = load(spark, sf_dir, "documents")
+    df = doc.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def decode(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["byte_len"] = pdf["payload"].map(len)
+            out["first_byte"] = pdf["payload"].map(lambda b: b[0] if len(b) else None)
+            yield out
+
+    return df.mapInPandas(decode, "doc_id long, byte_len long, first_byte long")
+
+
+O_MULTIMODAL = """
+SELECT doc_id, strlen(text) AS byte_len,
+       ascii(substr(text, 1, 1)) AS first_byte
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- dicts ----
+
+QUERIES = {
+    "pipe_grok_typed": q_pipe_grok_typed,
+    "pipe_dissect": q_pipe_dissect,
+    "pipe_kv": q_pipe_kv,
+    "pipe_csv": q_pipe_csv,
+    "pipe_json": q_pipe_json,
+    "pipe_redact": q_pipe_redact,
+    "pipe_failure_preserve": q_pipe_failure_preserve,
+    "pipe_mutate_chain": q_pipe_mutate_chain,
+    "pipe_split_sort_join": q_pipe_split_sort_join,
+    "pipe_foreach": q_pipe_foreach,
+    "pipe_bytes": q_pipe_bytes,
+    "pipe_date": q_pipe_date,
+    "pipe_fingerprint": q_pipe_fingerprint,
+    "pipe_urldecode": q_pipe_urldecode,
+    "pipe_uri_parts": q_pipe_uri_parts,
+    "pipe_html_strip": q_pipe_html_strip,
+    "pipe_script": q_pipe_script,
+    "enrich_lookup": q_enrich_lookup,
+    "route_fanout": q_route_fanout,
+    "agg_sink_counts": q_agg_sink_counts,
+    "window_turn_order": q_window_turn_order,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_stats": q_text_stats,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "multimodal_stub": q_multimodal_stub,
+}
+
+ORACLES = {
+    "pipe_grok_typed": O_GROK,
+    "pipe_dissect": O_DISSECT,
+    "pipe_kv": O_KV,
+    "pipe_csv": O_CSV,
+    "pipe_json": O_JSON,
+    "pipe_redact": O_REDACT,
+    "pipe_failure_preserve": O_FAILURE,
+    "pipe_mutate_chain": O_MUTATE,
+    "pipe_split_sort_join": O_SPLIT_SORT_JOIN,
+    "pipe_foreach": O_FOREACH,
+    "pipe_bytes": O_BYTES,
+    "pipe_date": O_DATE,
+    "pipe_fingerprint": O_FINGERPRINT,
+    "pipe_urldecode": O_URLDECODE,
+    "pipe_uri_parts": O_URI_PARTS,
+    "pipe_html_strip": O_HTML_STRIP,
+    "pipe_script": O_SCRIPT,
+    "enrich_lookup": O_ENRICH,
+    "route_fanout": O_ROUTE,
+    "agg_sink_counts": O_AGG,
+    "window_turn_order": O_WINDOW,
+    "dedup_exact": O_DEDUP_EXACT,
+    "doc_fingerprint": O_DOC_FP,
+    "text_stats": O_TEXT_STATS,
+    "ann_cosine_topk": O_ANN,
+    "multimodal_stub": O_MULTIMODAL,
+    # no oracle (Spark-hash-specific, rows-only check):
+    # dedup_minhash_lsh, dedup_simhash, ann_lsh_bucketed
+}

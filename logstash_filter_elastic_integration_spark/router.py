@@ -1,0 +1,172 @@
+"""Router: datastream resolution -> pipeline execution -> reroute fixpoint
+-> multi-sink fan-out with per-sink aggregates.
+
+Mirrors, Spark-first, the per-event orchestration of EventProcessor.java:
+ - index resolution from ``data_stream.{type,dataset,namespace}``
+   (DatastreamEventToIndexNameResolver.java:27-54)
+ - index -> default pipeline via a routing table (the analogue of the
+   ``_simulate_index`` template lookup, ElasticsearchIndexNameToPipeline-
+   NameResolver.java:38-70) — compiled to a broadcast-free WHEN-chain since
+   the table is a small driver-side dict
+ - ``_none`` bypass + unresolved-index passthrough
+   (EventProcessor.java:128-139)
+ - the reroute loop with index-history cycle detection
+   (EventProcessor.java:190-228) — compiled as ``max_hops`` STATIC rounds of
+   gated pipeline application, so the whole fixpoint is ONE narrow
+   shuffle-free plan: no driver-side data inspection, no per-hop jobs
+ - fan-out: one pass computing the route column, one partitioned write
+   (no per-sink re-scan), plus the per-sink aggregate table the north rule
+   verifies (counts by conv bucket / role / tool / ts window).
+
+Scale notes (100 TB): the processor chain is a narrow projection — the only
+shuffles in the whole job are (a) the per-sink aggregate (partial+final
+hash agg) and (b) the optional salted repartition before the fan-out write
+that defuses hot-conversation / hot-sink skew in output file sizes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .plans.document import (
+    DROPPED, FAILURE, INDEX_HISTORY, REROUTED, fcol,
+)
+from .plans.pipeline import PipelineRegistry, compile_pipeline, finalize, prepare
+
+
+@dataclass
+class Router:
+    registry: PipelineRegistry
+    # routing table: _index exact name or 'prefix-*' pattern -> pipeline name
+    routing: dict[str, str]
+    max_hops: int = 3
+    bucket_count: int = 16
+    ts_window: str = "1 hour"
+
+    def resolve_index(self, df: DataFrame) -> DataFrame:
+        if "_index" in df.columns:
+            return df
+        parts = []
+        for c, default in (("data_stream.type", "logs"),
+                           ("data_stream.dataset", "generic"),
+                           ("data_stream.namespace", "default")):
+            parts.append(F.coalesce(fcol(c).cast("string"), F.lit(default))
+                         if c in df.columns else F.lit(default))
+        return df.withColumn("_index", F.concat_ws("-", *parts))
+
+    def _pipeline_for_index(self, index: Column) -> Column:
+        """Routing WHEN-chain: exact entries first, then '*' prefixes by
+        specificity.  Null = unresolved -> passthrough."""
+        out = F.lit(None).cast("string")
+        exact = {k: v for k, v in self.routing.items() if not k.endswith("*")}
+        prefixes = sorted((k for k in self.routing if k.endswith("*")),
+                          key=len, reverse=True)
+        chain = F.when(F.lit(False), F.lit(None).cast("string"))
+        for k, v in exact.items():
+            chain = chain.when(index == k, F.lit(v))
+        for k in prefixes:
+            chain = chain.when(index.startswith(k[:-1]), F.lit(self.routing[k]))
+        return chain.otherwise(out)
+
+    def execute(self, df: DataFrame) -> DataFrame:
+        """prepare -> [resolve -> gated pipelines -> reroute]* -> finalize.
+        Emits ``__sink`` (final _index) on every surviving row."""
+        df = self.resolve_index(df)
+        df = prepare(df)
+        df = df.withColumn("__pipeline", self._pipeline_for_index(fcol("_index")))
+
+        for hop in range(self.max_hops):
+            for name in self._reachable_pipelines():
+                pipe = self.registry.pipelines.get(name)
+                gate = (fcol("__pipeline") == name) & (fcol("__pipeline") != "_none")
+                if pipe is None:
+                    # resolved to an unregistered pipeline: reference emits
+                    # original + failure "pipeline not loaded"
+                    # (EventProcessor.java:160-168)
+                    from .plans.pipeline import CompileContext, ProcessorSpec
+                    ctx = CompileContext(self.registry, name)
+                    df = ctx.fail(df, ctx.base_active(df) & gate,
+                                  ProcessorSpec("pipeline", {}),
+                                  f"pipeline not loaded [{name}]")
+                    continue
+                df = compile_pipeline(pipe, self.registry, extra_gate=gate)(df)
+
+            # reroute handling: cycle-check then re-resolve for another hop
+            rer = fcol(REROUTED)
+            hist = fcol(INDEX_HISTORY)
+            seen_before = (F.size(F.filter(
+                hist, lambda x: x == fcol("_index"))) > 1)
+            cycle = rer & seen_before
+            from .plans.pipeline import CompileContext, ProcessorSpec
+            ctx = CompileContext(self.registry, "_reroute")
+            df = ctx.fail(df, cycle & fcol(FAILURE).isNull(),
+                          ProcessorSpec("reroute", {}),
+                          "index cycle detected while processing event")
+            # rows that completed this hop (not rerouted) are done; only
+            # healthy rerouted rows get a pipeline for the next hop.
+            # TERMINATED/REROUTED reset per hop — each hop is a fresh
+            # pipeline execution (IngestDocument resets between executions).
+            from .plans.document import TERMINATED
+            df = df.withColumn(
+                "__pipeline",
+                F.when(rer & fcol(FAILURE).isNull(),
+                       self._pipeline_for_index(fcol("_index")))
+                .otherwise(F.lit(None).cast("string")))
+            df = df.withColumn(REROUTED, F.lit(False))
+            df = df.withColumn(TERMINATED, F.lit(False))
+
+        df = finalize(df)
+        df = df.withColumn("__sink", F.coalesce(fcol("_index"), F.lit("_unrouted")))
+        return df.drop("__pipeline")
+
+    def _reachable_pipelines(self) -> list[str]:
+        # stable order: routing-table order, then remaining registered ones
+        seen: list[str] = []
+        for v in self.routing.values():
+            if v not in seen and v != "_none":
+                seen.append(v)
+        for name in self.registry.pipelines:
+            if name not in seen:
+                seen.append(name)
+        return seen
+
+    # ---------------------------------------------------------- sinks -----
+    def sink_counts(self, executed: DataFrame) -> DataFrame:
+        """Per-sink aggregate table (north-rule verification shape,
+        FIXTURES.md §5): counts by sink x conv bucket x role x tool x ts
+        window.  Partial+final hash aggregation; the xxhash64 bucket also
+        breaks up hot conversations on the shuffle."""
+        data = executed.filter(~fcol(DROPPED))
+        return (data.groupBy(
+            F.col("__sink").alias("sink"),
+            F.pmod(F.xxhash64("conv_id"), F.lit(self.bucket_count))
+             .cast("int").alias("conv_bucket"),
+            "role", "tool",
+            F.window("ts", self.ts_window)["start"].alias("ts_window"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+    def write_fanout(self, executed: DataFrame, catalog, table: str = "sinks",
+                     salt_partitions: int | None = None) -> None:
+        """Single-pass fan-out: route column computed once, ONE partitioned
+        write — never N filtered re-scans of the parse chain.  Optional
+        salted repartition: (sink, salt) so a hot sink/conversation cannot
+        pin one output task."""
+        data = executed.filter(~fcol(DROPPED))
+        drop_cols = [c for c in (FAILURE, DROPPED, REROUTED, INDEX_HISTORY)
+                     if c in data.columns]
+        data = data.drop(*drop_cols)
+        if salt_partitions:
+            data = data.repartition(
+                salt_partitions, F.col("__sink"),
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(64)))
+        catalog.write(data, table, partition_by=["__sink"])
+
+    @staticmethod
+    def ordered_turns(executed: DataFrame) -> DataFrame:
+        """Stable (conv_id, turn_idx) ordering for per-turn text equality
+        verification: repartition by conv then sortWithinPartitions — a
+        single shuffle, no global sort."""
+        return (executed.repartition("conv_id")
+                .sortWithinPartitions("conv_id", "turn_idx"))
