@@ -1,0 +1,100 @@
+"""Benchmark entry point (driver contract).
+
+Runs the flagship north-rule job — parse -> enrich -> route -> reroute ->
+fan-out write + per-sink aggregates — over a deterministic synthetic
+transcript table sized to $SPARK_GRAFT_SF_DIR (default sf0.1 ~ 1M turns),
+plus a set of headline operator queries over the driver parquet tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <flagship wall sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_ROWS     override transcript row count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_ROWS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000,
+           "sf1": 10_000_000}
+
+
+def transcripts_cache(spark, sf_name: str, n_rows: int) -> str:
+    path = f"/tmp/spark_graft_bench/transcripts_{sf_name}_{n_rows}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from logstash_filter_elastic_integration_spark.sources.datagen import transcripts
+        transcripts(spark, n_rows).repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_ROWS",
+                                SF_ROWS.get(sf_name, 1_000_000)))
+
+    from logstash_filter_elastic_integration_spark import get_spark
+    from logstash_filter_elastic_integration_spark.flagship import (
+        build_router, with_datastream)
+    from logstash_filter_elastic_integration_spark.sources.catalog import Catalog
+    from logstash_filter_elastic_integration_spark import queries as Q
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    tpath = transcripts_cache(spark, sf_name, n_rows)
+    tdf = spark.read.parquet(tpath)
+
+    # warm the JVM/codegen on a tiny slice so the measured run is steady-state
+    router = build_router(spark)
+    router.execute(with_datastream(tdf.limit(1000))).count()
+
+    out_root = "/tmp/spark_graft_bench/out"
+    shutil.rmtree(out_root, ignore_errors=True)
+    catalog = Catalog(spark, out_root)
+
+    t0 = time.time()
+    executed = router.execute(with_datastream(tdf))
+    executed = executed.persist()
+    try:
+        router.write_fanout(executed, catalog, table="sinks")
+        counts = router.sink_counts(executed)
+        catalog.write(counts, "sink_counts")
+    finally:
+        executed.unpersist()
+    flagship_s = time.time() - t0
+
+    qtimes: dict[str, float] = {"flagship_pipeline": round(flagship_s, 3)}
+    headline = ["pipe_grok_typed", "pipe_mutate_chain", "route_fanout",
+                "agg_sink_counts", "dedup_exact", "dedup_minhash_lsh",
+                "ann_cosine_topk", "text_stats", "window_turn_order"]
+    for name in headline:
+        t0 = time.time()
+        df = Q.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "flagship_parse_enrich_route_aggregate_wall",
+        "value": round(flagship_s, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_name,
+        "rows": n_rows,
+        "cpus": cpus,
+        "turns_per_sec": round(n_rows / flagship_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

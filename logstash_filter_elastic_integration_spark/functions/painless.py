@@ -57,7 +57,7 @@ def _to_python(src: str) -> str:
     m = _TERNARY.match(src)
     if m and "==" not in src.split("?")[0][-2:]:
         src = f"({m.group('a').strip()}) if ({m.group('c').strip()}) else ({m.group('b').strip()})"
-    return src
+    return src.strip()
 
 
 class _Ctx:

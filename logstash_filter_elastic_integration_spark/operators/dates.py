@@ -103,9 +103,10 @@ def p_date_index_name(df, spec, ctx):
     df = ctx.fail(df, active & parsed.isNull(), spec,
                   f"unable to parse date [{f_name}]")
     prefix_col = template_column(df, prefix)
+    # ES formats the ORIGINAL date; the rounding lives in the date-math
+    # suffix ('...||/M{...}') resolved by the consumer
     formatted = F.date_format(
-        F.date_trunc(_ROUND_TRUNC[rounding],
-                     F.convert_timezone(F.lit("UTC"), F.lit(tz), parsed)), fmt)
+        F.convert_timezone(F.lit("UTC"), F.lit(tz), parsed), fmt)
     index_expr = F.concat(
         F.lit("<"), prefix_col, F.lit("{"), formatted,
         F.lit("||/" + rounding + "{" + fmt + "|" + tz + "}}>"))

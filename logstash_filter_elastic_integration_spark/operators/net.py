@@ -267,16 +267,22 @@ def p_registered_domain(df, spec, ctx):
             df = ctx.fail(df, active, spec,
                           f"field [{f_name}] not present as part of path [{f_name}]")
         return df
-    domain = F.lower(fcol(f_name).cast("string"))
-    tld = F.lit(None).cast("string")
-    for sfx in sorted(_PUBLIC_SUFFIXES, key=lambda s: -s.count(".")):
-        is_match = domain.endswith("." + sfx) | (domain == sfx)
-        tld = F.when(tld.isNotNull(), tld).otherwise(F.when(is_match, F.lit(sfx)))
-    # registered = last label before the suffix + suffix
+    domain_expr = F.lower(fcol(f_name).cast("string"))
+    # coalesce (not a nested when-chain: that copies the tree exponentially)
+    # longest-suffix-first over the bounded PSL subset
+    df = df.withColumn("__rd_domain", domain_expr)
+    domain = fcol("__rd_domain")
+    tld_expr = F.coalesce(*[
+        F.when(domain.endswith("." + sfx) | (domain == sfx), F.lit(sfx))
+        for sfx in sorted(_PUBLIC_SUFFIXES, key=lambda s: (-s.count("."), s))])
+    df = df.withColumn("__rd_tld", tld_expr)
+    tld = fcol("__rd_tld")
     stem = domain.substr(F.lit(1), F.length(domain) - F.length(tld) - F.lit(1))
     last_label = F.element_at(F.split(stem, r"\."), -1)
-    registered = F.when(tld.isNotNull() & (F.length(stem) > 0),
-                        F.concat(last_label, F.lit("."), tld))
+    registered_expr = F.when(tld.isNotNull() & (F.length(stem) > 0),
+                             F.concat(last_label, F.lit("."), tld))
+    df = df.withColumn("__rd_reg", registered_expr)
+    registered = fcol("__rd_reg")
     subdomain = F.when(
         registered.isNotNull() & (F.length(domain) > F.length(registered)),
         domain.substr(F.lit(1),
@@ -287,7 +293,8 @@ def p_registered_domain(df, spec, ctx):
         f"{tprefix}top_level_domain": tld,
         f"{tprefix}subdomain": subdomain,
     }
-    return guarded(df, active & domain.isNotNull() & tld.isNotNull(), updates)
+    df = guarded(df, active & domain.isNotNull() & tld.isNotNull(), updates)
+    return df.drop("__rd_domain", "__rd_tld", "__rd_reg")
 
 
 # -------------------------------------------------------- community_id -----

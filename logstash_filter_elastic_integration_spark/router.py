@@ -70,15 +70,89 @@ class Router:
             chain = chain.when(index.startswith(k[:-1]), F.lit(self.routing[k]))
         return chain.otherwise(out)
 
+    # ------------------------------------------------ reroute analysis ----
+    def _pipeline_reroutes(self, name: str) -> list[dict]:
+        """Static scan: reroute processor configs reachable from a pipeline
+        (including literal nested `pipeline` calls)."""
+        out: list[dict] = []
+        seen: set[str] = set()
+
+        def scan(pname: str):
+            if pname in seen or pname not in self.registry.pipelines:
+                return
+            seen.add(pname)
+            stack = list(self.registry.pipelines[pname].processors)
+            while stack:
+                spec = stack.pop()
+                if spec.type == "reroute":
+                    out.append(spec.config)
+                elif spec.type == "pipeline":
+                    sub = spec.config.get("name", "")
+                    if "{{" not in sub:
+                        scan(sub)
+                stack.extend(spec.on_failure)
+
+        scan(name)
+        return out
+
+    def _next_hop_pipelines(self, current: list[str]) -> list[str]:
+        """Pipelines reachable via the reroutes of `current` (superset-safe:
+        dynamic/templated targets fall back to every routed pipeline)."""
+        nxt: list[str] = []
+
+        def add(p):
+            if p and p != "_none" and p not in nxt:
+                nxt.append(p)
+
+        for name in current:
+            for cfg in self._pipeline_reroutes(name):
+                dest = cfg.get("destination")
+                if dest is not None:
+                    if "{{" in str(dest):
+                        return self._reachable_pipelines()
+                    add(self._match_routing(dest))
+                    continue
+                dataset, namespace = cfg.get("dataset"), cfg.get("namespace")
+                if "{{" in str(dataset) or "{{" in str(namespace):
+                    return self._reachable_pipelines()
+                # match routing keys against the literal dataset/namespace
+                for key, pipe in self.routing.items():
+                    parts = key.rstrip("*").split("-")
+                    ds_ok = dataset is None or (len(parts) > 1 and parts[1] in (dataset, ""))
+                    ns_ok = namespace is None or key.endswith("*") or (
+                        len(parts) > 2 and parts[2] in (namespace, ""))
+                    if ds_ok and ns_ok:
+                        add(pipe)
+        return nxt
+
+    def _match_routing(self, index: str) -> str | None:
+        for k, v in self.routing.items():
+            if not k.endswith("*") and k == index:
+                return v
+        for k in sorted((k for k in self.routing if k.endswith("*")),
+                        key=len, reverse=True):
+            if index.startswith(k[:-1]):
+                return self.routing[k]
+        return None
+
     def execute(self, df: DataFrame) -> DataFrame:
         """prepare -> [resolve -> gated pipelines -> reroute]* -> finalize.
-        Emits ``__sink`` (final _index) on every surviving row."""
+        Emits ``__sink`` (final _index) on every surviving row.
+
+        The fixpoint is compiled STATICALLY: hop 0 inlines the pipelines the
+        routing table can reach; hop k>0 inlines only pipelines reachable
+        via hop k-1's reroute targets (static analysis above), and the loop
+        stops as soon as no reroute-capable pipeline remains — so a
+        reroute-free routing table compiles to exactly one narrow pass."""
         df = self.resolve_index(df)
         df = prepare(df)
         df = df.withColumn("__pipeline", self._pipeline_for_index(fcol("_index")))
 
+        hop_pipelines = self._reachable_pipelines()
         for hop in range(self.max_hops):
-            for name in self._reachable_pipelines():
+            if not hop_pipelines:
+                break
+            for name in hop_pipelines:
                 pipe = self.registry.pipelines.get(name)
                 gate = (fcol("__pipeline") == name) & (fcol("__pipeline") != "_none")
                 if pipe is None:
@@ -94,6 +168,9 @@ class Router:
                 df = compile_pipeline(pipe, self.registry, extra_gate=gate)(df)
 
             # reroute handling: cycle-check then re-resolve for another hop
+            if not any(self._pipeline_reroutes(p) for p in hop_pipelines):
+                break  # nothing can have rerouted: fixpoint reached
+            hop_pipelines = self._next_hop_pipelines(hop_pipelines)
             rer = fcol(REROUTED)
             hist = fcol(INDEX_HISTORY)
             seen_before = (F.size(F.filter(
@@ -122,14 +199,13 @@ class Router:
         return df.drop("__pipeline")
 
     def _reachable_pipelines(self) -> list[str]:
-        # stable order: routing-table order, then remaining registered ones
+        """Pipelines the routing table can assign — rows can never carry any
+        other name, so only these get inlined (registered or not: unknown
+        names take the 'pipeline not loaded' failure branch)."""
         seen: list[str] = []
         for v in self.routing.values():
             if v not in seen and v != "_none":
                 seen.append(v)
-        for name in self.registry.pipelines:
-            if name not in seen:
-                seen.append(name)
         return seen
 
     # ---------------------------------------------------------- sinks -----
