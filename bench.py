@@ -55,9 +55,11 @@ def main() -> None:
     tpath = transcripts_cache(spark, sf_name, n_rows)
     tdf = spark.read.parquet(tpath)
 
-    # warm the JVM/codegen on a tiny slice so the measured run is steady-state
+    # warm the JVM (codegen classes + JIT) on a slice so the measured run
+    # reflects steady-state executor throughput, not first-pass JIT
     router = build_router(spark)
-    router.execute(with_datastream(tdf.limit(1000))).count()
+    router.execute(with_datastream(tdf.limit(100_000))) \
+        .write.format("noop").mode("overwrite").save()
 
     out_root = "/tmp/spark_graft_bench/out"
     shutil.rmtree(out_root, ignore_errors=True)

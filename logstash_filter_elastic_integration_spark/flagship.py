@@ -21,8 +21,10 @@ from .plans.pipeline import PipelineRegistry
 from .router import Router
 from .sources.datagen import role_dim, tool_dim
 
+# IPV4 (not IP): the transcripts carry v4 addresses only, and the IPV6
+# alternation multiplies regex cost ~10x per non-matching position
 APACHE_PATTERN = (
-    "%{IP:client_ip} %{WORD:http_method} %{URIPATHPARAM:url_path} "
+    "%{IPV4:client_ip} %{WORD:http_method} %{URIPATHPARAM:url_path} "
     "%{NUMBER:http_status:int} %{NUMBER:bytes:int} %{NUMBER:duration:double}")
 
 ROOT_PIPELINE = {
