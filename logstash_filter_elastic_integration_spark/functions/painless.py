@@ -245,19 +245,33 @@ def compile_script(source: str, resolve, params: dict | None = None) -> list[tup
     ctx = _Ctx(resolve, params)
     out: list[tuple[str, Column]] = []
     for stmt in [s.strip() for s in source.split(";") if s.strip()]:
-        py = _to_python(stmt)
+        lhs, rhs = _split_assignment(stmt)
         try:
-            tree = ast.parse(py, mode="exec")
+            target = ast.parse(_to_python(lhs), mode="eval").body
         except SyntaxError as e:
-            raise UnsupportedScriptError(f"cannot parse script stmt {stmt!r}: {e}") from e
-        if len(tree.body) != 1 or not isinstance(tree.body[0], ast.Assign):
-            raise UnsupportedScriptError(f"only assignments supported, got: {stmt!r}")
-        assign = tree.body[0]
-        if len(assign.targets) != 1:
-            raise UnsupportedScriptError("multi-target assignment unsupported")
-        path = _field_path(assign.targets[0])
+            raise UnsupportedScriptError(f"cannot parse target {lhs!r}: {e}") from e
+        path = _field_path(target)
         if not path or path == "__ctx__":
             raise UnsupportedScriptError(f"assignment target must be ctx field: {stmt!r}")
-        col, _ = _eval(assign.value, ctx)
+        py = _to_python(rhs)
+        try:
+            tree = ast.parse(py, mode="eval")
+        except SyntaxError as e:
+            raise UnsupportedScriptError(f"cannot parse script stmt {stmt!r}: {e}") from e
+        col, _ = _eval(tree.body, ctx)
         out.append((path, col))
     return out
+
+
+def _split_assignment(stmt: str) -> tuple[str, str]:
+    """Split on the FIRST top-level '=' that isn't ==/!=/<=/>= — so ternary
+    and comparison operators on the right side parse correctly."""
+    for i, ch in enumerate(stmt):
+        if ch != "=":
+            continue
+        prev = stmt[i - 1] if i else ""
+        nxt = stmt[i + 1] if i + 1 < len(stmt) else ""
+        if prev in "=!<>" or nxt == "=":
+            continue
+        return stmt[:i].strip(), stmt[i + 1:].strip()
+    raise UnsupportedScriptError(f"only assignments supported, got: {stmt!r}")

@@ -28,9 +28,9 @@ def _parse_one(src: Column, fmt: str, tz: str) -> Column:
         )
         return parsed
     if fmt == "UNIX":
-        return F.try_cast(src, "double").cast("timestamp")
+        return src.try_cast("double").cast("timestamp")
     if fmt == "UNIX_MS":
-        return (F.try_cast(src, "double") / 1000.0).cast("timestamp")
+        return (src.try_cast("double") / 1000.0).cast("timestamp")
     if fmt == "TAI64N":
         return F.lit(None).cast("timestamp")
     parsed = F.try_to_timestamp(src.cast("string"), F.lit(fmt))

@@ -51,7 +51,7 @@ def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
         F.col(key_col).alias(joined),
         *[F.col(p).alias(f"{joined}.{p}") for p in props])
     df = df.join(F.broadcast(renamed),
-                 fcol(f_name).cast("string") == F.col(joined), "left")
+                 fcol(f_name).cast("string") == fcol(joined), "left")
     updates = {f"{target}.{p}": fcol(f"{joined}.{p}") for p in props}
     df = guarded(df, active, updates)
     return df.drop(joined, *[f"{joined}.{p}" for p in props])

@@ -85,8 +85,10 @@ def coerce_old(df: DataFrame, name: str, new: Column):
     if isinstance(new_dt, T.ArrayType) and new_dt.elementType == old_dt:
         return F.when(old.isNotNull(), F.array(old))
     try:
-        probe_type(df, old.cast(new_dt))
-        return old.cast(new_dt)
+        probe_type(df, old.try_cast(new_dt))
+        # try_cast, not cast: ANSI cast would throw at run time on rows the
+        # update didn't even apply to
+        return old.try_cast(new_dt)
     except Exception:
         return F.lit(None).cast(new_dt)
 

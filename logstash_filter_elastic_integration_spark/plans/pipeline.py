@@ -209,18 +209,25 @@ def compile_pipeline(pipeline: IngestPipeline, registry: PipelineRegistry,
         out = _compile_chain(df, pipeline.processors, ctx)
         if pipeline.on_failure:
             # pipeline-level on_failure: handles rows failed inside this
-            # pipeline; clears the failure after handling
-            marker = fcol(FAILURE).isNotNull() & (fcol(FAILURE)["pipeline"] == pipeline.name)
-            # temporarily clear failure so the handler chain is active
+            # pipeline; clears the failure, then runs the handler chain.
+            # The marker MUST be materialized into a column before FAILURE
+            # is cleared (a lazy expression would re-evaluate against the
+            # cleared column and never fire).
+            out = out.withColumn(
+                "__plf",
+                fcol(FAILURE).isNotNull()
+                & (fcol(FAILURE)["pipeline"] == pipeline.name))
             out = out.withColumn("__pl_fail_msg", fcol(FAILURE)["message"])
             out = out.withColumn(
-                FAILURE, F.when(marker, F.lit(None).cast(FAILURE_TYPE)).otherwise(fcol(FAILURE)))
+                FAILURE, F.when(fcol("__plf"), F.lit(None).cast(FAILURE_TYPE))
+                .otherwise(fcol(FAILURE)))
+            gate = fcol("__plf")
             hctx = CompileContext(
                 registry=registry, pipeline_name=pipeline.name,
                 compile_stack=compile_stack + (pipeline.name,),
-                extra_gate=(marker if extra_gate is None else extra_gate & marker))
+                extra_gate=(gate if extra_gate is None else extra_gate & gate))
             out = _compile_chain(out, pipeline.on_failure, hctx)
-            out = out.drop("__pl_fail_msg")
+            out = out.drop("__pl_fail_msg", "__plf")
         return out
 
     return transform

@@ -209,12 +209,15 @@ class Router:
         return seen
 
     # ---------------------------------------------------------- sinks -----
-    def sink_counts(self, executed: DataFrame) -> DataFrame:
+    def sink_counts(self, executed: DataFrame,
+                    dropped_filtered: bool = False) -> DataFrame:
         """Per-sink aggregate table (north-rule verification shape,
         FIXTURES.md §5): counts by sink x conv bucket x role x tool x ts
         window.  Partial+final hash aggregation; the xxhash64 bucket also
-        breaks up hot conversations on the shuffle."""
-        data = executed.filter(~fcol(DROPPED))
+        breaks up hot conversations on the shuffle.  Pass
+        dropped_filtered=True when reading back already-written sink data
+        (cancelled rows were excluded at write time)."""
+        data = executed if dropped_filtered else executed.filter(~fcol(DROPPED))
         return (data.groupBy(
             F.col("__sink").alias("sink"),
             F.pmod(F.xxhash64("conv_id"), F.lit(self.bucket_count))

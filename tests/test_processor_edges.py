@@ -1,0 +1,130 @@
+"""Edge-case coverage: on_failure sub-chains, ignore_failure, geoip
+miss-tag, convert auto/ip, set copy_from/override, append no-dup,
+pipeline-level on_failure, painless ternary, date UNIX formats."""
+
+from tests.conftest import run_one
+
+
+def test_on_failure_subchain(spark, registry):
+    # docs/index.asciidoc:357-367: processor on_failure handles the error,
+    # pipeline continues, no failure tag
+    out = run_one(
+        spark, registry,
+        [{"rename": {"field": "nope", "target_field": "x",
+                     "on_failure": [
+                         {"set": {"field": "error.message",
+                                  "value": "rename failed"}}]}},
+         {"set": {"field": "after", "value": "ran"}}],
+        [("v",)], "other string")
+    r = out[0]
+    assert (r["tags"] or []) == []
+    assert r["error.message"] == "rename failed"
+    assert r["after"] == "ran"
+
+
+def test_ignore_failure(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"convert": {"field": "num", "type": "integer", "ignore_failure": True}},
+         {"set": {"field": "after", "value": "ran"}}],
+        [("not-a-number",)], "num string")
+    r = out[0]
+    assert (r["tags"] or []) == []
+    # in-place convert retypes the column; unconvertible+ignored -> null
+    # (flat static schema; documented divergence)
+    assert r["num"] is None
+    assert r["after"] == "ran"
+
+
+def test_pipeline_level_on_failure(spark, registry):
+    from logstash_filter_elastic_integration_spark.plans import run_pipeline
+    registry.register("p", {
+        "processors": [{"fail": {"message": "boom"}}],
+        "on_failure": [{"set": {"field": "recovered", "value": "yes"}}],
+    })
+    df = spark.createDataFrame([("x",)], "other string")
+    r = [x.asDict() for x in run_pipeline(df, "p", registry).collect()][0]
+    assert r["recovered"] == "yes"
+    assert (r["tags"] or []) == []  # handled -> not a pipeline failure
+
+
+def test_geoip_with_dim_and_missing_db(spark, registry):
+    dim = spark.createDataFrame(
+        [("1.2.3.4", "US", "Dallas")], "ip string, country string, city string")
+    registry.dims["GeoLite2-City.mmdb"] = dim
+    out = run_one(
+        spark, registry,
+        [{"geoip": {"field": "src_ip", "target_field": "geo"}},
+         {"geoip": {"field": "src_ip", "database_file": "MyCustom.mmdb",
+                    "target_field": "geo2"}}],
+        [("1.2.3.4",), ("9.9.9.9",)], "src_ip string")
+    by_ip = {r["src_ip"]: r for r in out}
+    assert by_ip["1.2.3.4"]["geo.country"] == "US"
+    assert by_ip["9.9.9.9"]["geo.country"] is None  # miss: no fields, no tag
+    # missing database -> reference-parity tag
+    assert "_geoip_database_unavailable_MyCustom.mmdb" in by_ip["1.2.3.4"]["tags"]
+
+
+def test_convert_auto_and_ip(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"convert": {"field": "a", "type": "auto", "target_field": "a2"}},
+         {"convert": {"field": "ip", "type": "ip", "target_field": "ip2"}}],
+        [("42", "10.1.2.3")], "a string, ip string")
+    assert out[0]["a2"] == "42"
+    assert out[0]["ip2"] == "10.1.2.3"
+
+
+def test_convert_ip_invalid_fails(spark, registry):
+    out = run_one(spark, registry,
+                  [{"convert": {"field": "ip", "type": "ip"}}],
+                  [("not.an.ip.addr",)], "ip string")
+    assert "_ingest_pipeline_failure" in (out[0]["tags"] or [])
+
+
+def test_set_copy_from_and_override(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"set": {"field": "b", "copy_from": "a"}},
+         {"set": {"field": "c", "value": "new", "override": False}}],
+        [("val", "keep")], "a string, c string")
+    assert out[0]["b"] == "val"
+    assert out[0]["c"] == "keep"
+
+
+def test_append_no_duplicates(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"append": {"field": "arr", "value": ["b", "c"],
+                     "allow_duplicates": False}}],
+        [((["a", "b"]),)], "arr array<string>")
+    assert out[0]["arr"] == ["a", "b", "c"]
+
+
+def test_painless_ternary_and_helpers(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"script": {"source": "ctx.size_class = ctx.n > 10 ? 'big' : 'small'"}},
+         {"script": {"source": "ctx.low = Processors.lowercase(ctx.word)"}}],
+        [(20, "HELLO"), (5, "WORLD")], "n int, word string")
+    by_n = {r["n"]: r for r in out}
+    assert by_n[20]["size_class"] == "big"
+    assert by_n[5]["size_class"] == "small"
+    assert by_n[20]["low"] == "hello"
+
+
+def test_date_unix_formats(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"date": {"field": "epoch", "formats": ["UNIX"],
+                   "target_field": "iso"}}],
+        [("1700000000",)], "epoch string")
+    assert out[0]["iso"].startswith("2023-11-14T22:13:20")
+
+
+def test_mustache_template_fields(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"set": {"field": "greeting", "value": "hi {{name}}, id={{id}}!"}}],
+        [("ada", 7)], "name string, id int")
+    assert out[0]["greeting"] == "hi ada, id=7!"
