@@ -1,0 +1,78 @@
+"""Property-based tests for the driver-side compilers (no Spark session —
+pure compile + python regex, fast).  The reference has no property tests
+(SURVEY.md §5); these harden the pattern compilers beyond its goldens."""
+
+import re
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from logstash_filter_elastic_integration_spark.functions.dissect import (
+    compile_dissect)
+from logstash_filter_elastic_integration_spark.functions.grok import (
+    GROK_PATTERNS, GrokCompiler)
+
+field_names = st.lists(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+    min_size=1, max_size=5, unique=True)
+values = st.text(alphabet=string.ascii_letters + string.digits,
+                 min_size=1, max_size=12)
+
+
+@given(names=field_names, vals=st.data())
+@settings(max_examples=200, deadline=None)
+def test_dissect_roundtrip(names, vals):
+    """Any '|'-delimited dissect pattern extracts exactly the values that
+    built the line."""
+    pattern = "|".join("%{" + n + "}" for n in names)
+    vs = [vals.draw(values) for _ in names]
+    line = "|".join(vs)
+    compiled = compile_dissect(pattern)
+    m = re.match(compiled.regex, line)
+    assert m is not None
+    got = {compiled.group_map[g]: m.group(g) for g in compiled.group_map}
+    assert got == dict(zip(names, vs))
+
+
+@given(st.sampled_from(sorted(GROK_PATTERNS)))
+@settings(max_examples=100, deadline=None)
+def test_grok_bank_all_compile(name):
+    """Every bank pattern expands to a valid python regex with a capture."""
+    compiled = GrokCompiler().compile([f"%{{{name}:x}}"])
+    # composite bank patterns (e.g. TOMCATLOG) add their own named captures
+    assert compiled.fields.get("x") == "string"
+    assert compiled.regexes[0].groups >= 1
+
+
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255),
+       st.integers(0, 255))
+@settings(max_examples=100, deadline=None)
+def test_grok_ipv4_matches_all_octets(a, b, c, d):
+    ip = f"{a}.{b}.{c}.{d}"
+    compiled = GrokCompiler().compile(["^%{IPV4:ip}$"])
+    m = compiled.regexes[0].search(ip)
+    assert m is not None and m.group("g0") == ip
+
+
+@given(st.text(alphabet=string.printable, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_dissect_literal_delimiters_never_crash(s):
+    """Arbitrary literal text around one field always compiles and either
+    matches (capturing the middle) or cleanly fails."""
+    pattern = s.replace("%", "") + "%{f}"
+    compiled = compile_dissect(pattern)
+    re.compile(compiled.regex)  # valid
+
+
+def test_painless_condition_null_safety(spark):
+    """Conditions on missing/null fields evaluate to false, never error."""
+    from logstash_filter_elastic_integration_spark.functions.painless import (
+        compile_condition)
+    from pyspark.sql import functions as F, types as T
+
+    def resolve(path):
+        return F.lit(None).cast("string"), T.StringType()
+
+    col = compile_condition("ctx?.missing == 'x' && ctx.other != null", resolve)
+    rows = spark.range(1).select(col.alias("v")).collect()
+    assert rows[0]["v"] is False
