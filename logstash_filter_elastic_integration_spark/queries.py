@@ -330,6 +330,142 @@ SELECT doc_id, lang || '-v1' AS slug FROM documents
 """
 
 
+def q_pipe_user_agent(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ua = F.when(
+        F.col("event_type") == "error",
+        F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_11_6) "
+              "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/51.0.2704.103 "
+              "Safari/537.36")
+    ).otherwise(F.lit("curl/8.4.0"))
+    df = ev.withColumn("ua", ua)
+    out = _pipe(spark, df, [{"user_agent": {"field": "ua"}}])
+    return out.select("event_id",
+                      fcol("user_agent.name").alias("ua_name"),
+                      fcol("user_agent.version").alias("ua_version"),
+                      fcol("user_agent.os.name").alias("ua_os"),
+                      fcol("user_agent.device.name").alias("ua_device"))
+
+
+O_USER_AGENT = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'Chrome' ELSE 'curl' END AS ua_name,
+       CASE WHEN event_type = 'error' THEN '51.0.2704.103' ELSE '8.4.0' END AS ua_version,
+       CASE WHEN event_type = 'error' THEN 'Mac OS X' ELSE 'Other' END AS ua_os,
+       CASE WHEN event_type = 'error' THEN 'Mac' ELSE 'Other' END AS ua_device
+FROM events
+"""
+
+
+def q_pipe_network_direction(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    df = (ev.withColumn(
+        "source.ip",
+        F.when(F.col("user_id") % 2 == 0,
+               F.format_string("10.0.0.%d", (F.col("user_id") % 250 + 1).cast("int")))
+        .otherwise(F.format_string("8.8.%d.1", (F.col("user_id") % 250).cast("int"))))
+        .withColumn("destination.ip", F.lit("192.168.1.50")))
+    out = _pipe(spark, df, [
+        {"network_direction": {"internal_networks": ["private"]}}])
+    return out.select("event_id", fcol("network.direction").alias("direction"))
+
+
+O_NETDIR = """
+SELECT event_id,
+       CASE WHEN user_id % 2 = 0 THEN 'internal' ELSE 'inbound' END AS direction
+FROM events
+"""
+
+
+def q_pipe_community_id(spark, sf_dir):
+    """Deterministic flow-hash: same 5-tuple in either direction hashes to
+    the same id.  Oracle checks the direction-invariance property (the hash
+    value itself is checked against the RFC in unit tests)."""
+    ev = load(spark, sf_dir, "events")
+    sip = F.format_string("10.0.%d.%d", (F.col("user_id") % 200).cast("int"),
+                          (F.col("event_id") % 200 + 1).cast("int"))
+    df = (ev.withColumn("source.ip", sip)
+          .withColumn("destination.ip", F.lit("172.16.5.5"))
+          .withColumn("source.port", (F.col("event_id") % 40000 + 1024).cast("int"))
+          .withColumn("destination.port", F.lit(443))
+          .withColumn("network.transport", F.lit("tcp")))
+    fwd = _pipe(spark, df, [{"community_id": {}}]) \
+        .select("event_id", fcol("network.community_id").alias("cid_fwd"))
+    rev_in = (df.withColumn("tmp", fcol("source.ip"))
+              .withColumn("source.ip", fcol("destination.ip"))
+              .withColumn("destination.ip", fcol("tmp"))
+              .withColumn("tmp2", fcol("source.port"))
+              .withColumn("source.port", fcol("destination.port"))
+              .withColumn("destination.port", fcol("tmp2"))
+              .drop("tmp", "tmp2"))
+    rev = _pipe(spark, rev_in, [{"community_id": {}}]) \
+        .select(F.col("event_id").alias("eid2"),
+                fcol("network.community_id").alias("cid_rev"))
+    return (fwd.join(rev, fwd.event_id == rev.eid2)
+            .select("event_id",
+                    (F.col("cid_fwd") == F.col("cid_rev")).alias("symmetric"),
+                    F.col("cid_fwd").startswith("1:").alias("prefixed")))
+
+
+O_COMMUNITY_ID = """
+SELECT event_id, TRUE AS symmetric, TRUE AS prefixed FROM events
+"""
+
+
+def q_pipe_registered_domain(spark, sf_dir):
+    doc = load(spark, sf_dir, "documents")
+    dom = F.when(F.col("doc_id") % 3 == 0,
+                 F.concat(F.lit("www."), F.col("source"), F.lit(".ac.uk"))) \
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("source"), F.lit(".example.com"))) \
+        .otherwise(F.concat(F.lit("a.b."), F.col("source"), F.lit(".io")))
+    df = doc.withColumn("domain_field", dom)
+    out = _pipe(spark, df, [{"registered_domain": {"field": "domain_field"}}])
+    return out.select("doc_id",
+                      F.col("registered_domain").alias("registered"),
+                      F.col("top_level_domain").alias("tld"),
+                      F.col("subdomain").alias("sub"))
+
+
+O_REGDOMAIN = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN source || '.ac.uk'
+                  WHEN 1 THEN 'example.com'
+                  ELSE source || '.io' END AS registered,
+  CASE doc_id % 3 WHEN 0 THEN 'ac.uk' WHEN 1 THEN 'com' ELSE 'io' END AS tld,
+  CASE doc_id % 3 WHEN 0 THEN 'www' WHEN 1 THEN source ELSE 'a.b' END AS sub
+FROM documents
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: cosine >= 0.3 among a capped candidate
+    set (vec_id < 200), self-join on label as the blocking key — the
+    blocked-pairs shape used at scale (block -> exact verify)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("label").alias("la"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("label").alias("lb"),
+                   F.col("embedding").alias("eb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    pairs = (a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
+             .withColumn("sim", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
+             .filter(F.col("sim") >= 0.3))
+    return pairs.select("a", "b")
+
+
+O_DEDUP_EMB = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+           FROM embeddings WHERE vec_id < 200)
+SELECT l.vec_id AS a, r.vec_id AS b
+FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.emb, r.emb) >= 0.3
+"""
+
+
 # ------------------------------------------------ routing / enrichment -----
 
 _EV_CATEGORY = [("click", "ui"), ("view", "ui"), ("purchase", "commerce"),
@@ -659,6 +795,11 @@ QUERIES = {
     "pipe_uri_parts": q_pipe_uri_parts,
     "pipe_html_strip": q_pipe_html_strip,
     "pipe_script": q_pipe_script,
+    "pipe_user_agent": q_pipe_user_agent,
+    "pipe_network_direction": q_pipe_network_direction,
+    "pipe_community_id": q_pipe_community_id,
+    "pipe_registered_domain": q_pipe_registered_domain,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "enrich_lookup": q_enrich_lookup,
     "route_fanout": q_route_fanout,
     "agg_sink_counts": q_agg_sink_counts,
@@ -691,6 +832,11 @@ ORACLES = {
     "pipe_uri_parts": O_URI_PARTS,
     "pipe_html_strip": O_HTML_STRIP,
     "pipe_script": O_SCRIPT,
+    "pipe_user_agent": O_USER_AGENT,
+    "pipe_network_direction": O_NETDIR,
+    "pipe_community_id": O_COMMUNITY_ID,
+    "pipe_registered_domain": O_REGDOMAIN,
+    "dedup_embedding_cosine": O_DEDUP_EMB,
     "enrich_lookup": O_ENRICH,
     "route_fanout": O_ROUTE,
     "agg_sink_counts": O_AGG,
