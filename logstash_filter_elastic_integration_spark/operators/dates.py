@@ -34,8 +34,10 @@ def _parse_one(src: Column, fmt: str, tz: str) -> Column:
     if fmt == "TAI64N":
         return F.lit(None).cast("timestamp")
     parsed = F.try_to_timestamp(src.cast("string"), F.lit(fmt))
-    # try_to_timestamp parses in the session tz (UTC); shift from doc tz
-    if tz and tz != "UTC":
+    # shift from the document timezone ONLY when the format itself carries
+    # no zone info (ES semantics: an explicit offset in the text wins)
+    has_zone = any(ch in fmt for ch in "XZzOV")
+    if tz and tz != "UTC" and not has_zone:
         parsed = F.to_utc_timestamp(parsed, tz)
     return parsed
 

@@ -57,6 +57,45 @@ def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
     return df.drop(joined, *[f"{joined}.{p}" for p in props])
 
 
+def _broadcast_range_lookup(df, spec, ctx, dim_name: str, default_target: str):
+    """Range-keyed lookup (SURVEY.md §2.4 geoip row: IP-range dims -> range
+    join on (start,end)).  The dim carries ``range_keys: [lo_col, hi_col]``
+    (numeric, e.g. IPv4-as-long); the probe key is the field cast to long
+    (dotted-quad converted via bit math, pure JVM).  Compiles to a broadcast
+    nested-loop range join — correct shape for a small dim at any fact
+    scale; a large dim would instead be bucketed by prefix."""
+    from .net import _ip4_to_long
+
+    cfg = spec.config
+    f_name = cfg["field"]
+    target = cfg.get("target_field", default_target)
+    lo, hi = cfg["range_keys"]
+    active = ctx.active(df, spec)
+    dims = getattr(ctx.registry, "dims", {})
+    dim = dims[dim_name]
+    if f_name not in df.columns:
+        if not cfg.get("ignore_missing", False):
+            return ctx.fail(df, active, spec,
+                            f"field [{f_name}] not present as part of path [{f_name}]")
+        return df
+    key = fcol(f_name).cast("string")
+    key_long = F.when(key.rlike(r"^(\d{1,3}\.){3}\d{1,3}$"), _ip4_to_long(key)) \
+        .otherwise(key.try_cast("long"))
+    props = cfg.get("properties") or [c for c in dim.columns if c not in (lo, hi)]
+    joined = "__rlk_" + dim_name.replace(".", "_")
+    renamed = dim.select(
+        F.col(lo).alias(f"{joined}_lo"), F.col(hi).alias(f"{joined}_hi"),
+        *[F.col(p).alias(f"{joined}.{p}") for p in props])
+    df = df.withColumn(f"{joined}_key", key_long)
+    df = df.join(F.broadcast(renamed),
+                 (fcol(f"{joined}_key") >= fcol(f"{joined}_lo"))
+                 & (fcol(f"{joined}_key") <= fcol(f"{joined}_hi")), "left")
+    updates = {f"{target}.{p}": fcol(f"{joined}.{p}") for p in props}
+    df = guarded(df, active, updates)
+    return df.drop(f"{joined}_key", f"{joined}_lo", f"{joined}_hi",
+                   *[f"{joined}.{p}" for p in props])
+
+
 def p_lookup(df, spec, ctx):
     """Generic broadcast-dimension enrich (role/tool metadata per the north
     rule).  config: field, table, target_field, properties, lookup_key."""
@@ -68,8 +107,15 @@ def p_lookup(df, spec, ctx):
 
 def p_geoip(df, spec, ctx):
     """geoip with broadcast dim standing in for the .mmdb file; missing dim
-    -> tag `_geoip_database_unavailable_<db>` (reference parity)."""
+    -> tag `_geoip_database_unavailable_<db>` (reference parity).  A dim
+    with ``range_keys`` config resolves by CIDR/IP range instead of exact
+    key (the real .mmdb shape)."""
     db = spec.config.get("database_file", "GeoLite2-City.mmdb")
+    dims = getattr(ctx.registry, "dims", {})
+    if "range_keys" in spec.config and db in dims:
+        return _broadcast_range_lookup(
+            df, spec, ctx, db,
+            default_target=spec.config.get("target_field", "geoip"))
     return _broadcast_lookup(df, spec, ctx, db,
                              default_target=spec.config.get("target_field", "geoip"),
                              unavailable_tag=f"_geoip_database_unavailable_{db}")

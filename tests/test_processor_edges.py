@@ -128,3 +128,24 @@ def test_mustache_template_fields(spark, registry):
         [{"set": {"field": "greeting", "value": "hi {{name}}, id={{id}}!"}}],
         [("ada", 7)], "name string, id int")
     assert out[0]["greeting"] == "hi ada, id=7!"
+
+
+def test_geoip_range_join(spark, registry):
+    # IP-range dim (the .mmdb shape): ranges as IPv4-longs
+    def ip2long(ip):
+        a, b, c, d = (int(x) for x in ip.split("."))
+        return (a << 24) | (b << 16) | (c << 8) | d
+    dim = spark.createDataFrame(
+        [(ip2long("10.0.0.0"), ip2long("10.255.255.255"), "corp", "internal"),
+         (ip2long("8.8.8.0"), ip2long("8.8.8.255"), "US", "dns")],
+        "lo long, hi long, country string, net string")
+    registry.dims["ranges.mmdb"] = dim
+    out = run_one(
+        spark, registry,
+        [{"geoip": {"field": "ip", "database_file": "ranges.mmdb",
+                    "range_keys": ["lo", "hi"], "target_field": "geo"}}],
+        [("10.1.2.3",), ("8.8.8.8",), ("1.1.1.1",)], "ip string")
+    by_ip = {r["ip"]: r for r in out}
+    assert by_ip["10.1.2.3"]["geo.country"] == "corp"
+    assert by_ip["8.8.8.8"]["geo.net"] == "dns"
+    assert by_ip["1.1.1.1"]["geo.country"] is None
