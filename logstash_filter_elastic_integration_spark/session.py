@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # dynamic-partition fan-out writes: concurrent writers instead of
+        # the sort-based writer (the route column has few distinct values,
+        # so a handful of open files per task beats sorting wide rows)
+        .config("spark.sql.maxConcurrentOutputFileWriters", "16")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
