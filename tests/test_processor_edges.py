@@ -149,3 +149,14 @@ def test_geoip_range_join(spark, registry):
     assert by_ip["10.1.2.3"]["geo.country"] == "corp"
     assert by_ip["8.8.8.8"]["geo.net"] == "dns"
     assert by_ip["1.1.1.1"]["geo.country"] is None
+
+
+def test_community_id_known_vector(spark, registry):
+    """RFC known-answer test: the canonical published Community-ID vector
+    (128.232.110.120:34855 -> 66.35.250.204:80 TCP seed 0)."""
+    out = run_one(
+        spark, registry, [{"community_id": {}}],
+        [("128.232.110.120", 34855, "66.35.250.204", 80, "tcp")],
+        "`source.ip` string, `source.port` int, `destination.ip` string, "
+        "`destination.port` int, `network.transport` string")
+    assert out[0]["network.community_id"] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
