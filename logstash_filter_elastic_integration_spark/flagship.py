@@ -23,6 +23,8 @@ from .sources.datagen import role_dim, tool_dim
 
 # IPV4 (not IP): the transcripts carry v4 addresses only, and the IPV6
 # alternation multiplies regex cost ~10x per non-matching position
+# unanchored (ES search semantics); measured marginally faster than the
+# anchored packed lowering for this pattern at 1M rows
 APACHE_PATTERN = (
     "%{IPV4:client_ip} %{WORD:http_method} %{URIPATHPARAM:url_path} "
     "%{NUMBER:http_status:int} %{NUMBER:bytes:int} %{NUMBER:duration:double}")

@@ -90,19 +90,38 @@ def p_grok(df, spec, ctx):
     if len(compiled.regexes) == 1:
         # -- JVM lowering ---------------------------------------------------
         nc = _noncapture(compiled.regexes[0].pattern)
-        # re-mangle: _noncapture may have eaten "(?P<"? no: "(?P<" starts with
-        # "(?" so it is preserved. Convert to java named groups.
+        # "(?P<" starts with "(?" so _noncapture preserved it; convert to
+        # java named groups.
         java_rx = _to_java_regex(nc)
         gidx = _group_indexes(nc)
         matched = src.rlike(java_rx)
+        groups = list(compiled.group_maps[0].items())  # (gname, fieldname)
+        # packed fast path: for a both-ends-anchored pattern the whole
+        # string is the single match, so ONE regexp_replace rewrites it to
+        # all captures \x01-joined — 2 regex executions total (rlike +
+        # replace) instead of 1 + N regexp_extract.
+        pat = compiled.regexes[0].pattern
+        packed_ok = pat.startswith("^") and pat.endswith("$") and len(groups) >= 3
         updates = {}
-        for g, fname in compiled.group_maps[0].items():
-            gtype = compiled.fields[fname]
-            val = F.regexp_extract(src, java_rx, gidx[g])
-            val = F.when(matched & (val != ""), val)
-            if gtype != "string":
-                val = val.cast(_SPARK_TYPE[gtype])
-            updates[fname] = val
+        if packed_ok:
+            refs = "\x01".join("${" + g + "}" for g, _ in groups)
+            packed = F.regexp_replace(src, java_rx, refs)
+            parts = F.split(packed, "\x01", -1)
+            for i, (g, fname) in enumerate(groups):
+                gtype = compiled.fields[fname]
+                val = F.element_at(parts, i + 1)
+                val = F.when(matched & (val != ""), val)
+                if gtype != "string":
+                    val = val.cast(_SPARK_TYPE[gtype])
+                updates[fname] = val
+        else:
+            for g, fname in groups:
+                gtype = compiled.fields[fname]
+                val = F.regexp_extract(src, java_rx, gidx[g])
+                val = F.when(matched & (val != ""), val)
+                if gtype != "string":
+                    val = val.cast(_SPARK_TYPE[gtype])
+                updates[fname] = val
         df = guarded(df, active & matched, updates)
     else:
         # -- vectorized pandas UDF path ------------------------------------
