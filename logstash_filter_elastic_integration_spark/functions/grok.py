@@ -107,6 +107,11 @@ class CompiledGrok:
     fields: dict[str, str] = field(default_factory=dict)
     # per-regex: mangled group name -> field name
     group_maps: list[dict[str, str]] = field(default_factory=list)
+    # expanded patterns WITH atomic groups `(?>` intact: java.util.regex
+    # supports them, and they are the backtracking protection the reference
+    # wraps a watchdog around (EventProcessorBuilder.java:224-225) — the JVM
+    # lowering uses these, the python path uses the stripped `regexes`.
+    java_patterns: list[str] = field(default_factory=list)
 
     def extract(self, series):
         """Vectorized extraction over a pandas Series of strings.
@@ -172,7 +177,8 @@ class GrokCompiler:
         for p in patterns:
             gmap: dict[str, str] = {}
             expanded = self.expand(p, out.fields, gmap)
-            expanded = _ATOMIC.sub("(?:", expanded)
-            out.regexes.append(re.compile(expanded))
+            out.java_patterns.append(expanded)
+            python_rx = _ATOMIC.sub("(?:", expanded)
+            out.regexes.append(re.compile(python_rx))
             out.group_maps.append(gmap)
         return out

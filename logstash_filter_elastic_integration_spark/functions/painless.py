@@ -235,13 +235,31 @@ def compile_condition(source: str, resolve, params: dict | None = None) -> Colum
     return F.coalesce(col.cast("boolean"), F.lit(False))
 
 
+_IF_BLOCK = re.compile(
+    r"^\s*if\s*\((?P<cond>.*?)\)\s*\{(?P<body>[^{}]*)\}"
+    r"(?:\s*else\s*\{(?P<els>[^{}]*)\})?\s*$", re.S)
+
+
 def compile_script(source: str, resolve, params: dict | None = None) -> list[tuple[str, Column]]:
     """Painless script body -> ordered [(field_path, value Column), ...].
 
-    Only sequences of ``ctx.<path> = <expr>;`` assignments are supported —
-    the shape exercised by the reference's script-processor fixture
-    (src/test/resources/.../script-processor-pipelines/pipeline.json).
+    Supported: sequences of ``ctx.<path> = <expr>;`` assignments — the
+    shape of the reference's script-processor fixture
+    (src/test/resources/.../script-processor-pipelines/pipeline.json) —
+    plus single-level ``if (cond) { ...assignments... } [else { ... }]``
+    blocks, which compile to F.when-gated assignments.
     """
+    m = _IF_BLOCK.match(source.strip())
+    if m:
+        cond = compile_condition(m.group("cond"), resolve, params)
+        body = dict(compile_script(m.group("body"), resolve, params))
+        els = dict(compile_script(m.group("els") or "", resolve, params))
+        out: list[tuple[str, Column]] = []
+        for path in {**body, **els}:
+            cur, _ = resolve(path)
+            out.append((path, F.when(cond, body.get(path, cur))
+                        .otherwise(els.get(path, cur))))
+        return out
     ctx = _Ctx(resolve, params)
     out: list[tuple[str, Column]] = []
     for stmt in [s.strip() for s in source.split(";") if s.strip()]:

@@ -89,7 +89,10 @@ def p_grok(df, spec, ctx):
 
     if len(compiled.regexes) == 1:
         # -- JVM lowering ---------------------------------------------------
-        nc = _noncapture(compiled.regexes[0].pattern)
+        # java_patterns keep atomic groups `(?>` (java.util.regex supports
+        # them) — the backtracking protection the reference's grok watchdog
+        # guards (EventProcessorBuilder.java:224-225)
+        nc = _noncapture(compiled.java_patterns[0])
         # "(?P<" starts with "(?" so _noncapture preserved it; convert to
         # java named groups.
         java_rx = _to_java_regex(nc)
@@ -100,7 +103,7 @@ def p_grok(df, spec, ctx):
         # string is the single match, so ONE regexp_replace rewrites it to
         # all captures \x01-joined — 2 regex executions total (rlike +
         # replace) instead of 1 + N regexp_extract.
-        pat = compiled.regexes[0].pattern
+        pat = compiled.java_patterns[0]
         packed_ok = pat.startswith("^") and pat.endswith("$") and len(groups) >= 3
         updates = {}
         if packed_ok:
@@ -308,7 +311,7 @@ def p_redact(df, spec, ctx):
         if len(gmap) != 1:
             raise ValueError(f"redact pattern must have exactly one capture: {pat}")
         label = next(iter(gmap.values()))
-        java_rx = _to_java_regex(_noncapture(compiled.regexes[0].pattern))
+        java_rx = _to_java_regex(_noncapture(compiled.java_patterns[0]))
         replacement = (prefix + label + suffix).replace("\\", "\\\\").replace("$", "\\$")
         col = F.regexp_replace(col, java_rx, replacement)
     return guarded(df, active & fcol(f_name).isNotNull(), {f_name: col})

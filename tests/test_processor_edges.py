@@ -160,3 +160,27 @@ def test_community_id_known_vector(spark, registry):
         "`source.ip` string, `source.port` int, `destination.ip` string, "
         "`destination.port` int, `network.transport` string")
     assert out[0]["network.community_id"] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+
+
+def test_painless_if_block(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"script": {"source":
+            "if (ctx.n > 10) { ctx.cls = 'big'; ctx.flag = 'Y' } "
+            "else { ctx.cls = 'small' }"}}],
+        [(20,), (5,)], "n int")
+    by_n = {r["n"]: r for r in out}
+    assert by_n[20]["cls"] == "big" and by_n[20]["flag"] == "Y"
+    assert by_n[5]["cls"] == "small" and by_n[5]["flag"] is None
+
+
+def test_dissect_append_and_skip(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"dissect": {"field": "line",
+                      "pattern": "%{+name} %{+name} %{?skipme} %{rest}",
+                      "append_separator": "_"}}],
+        [("john smith ignored remainder",)], "line string")
+    assert out[0]["name"] == "john_smith"
+    assert out[0]["rest"] == "remainder"
+    assert "skipme" not in out[0]
