@@ -634,11 +634,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3))))
     df = doc.select("doc_id", shingles.alias("sh")).filter(F.size("sh") > 0)
-    ex = df.select("doc_id", F.explode("sh").alias("s"))
     N_HASH, BANDS = 16, 4
-    mins = ex.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
-        for i in range(N_HASH)])
+    # minhash per doc computed NARROW in ONE traversal of the shingle array
+    # (F.aggregate with a 16-slot array accumulator) — no explode/groupBy
+    # shuffle, and the shingle-construction expression is evaluated once,
+    # not once per hash function; the only shuffle left is the band-bucket
+    # self-join
+    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * N_HASH)
+    mins_arr = F.aggregate(
+        F.col("sh"), init,
+        lambda acc, s: F.zip_with(
+            acc, F.array(*[F.xxhash64(s, F.lit(i)) for i in range(N_HASH)]),
+            lambda a, b: F.least(a, b)))
+    mins = df.select("doc_id", mins_arr.alias("m")).select(
+        "doc_id", *[F.col("m")[i].alias(f"h{i}") for i in range(N_HASH)])
     rows_per_band = N_HASH // BANDS
     bands = mins.select("doc_id", F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -653,7 +662,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                                 & (F.col("l.doc_id") < F.col("r.doc_id")))
              .select(F.col("l.doc_id").alias("a"),
                      F.col("r.doc_id").alias("b")).distinct())
-    return pairs.orderBy("a", "b")
+    return pairs
 
 
 def q_dedup_simhash(spark, sf_dir):
