@@ -98,6 +98,10 @@ def p_convert(df, spec, ctx):
                           f"field [{f_name}] not present as part of path [{f_name}]")
         return df
     src = fcol(f_name)
+    if isinstance(field_type(df, f_name), T.ArrayType) and typ in _CONVERT_TYPES:
+        # ES converts each element when the field holds an array
+        new = F.transform(src, lambda x: x.cast(_CONVERT_TYPES[typ]))
+        return guarded(df, active & src.isNotNull(), {dst: new})
     if typ == "ip":
         ok = src.rlike(_IP_RX)
         df = ctx.fail(df, active & src.isNotNull() & ~ok, spec,

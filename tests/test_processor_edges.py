@@ -184,3 +184,11 @@ def test_dissect_append_and_skip(spark, registry):
     assert out[0]["name"] == "john_smith"
     assert out[0]["rest"] == "remainder"
     assert "skipme" not in out[0]
+
+
+def test_convert_array_elementwise(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"convert": {"field": "nums", "type": "integer"}}],
+        [((["1", "2", "3"]),)], "nums array<string>")
+    assert out[0]["nums"] == [1, 2, 3]
