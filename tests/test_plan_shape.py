@@ -20,16 +20,28 @@ def test_flagship_plan_is_narrow_jvm_only(spark, tmp_path):
     tdf = spark.read.parquet(src)
     out = build_router(spark).execute(with_datastream(tdf))
     plan = _executed_plan(out)
-    # no Python execution nodes: grok lowered to JVM regex
-    assert "EvalPython" not in plan
+    # grok runs as Arrow-batched pandas UDFs — NEVER row-at-a-time Python
+    assert "BatchEvalPython" not in plan
     # no shuffle: broadcast joins only (BroadcastExchange is fine)
-    import re
-    shuffles = re.findall(r"Exchange (?!.*broadcast)", plan.replace(
-        "BroadcastExchange", "BCX"))
-    assert "ShuffleExchange" not in plan
-    assert plan.count("Exchange") == plan.count("BCX") if "BCX" in plan else True
+    stripped = plan.replace("BroadcastExchange", "BCX")
+    assert "Exchange" not in stripped
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_grok_jvm_engine_has_no_python_nodes(spark, tmp_path):
+    """engine='jvm' grok compiles to pure Column expressions."""
+    from logstash_filter_elastic_integration_spark.plans import (
+        PipelineRegistry, run_pipeline)
+    reg = PipelineRegistry()
+    reg.register("j", {"processors": [
+        {"grok": {"field": "text", "engine": "jvm",
+                  "patterns": ["%{IPV4:ip} %{WORD:w}"],
+                  "ignore_failure": True}}]})
+    src = str(tmp_path / "tj")
+    transcripts(spark, 200).write.parquet(src)
+    out = run_pipeline(spark.read.parquet(src), "j", reg)
+    assert "EvalPython" not in _executed_plan(out)
 
 
 def test_sink_counts_is_partial_final_hash_agg(spark, tmp_path):
