@@ -64,3 +64,21 @@ def test_scan_prunes_columns(spark, tmp_path):
     plan = _executed_plan(df)
     assert "ReadSchema: struct<conv_id:string>" in plan
     assert "PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id" in plan
+
+
+def test_adjacent_groks_fuse_into_one_arrow_node(spark):
+    """SURVEY §7.5 'fused one-UDF-per-chain': Spark's ExtractPythonUDFs
+    batches independent pandas UDFs in one stage into a single
+    ArrowEvalPython node — one Arrow exchange for N adjacent groks."""
+    from logstash_filter_elastic_integration_spark.plans import (
+        PipelineRegistry, run_pipeline)
+    reg = PipelineRegistry()
+    reg.register("two", {"processors": [
+        {"grok": {"field": "a", "patterns": ["%{INT:x:int}"],
+                  "ignore_failure": True}},
+        {"grok": {"field": "b", "patterns": ["%{WORD:y}"],
+                  "ignore_failure": True}},
+    ]})
+    df = spark.createDataFrame([("1", "w")], "a string, b string")
+    out = run_pipeline(df, "two", reg)
+    assert _executed_plan(out).count("ArrowEvalPython") == 1
