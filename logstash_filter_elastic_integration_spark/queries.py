@@ -20,6 +20,10 @@ from .plans.document import fcol
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # defensive: the driver's session may not be ours — timestamp rendering
+    # (date_format / collect) must agree with the DuckDB oracle's naive-UTC
+    # view of the parquet data
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -754,6 +758,39 @@ def q_ann_lsh_bucketed(spark, sf_dir):
             .filter(F.col("rank") <= 3).select("qid", "nid", "rank"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN scale path: coarse quantizer (16 deterministic
+    centroids) -> inverted-list assignment via broadcast argmin -> probe
+    only the query's cell -> exact cosine rerank inside the cell.  At 100 TB
+    the assignment is a narrow broadcast pass and the probe join shuffles
+    one cell, not the corpus.  Rows-only check (recall vs brute force is
+    asserted in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    dot = F.aggregate(F.zip_with("embedding", "ce", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    scored = emb.join(F.broadcast(cents)) \
+        .withColumn("sim_c", dot / (norm(F.col("embedding")) * norm(F.col("ce"))))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_c"), F.asc("cid"))
+    assigned = (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "embedding", F.col("cid").alias("cell")))
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell")
+    cand = assigned.select(F.col("vec_id").alias("nid"),
+                           F.col("embedding").alias("ne"), "cell")
+    qdot = F.aggregate(F.zip_with("qe", "ne", lambda a, b: a * b),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    probed = (q.join(cand, ["cell"]).filter(F.col("qid") != F.col("nid"))
+              .withColumn("sim", qdot / (norm(F.col("qe")) * norm(F.col("ne")))))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (probed.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= 3).select("qid", "nid", "rank"))
+
+
 def q_multimodal_stub(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column + Arrow-batched
     mapInPandas 'decode' (deterministic stand-in — real image/audio codecs
@@ -815,6 +852,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_ivf": q_ann_ivf,
     "multimodal_stub": q_multimodal_stub,
 }
 
