@@ -573,6 +573,100 @@ FROM events
 """
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting (brief: 'whitespace + a BPE-ish regex'):
+    word-pieces = alnum runs OR punctuation runs, counted with JVM
+    regexp_count — plus the whitespace token count for comparison."""
+    doc = load(spark, sf_dir, "documents")
+    pat = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]+"
+    return doc.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).alias("bpe_tokens"),
+        F.size(F.split("text", r"\s+")).alias("ws_tokens"))
+
+
+O_TOKEN_BPE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tokens,
+       len(regexp_split_to_array(text, '\s+')) AS ws_tokens
+FROM documents
+"""
+
+
+def q_rolling_hash_fingerprint(spark, sf_dir):
+    """Document fingerprinting via polynomial rolling hash over word
+    features (brief item) — exact-integer arithmetic so the oracle matches
+    bit-for-bit: v(word) = len(word)*31 + first-char-code; h = (h*131 + v)
+    mod 1e9+7, folded left-to-right with F.aggregate."""
+    doc = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    v = lambda w: (F.length(w) * 31 + F.ascii(F.substring(w, 1, 1))).cast("long")  # noqa: E731
+    h = F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: (acc * 131 + v(w)) % 1000000007)
+    return doc.select("doc_id", h.alias("rhash"))
+
+
+O_ROLLING_HASH = """
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(str_split(text, ' '),
+                                  w -> CAST(length(w) * 31 + ascii(substr(w, 1, 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 1000000007) AS rhash
+FROM documents
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Log-pipeline sessionization: per-user session ids with a 30-minute
+    inactivity gap (lag + conditional cumsum — two window passes over one
+    shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    df = ev.withColumn("ns", new_sess)
+    sess = F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.select("event_id", "user_id", sess.alias("session_no"))
+
+
+O_SESSIONIZE = """
+SELECT event_id, user_id,
+       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN date_diff('second',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS ns
+  FROM events)
+"""
+
+
+def q_conv_stats(spark, sf_dir):
+    """Per-conversation rollup (user_id as the conv key analogue): turn
+    count, distinct event types, span seconds, error share."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("event_type").alias("n_types"),
+        (F.max(F.col("ts").cast("timestamp").cast("long"))
+         - F.min(F.col("ts").cast("timestamp").cast("long"))).alias("span_s"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors")))
+
+
+O_CONV_STATS = """
+SELECT user_id, COUNT(*) AS n_turns,
+       COUNT(DISTINCT event_type) AS n_types,
+       date_diff('second', MIN(ts), MAX(ts)) AS span_s,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+FROM events GROUP BY user_id
+"""
+
+
 # ------------------------------------------- dedup / similarity extras -----
 
 def q_dedup_exact(spark, sf_dir):
@@ -848,6 +942,10 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "text_stats": q_text_stats,
+    "token_count_bpe": q_token_count_bpe,
+    "rolling_hash_fingerprint": q_rolling_hash_fingerprint,
+    "sessionize": q_sessionize,
+    "conv_stats": q_conv_stats,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -886,6 +984,10 @@ ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "doc_fingerprint": O_DOC_FP,
     "text_stats": O_TEXT_STATS,
+    "token_count_bpe": O_TOKEN_BPE,
+    "rolling_hash_fingerprint": O_ROLLING_HASH,
+    "sessionize": O_SESSIONIZE,
+    "conv_stats": O_CONV_STATS,
     "ann_cosine_topk": O_ANN,
     "multimodal_stub": O_MULTIMODAL,
     # no oracle (Spark-hash-specific, rows-only check):
