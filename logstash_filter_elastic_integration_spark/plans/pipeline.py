@@ -298,7 +298,37 @@ def finalize(df: DataFrame) -> DataFrame:
     )
     df = df.withColumn(
         "target_ingest_pipeline", F.when(~failed, F.lit("_none")))
+    df = sanitize_reserved(df)
     return df.drop(PRISTINE)
+
+
+def sanitize_reserved(df: DataFrame) -> DataFrame:
+    """Reserved-field sanitization on the way out (SURVEY §1.3;
+    IngestDuplexMarshaller.java:237-252,357-413 + docs/index.asciidoc
+    fallback table): a pipeline-written ``@timestamp`` that is not a
+    coercible timestamp moves to ``_@timestamp`` (exercised by the dissect
+    golden, spec/integration/elastic_integration_spec.rb:323); ``@version``
+    must be a string-encoded integer else it moves to ``_@version`` and the
+    default "1" applies."""
+    if "@timestamp" in df.columns:
+        dt = df.schema["@timestamp"].dataType
+        if isinstance(dt, T.StringType):
+            v = fcol("@timestamp")
+            coercible = F.coalesce(
+                F.try_to_timestamp(v),
+                F.try_to_timestamp(v, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+                F.try_to_timestamp(v, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+            ).isNotNull()
+            df = df.withColumn("_@timestamp",
+                               F.when(v.isNotNull() & ~coercible, v))
+            df = df.withColumn("@timestamp", F.when(coercible, v))
+    if "@version" in df.columns:
+        v = fcol("@version").cast("string")
+        ok = v.rlike("^[0-9]+$")
+        df = df.withColumn("_@version", F.when(v.isNotNull() & ~ok, v))
+        df = df.withColumn("@version",
+                           F.when(ok, v).otherwise(F.lit("1")))
+    return df
 
 
 def run_pipeline(df: DataFrame, name: str, registry: PipelineRegistry,

@@ -192,3 +192,30 @@ def test_convert_array_elementwise(spark, registry):
         [{"convert": {"field": "nums", "type": "integer"}}],
         [((["1", "2", "3"]),)], "nums array<string>")
     assert out[0]["nums"] == [1, 2, 3]
+
+
+def test_reserved_timestamp_fallback(spark, registry):
+    """Dissect golden (spec :303-333): an uncoercible value written to
+    @timestamp lands in _@timestamp on the way out."""
+    out = run_one(
+        spark, registry,
+        [{"dissect": {"field": "line",
+                      "pattern": "[%{@timestamp}] %{msg}"}}],
+        [("[01/Apr/2023:22:00:52 +0000] hello",)], "line string")
+    r = out[0]
+    assert r["_@timestamp"] == "01/Apr/2023:22:00:52 +0000"
+    assert r["@timestamp"] is None
+    assert r["msg"] == "hello"
+
+
+def test_reserved_timestamp_coercible_kept(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"set": {"field": "@timestamp", "value": "2023-03-08T09:10:17.000Z"}},
+         {"set": {"field": "@version", "value": "not-an-int"}}],
+        [("x",)], "other string")
+    r = out[0]
+    assert r["@timestamp"] == "2023-03-08T09:10:17.000Z"
+    assert r.get("_@timestamp") is None
+    assert r["@version"] == "1"          # default applied
+    assert r["_@version"] == "not-an-int"
