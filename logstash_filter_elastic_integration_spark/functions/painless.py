@@ -185,6 +185,11 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
     if isinstance(node, ast.Call):
         fn = node.func
         if isinstance(fn, ast.Attribute):
+            # ctx.containsKey('x') -> field exists and is non-null
+            if (fn.attr == "containsKey" and _field_path(fn.value) == "__ctx__"
+                    and node.args and isinstance(node.args[0], ast.Constant)):
+                col, _ = c.resolve(node.args[0].value)
+                return col.isNotNull(), T.BooleanType()
             # Processors.* helpers (reference: script-processor-pipelines/pipeline.json)
             if isinstance(fn.value, ast.Name) and fn.value.id == "Processors":
                 arg, _ = _eval(node.args[0], c)
