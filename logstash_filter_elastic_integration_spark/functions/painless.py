@@ -48,8 +48,39 @@ _REWRITES = [
 ]
 _TERNARY = re.compile(r"^(?P<c>[^?]+)\?(?P<a>[^:]+):(?P<b>.+)$")
 
+# string literals must be lifted out BEFORE any token rewrite or statement
+# split: 'Hello && null' would otherwise compile to a comparison against
+# 'Hello  and  None', and ; = ? : { } inside literals would derail the
+# statement/ternary/if-block parsing (ADVICE r1)
+_STR_RX = re.compile(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"")
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
 
-def _to_python(src: str) -> str:
+
+def _protect_literals(src: str) -> tuple[str, list[str]]:
+    """Replace every quoted literal with a ``__sN__`` placeholder token
+    (a plain identifier — inert under all rewrites) and return the
+    unescaped contents for later restoration."""
+    lits: list[str] = []
+
+    def sub(m):
+        raw = m.group(0)[1:-1]
+        content = re.sub(r"\\(.)",
+                         lambda e: _ESCAPES.get(e.group(1), e.group(1)), raw)
+        lits.append(content)
+        return f" __s{len(lits) - 1}__ "
+
+    return _STR_RX.sub(sub, src), lits
+
+
+def _restore_literals(src: str, lits: list[str]) -> str:
+    for i, s in enumerate(lits):
+        src = src.replace(f"__s{i}__", repr(s))
+    return src
+
+
+def _to_python(src: str, lits: list[str] | None = None) -> str:
+    if lits is None:
+        src, lits = _protect_literals(src)
     src = src.strip().rstrip(";")
     for rx, rep in _REWRITES:
         src = rx.sub(rep, src)
@@ -57,7 +88,7 @@ def _to_python(src: str) -> str:
     m = _TERNARY.match(src)
     if m and "==" not in src.split("?")[0][-2:]:
         src = f"({m.group('a').strip()}) if ({m.group('c').strip()}) else ({m.group('b').strip()})"
-    return src.strip()
+    return _restore_literals(src.strip(), lits)
 
 
 class _Ctx:
@@ -231,7 +262,13 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
 
 def compile_condition(source: str, resolve, params: dict | None = None) -> Column:
     """Painless ``if`` condition -> boolean Column (null-safe: null -> false)."""
-    py = _to_python(source)
+    src, lits = _protect_literals(source)
+    return _compile_condition_p(src, lits, resolve, params)
+
+
+def _compile_condition_p(source: str, lits: list[str], resolve,
+                         params: dict | None = None) -> Column:
+    py = _to_python(source, lits)
     try:
         tree = ast.parse(py, mode="eval")
     except SyntaxError as e:
@@ -253,12 +290,21 @@ def compile_script(source: str, resolve, params: dict | None = None) -> list[tup
     (src/test/resources/.../script-processor-pipelines/pipeline.json) —
     plus single-level ``if (cond) { ...assignments... } [else { ... }]``
     blocks, which compile to F.when-gated assignments.
+
+    Literals are protected up-front, so ; = ? : { } && null etc. INSIDE
+    quoted strings never affect statement splitting or token rewrites.
     """
+    src, lits = _protect_literals(source)
+    return _compile_script_p(src, lits, resolve, params)
+
+
+def _compile_script_p(source: str, lits: list[str], resolve,
+                      params: dict | None = None) -> list[tuple[str, Column]]:
     m = _IF_BLOCK.match(source.strip())
     if m:
-        cond = compile_condition(m.group("cond"), resolve, params)
-        body = dict(compile_script(m.group("body"), resolve, params))
-        els = dict(compile_script(m.group("els") or "", resolve, params))
+        cond = _compile_condition_p(m.group("cond"), lits, resolve, params)
+        body = dict(_compile_script_p(m.group("body"), lits, resolve, params))
+        els = dict(_compile_script_p(m.group("els") or "", lits, resolve, params))
         out: list[tuple[str, Column]] = []
         for path in {**body, **els}:
             cur, _ = resolve(path)
@@ -270,13 +316,13 @@ def compile_script(source: str, resolve, params: dict | None = None) -> list[tup
     for stmt in [s.strip() for s in source.split(";") if s.strip()]:
         lhs, rhs = _split_assignment(stmt)
         try:
-            target = ast.parse(_to_python(lhs), mode="eval").body
+            target = ast.parse(_to_python(lhs, lits), mode="eval").body
         except SyntaxError as e:
             raise UnsupportedScriptError(f"cannot parse target {lhs!r}: {e}") from e
         path = _field_path(target)
         if not path or path == "__ctx__":
             raise UnsupportedScriptError(f"assignment target must be ctx field: {stmt!r}")
-        py = _to_python(rhs)
+        py = _to_python(rhs, lits)
         try:
             tree = ast.parse(py, mode="eval")
         except SyntaxError as e:

@@ -37,6 +37,16 @@ def run_batch(spark: SparkSession, router: Router, input_path: str,
     if not files:
         return {"status": "up-to-date", "files": 0}
 
+    # Tag every row with its source file's hash BEFORE any transform: the
+    # manifest's unit of resumability is the input file, so the sink table
+    # is partitioned (__run=file-hash, __sink) and written with dynamic
+    # partition overwrite — re-processing a file replaces exactly that
+    # file's output, never rows committed by other files/runs.  (Plain
+    # overwrite here used to wipe already-committed output whose files the
+    # manifest had marked done — permanent data loss on resume.)  On
+    # Iceberg this maps to a REPLACE-partitions commit per file.
+    pending_df = pending_df.withColumn(
+        "__run", F.substring(F.md5(F.input_file_name()), 1, 12))
     executed = router.execute(pending_df if prepare_df is None
                               else prepare_df(pending_df))
     observed = metrics.observe(executed, "pipeline",
@@ -47,7 +57,7 @@ def run_batch(spark: SparkSession, router: Router, input_path: str,
         router.write_fanout(observed, catalog, table="sinks",
                             salt_partitions=salt_partitions)
     with metrics.stage("sink_counts"):
-        counts = router.sink_counts(catalog.read("sinks"),
+        counts = router.sink_counts(catalog.read("sinks").drop("__run"),
                                     dropped_filtered=True)
         catalog.write(counts, "sink_counts")
     wall = time.time() - t0

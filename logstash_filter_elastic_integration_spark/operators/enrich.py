@@ -16,9 +16,45 @@ adds the unavailable tag like the reference.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..plans.document import fcol, guarded
+
+
+def _dedupe_dim(dim, key_col: str, props: list[str]):
+    """One record per key (reference returns exactly one per IP/lookup key):
+    duplicate dim keys in a left join would MULTIPLY fact rows and corrupt
+    downstream sink counts.  Deterministic pick: smallest property tuple.
+    Dim is broadcast-sized, so the single-partition window is free."""
+    order = [F.col(p) for p in props] or [F.col(key_col)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (dim.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def _disjoint_narrowest(dim, lo: str, hi: str, props: list[str]):
+    """Rewrite an overlapping range dim into DISJOINT segments where each
+    point maps to its narrowest covering range (CIDR semantics: most-
+    specific prefix wins — normal in geoip data).  Boundary sweep: every
+    [lo, hi] contributes boundaries lo and hi+1; adjacent boundaries form
+    segments; a range covers a segment entirely or not at all; rank covers
+    by width.  All dim-side (broadcast-sized), so the fact join stays a
+    broadcast range join with at most ONE match per row — no fact-side
+    dedup shuffle needed at any scale."""
+    bounds = (dim.select(F.col(lo).alias("b"))
+              .union(dim.select((F.col(hi) + 1).alias("b"))).distinct())
+    w = Window.orderBy("b")  # dim-sized: single task is fine
+    seg = (bounds.select(F.col("b").alias("__seg_lo"),
+                         (F.lead("b").over(w) - 1).alias("__seg_hi"))
+           .filter(F.col("__seg_hi").isNotNull()))
+    cov = seg.join(dim, (F.col("__seg_lo") >= F.col(lo))
+                   & (F.col("__seg_hi") <= F.col(hi)))
+    wn = Window.partitionBy("__seg_lo").orderBy(
+        (F.col(hi) - F.col(lo)).asc(), F.col(lo).asc())
+    return (cov.withColumn("__rn", F.row_number().over(wn))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__seg_lo").alias(lo),
+                    F.col("__seg_hi").alias(hi), *props))
 
 
 def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
@@ -46,6 +82,7 @@ def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
     dim = dims[dim_name]
     key_col = cfg.get("lookup_key", dim.columns[0])
     props = cfg.get("properties") or [c for c in dim.columns if c != key_col]
+    dim = _dedupe_dim(dim, key_col, props)
     joined = "__lk_" + dim_name
     renamed = dim.select(
         F.col(key_col).alias(joined),
@@ -82,6 +119,7 @@ def _broadcast_range_lookup(df, spec, ctx, dim_name: str, default_target: str):
     key_long = F.when(key.rlike(r"^(\d{1,3}\.){3}\d{1,3}$"), _ip4_to_long(key)) \
         .otherwise(key.try_cast("long"))
     props = cfg.get("properties") or [c for c in dim.columns if c not in (lo, hi)]
+    dim = _disjoint_narrowest(dim, lo, hi, props)
     joined = "__rlk_" + dim_name.replace(".", "_")
     renamed = dim.select(
         F.col(lo).alias(f"{joined}_lo"), F.col(hi).alias(f"{joined}_hi"),

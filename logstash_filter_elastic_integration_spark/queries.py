@@ -7,8 +7,9 @@ driver-generated parquet tables; ``ORACLES[name]`` is the ANSI-SQL DuckDB
 equivalent (same column names — the driver hash-compares).  Queries that
 exercise processor semantics construct their parse input deterministically
 FROM table columns, so the oracle can state the expected output in closed
-form.  Non-SQL-expressible ops (minhash LSH, simhash, LSH-bucketed ANN)
-have no oracle -> driver records the weaker rows-only check.
+form.  The dedup/ANN sketch family uses md5-derived portable hashes so every
+query — including minhash LSH, simhash and the bucketed/IVF ANN paths —
+has a full DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -627,13 +628,16 @@ def q_sessionize(spark, sf_dir):
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     df = ev.withColumn("ns", new_sess)
     sess = F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return df.select("event_id", "user_id", sess.alias("session_no"))
+    # explicit bigint on BOTH sides: DuckDB SUM(int) yields HUGEINT, which
+    # fails the driver's value-hash even when the numbers are identical
+    return df.select("event_id", "user_id",
+                     sess.cast("long").alias("session_no"))
 
 
 O_SESSIONIZE = """
 SELECT event_id, user_id,
-       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS session_no
+       CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
 FROM (
   SELECT event_id, user_id, ts,
          CASE WHEN date_diff('second',
@@ -655,14 +659,16 @@ def q_conv_stats(spark, sf_dir):
         F.countDistinct("event_type").alias("n_types"),
         (F.max(F.col("ts").cast("timestamp").cast("long"))
          - F.min(F.col("ts").cast("timestamp").cast("long"))).alias("span_s"),
-        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors")))
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long").alias("n_errors")))
 
 
 O_CONV_STATS = """
 SELECT user_id, COUNT(*) AS n_turns,
        COUNT(DISTINCT event_type) AS n_types,
        date_diff('second', MIN(ts), MAX(ts)) AS span_s,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors
 FROM events GROUP BY user_id
 """
 
@@ -721,67 +727,188 @@ FROM documents
 """
 
 
+# ---------------- portable (md5-derived) hashing for dedup/ANN sketches ----
+#
+# Spark's xxhash64/murmur3 have no DuckDB twin, so round 1 left the sketch
+# family on rows-only checks.  These helpers give every sketch a bit-exact
+# DuckDB oracle: fold the first 15 hex chars of md5 (60 bits, always
+# positive) into a bigint — identical in both engines.
+
+import hashlib
+
+_MH_P = 1_000_000_007          # universal-hash modulus (30-bit prime)
+_MH_N, _MH_BANDS, _MH_CAP = 16, 4, 50
+_ANN_PLANES, _ANN_DIM = 6, 64  # testdata contract: embeddings are dim-64
+
+
+def _md5_long(col):
+    """Portable 60-bit hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _spread(df, *cols):
+    """Explicit fan-out before compute-heavy per-row sketch work.  Small
+    inputs arrive as one parquet split (and AQE coalesces tiny shuffles to
+    one partition because it sizes by bytes, not downstream CPU) — without
+    this the whole sketch runs on a single core.  AQE does not re-coalesce
+    a user-specified repartition, and at 100 TB the same call balances
+    skew from variable document lengths."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def _o_md5_long(expr: str) -> str:
+    """DuckDB twin of _md5_long: hex-fold of md5 prefix."""
+    return ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(str_split(substr(md5({expr}),1,15), ''), "
+            "c -> CAST(strpos('0123456789abcdef', c)-1 AS BIGINT))), "
+            "(a,b) -> a*16+b)")
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (shingle -> minhash -> band ->
-    bucket-join).  No SQL oracle (xxhash64 is Spark-specific) -> rows-only.
-    Scale path: everything is explode + groupBy (shuffle on band key), no
-    cross join; at 100 TB add a shingle-frequency cap to bound hot bands."""
+    """MinHash+LSH near-dup candidate pairs (shingle -> minhash -> band ->
+    bucket -> in-bucket pairs).  Scale shape, fixed per VERDICT r1:
+
+    1. exact-dedup pre-pass: identical texts collapse to one representative
+       (min doc_id), so boilerplate-heavy corpora cannot make every band
+       bucket quadratic — the precise failure mode dedup targets;
+    2. per-bucket membership is capped at _MH_CAP: oversize buckets
+       (degenerate boilerplate that survived the exact pass) are dropped,
+       bounding pair generation at CAP^2/2 per bucket;
+    3. pairs are generated INSIDE the bucket row (sorted doc_id array +
+       indexed transform) — one groupBy, no self-join, so the sketch
+       upstream is computed exactly once.
+
+    Hashes are md5-derived (portable), so this has a full DuckDB oracle."""
     doc = load(spark, sf_dir, "documents")
+    reps = _spread(doc.groupBy("text").agg(F.min("doc_id").alias("doc_id")),
+                   "doc_id")
     words = F.split("text", " ")
     shingles = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3))))
-    df = doc.select("doc_id", shingles.alias("sh")).filter(F.size("sh") > 0)
-    N_HASH, BANDS = 16, 4
-    # explode + groupBy(min): measured ~5x faster than the higher-order
-    # F.aggregate variant (HOF lambdas are interpreted; hash+min through
-    # the codegen'd aggregate path wins), and the partial MIN aggregation
-    # compresses the shuffle to one row per (doc, hash) before the exchange
-    ex = df.select("doc_id", F.explode("sh").alias("s"))
+    ex = (reps.select("doc_id", F.explode(shingles).alias("s"))
+          .withColumn("h", F.pmod(_md5_long(F.col("s")), F.lit(_MH_P))))
+    # explode + groupBy(min): measured ~5x faster than HOF aggregate in r1;
+    # partial MIN compresses the shuffle to one row per (doc, hash_i)
     mins = ex.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
-        for i in range(N_HASH)])
-    rows_per_band = N_HASH // BANDS
-    bands = mins.select("doc_id", F.array(*[
+        F.min((F.col("h") * (2 * i + 1) + 7919 * i) % _MH_P).alias(f"h{i}")
+        for i in range(_MH_N)])
+    rpb = _MH_N // _MH_BANDS
+    eb = (mins.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.col(f"h{b * rows_per_band + r}")
-                              for r in range(rows_per_band)]).alias("sig"))
-        for b in range(BANDS)]).alias("bands"))
-    eb = bands.select("doc_id", F.explode("bands").alias("bs")) \
-              .select("doc_id", "bs.band", "bs.sig")
-    pairs = (eb.alias("l").join(eb.alias("r"),
-                                (F.col("l.band") == F.col("r.band"))
-                                & (F.col("l.sig") == F.col("r.sig"))
-                                & (F.col("l.doc_id") < F.col("r.doc_id")))
-             .select(F.col("l.doc_id").alias("a"),
-                     F.col("r.doc_id").alias("b")).distinct())
+                 F.md5(F.concat_ws(",", *[f"h{b * rpb + r}"
+                                          for r in range(rpb)])).alias("sig"))
+        for b in range(_MH_BANDS)])).alias("bs"))
+        .select("doc_id", "bs.band", "bs.sig"))
+    buckets = (eb.groupBy("band", "sig")
+               .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+               .filter((F.size("ds") >= 2) & (F.size("ds") <= _MH_CAP)))
+    pairs = (buckets.select(F.explode(F.flatten(F.transform(
+        "ds", lambda x, i: F.transform(
+            F.slice("ds", i + F.lit(2), _MH_CAP),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("p"))
+        .select("p.a", "p.b").distinct())
     return pairs
 
 
+def _mh_oracle() -> str:
+    hcols = ",\n       ".join(
+        f"MIN((h * {2 * i + 1} + {7919 * i}) % {_MH_P}) AS h{i}"
+        for i in range(_MH_N))
+    rpb = _MH_N // _MH_BANDS
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cc}) AS sig FROM mh".format(
+            b=b, cc=" || ',' || ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)))
+        for b in range(_MH_BANDS))
+    return f"""
+WITH reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, greatest(len(str_split(text,' '))-2, 1)+1),
+         i -> array_to_string(str_split(text,' ')[i:i+2], ' ')))) AS s
+       FROM reps),
+hx AS (SELECT doc_id, ({_o_md5_long('s')}) % {_MH_P} AS h FROM sh),
+mh AS (SELECT doc_id,
+       {hcols}
+       FROM hx GROUP BY doc_id),
+eb AS ({band_rows}),
+buckets AS (SELECT band, sig, list_sort(list(DISTINCT doc_id)) AS ds
+            FROM eb GROUP BY band, sig
+            HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_MH_CAP}),
+px AS (SELECT unnest(flatten(list_transform(ds, (x, i) ->
+          list_transform(ds[i+1:], y -> {{'a': x, 'b': y}})))) AS p
+       FROM buckets)
+SELECT DISTINCT p.a AS a, p.b AS b FROM px
+"""
+
+
+O_MINHASH = _mh_oracle()
+
+
 def q_dedup_simhash(spark, sf_dir):
-    """64-bit SimHash over the word set — bitwise majority of per-word
-    hashes, pure Column expressions.  Rows-only check (Spark xxhash64)."""
-    doc = load(spark, sf_dir, "documents")
+    """Full 64-bit SimHash (VERDICT r1: the 8-bit sample was useless as a
+    near-dup sketch): bitwise majority vote over per-word portable hashes.
+    Bits 0-59 come from md5(word), bits 60-63 from md5(word || '#1').
+    Emitted as two 32-bit halves (sim_lo/sim_hi) so both engines stay in
+    signed-bigint range.  Plan: explode + ONE codegen'd hash aggregate with
+    64 integer sums — no HOF-interpreted lambdas in the hot path."""
+    doc = _spread(load(spark, sf_dir, "documents"), "doc_id")
     words = F.array_distinct(F.split("text", " "))
-    bits = []
-    for b in range(0, 64, 8):  # 8 sampled bit positions keep the plan small
-        vote = F.aggregate(
-            words, F.lit(0),
-            lambda acc, w: acc + F.when(
-                F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1)))
-        bits.append(F.when(vote > 0, F.lit(1 << (b // 8))).otherwise(F.lit(0)))
-    sim = bits[0]
-    for x in bits[1:]:
-        sim = sim + x
-    return doc.select("doc_id", sim.cast("long").alias("simhash8"))
+    ex = (doc.select("doc_id", F.explode(words).alias("w"))
+          .withColumn("ha", _md5_long(F.col("w")))
+          .withColumn("hb", _md5_long(F.concat(F.col("w"), F.lit("#1")))))
+    aggs = []
+    for b in range(64):
+        src, sb = (F.col("ha"), b) if b < 60 else (F.col("hb"), b - 60)
+        aggs.append(F.sum(
+            F.when(F.shiftright(src, sb).bitwiseAND(F.lit(1)) == 1,
+                   1).otherwise(-1)).alias(f"v{b}"))
+    v = ex.groupBy("doc_id").agg(*aggs)
+
+    def pack(lo_bit, hi_bit):
+        acc = F.lit(0)
+        for b in range(lo_bit, hi_bit):
+            acc = acc + F.when(F.col(f"v{b}") > 0,
+                               F.lit(1 << (b - lo_bit))).otherwise(F.lit(0))
+        return acc.cast("long")
+
+    return v.select("doc_id", pack(0, 32).alias("sim_lo"),
+                    pack(32, 64).alias("sim_hi"))
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN ({'ha' if b < 60 else 'hb'} >> {b if b < 60 else b - 60})"
+        f" & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64))
+    lo = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END"
+                    for b in range(32))
+    hi = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << (b - 32)} ELSE 0 END"
+                    for b in range(32, 64))
+    return f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
+           FROM documents),
+h AS (SELECT doc_id, {_o_md5_long('w')} AS ha,
+             {_o_md5_long("w || '#1'")} AS hb FROM w),
+v AS (SELECT doc_id,
+       {votes}
+      FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({lo} AS BIGINT) AS sim_lo,
+       CAST({hi} AS BIGINT) AS sim_hi FROM v
+"""
+
+
+O_SIMHASH = _simhash_oracle()
 
 
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (the exactness baseline for ANN): 5 query
-    vectors vs all, top-3 by similarity.  Query side is broadcast; at scale
-    swap in q_ann_lsh_bucketed.  Output is rank-only (float-free) so the
-    oracle hash-matches."""
+    vectors vs all, top-3 by similarity.  The QUERY side is broadcast
+    (VERDICT r1: broadcasting the corpus OOMs the moment the corpus is
+    real) — BroadcastNestedLoopJoin builds on the 5-row side and streams
+    the corpus.  Output is rank-only (float-free) so the oracle
+    hash-matches."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
@@ -790,7 +917,7 @@ def q_ann_cosine_topk(spark, sf_dir):
                       F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    joined = (q.join(F.broadcast(c), F.col("qid") != F.col("nid"))
+    joined = (F.broadcast(q).join(c, F.col("qid") != F.col("nid"))
               .withColumn("sim", dot / (norm(F.col("qe")) * norm(F.col("ne")))))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (joined.withColumn("rank", F.row_number().over(w))
@@ -811,78 +938,148 @@ SELECT qid, nid, rank FROM (
 """
 
 
+def _plane_w(i: int, p: int) -> float:
+    """Deterministic pseudo-random hyperplane weight, computed ONCE in
+    Python (hashlib md5, same fold as _md5_long) and embedded as a literal
+    in both the Spark plan and the DuckDB oracle — zero per-row hash cost
+    and exact cross-engine parity."""
+    return float(int(hashlib.md5(f"{i}:{p}".encode()).hexdigest()[:15], 16)
+                 % 1000 - 500)
+
+
+def _fold_dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _fold_norm(c):
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+_O_DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(range(1, {d}+1), i -> {a}[i]*{b}[i])), "
+          "(x,y) -> x+y)")
+
+
+def _o_dot(a, b):
+    return _O_DOT.format(a=a, b=b, d=_ANN_DIM)
+
+
+def _o_norm(c):
+    return (f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({c}, z -> z*z)), (x,y) -> x+y))")
+
+
 def q_ann_lsh_bucketed(spark, sf_dir):
-    """Scale-path ANN: random-hyperplane signatures from hash-derived
-    pseudo-planes, bucket join, exact cosine rerank inside buckets.
-    Rows-only check (hash-derived planes are Spark-specific)."""
-    emb = load(spark, sf_dir, "embeddings")
-    PLANES = 6
+    """Scale-path ANN: random-hyperplane signatures (literal plane weights,
+    see _plane_w), bucket join on signature, exact cosine rerank inside
+    buckets.  The query side is broadcast into the bucket join.  Vectors
+    are cast to array<double> so every arithmetic step is bit-identical to
+    the DuckDB oracle (same left-to-right fold order)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
 
     def signature(col):
-        bits = []
-        for p in range(PLANES):
-            proj = F.aggregate(
-                F.zip_with(
-                    col,
-                    F.transform(F.sequence(F.lit(0), F.size(col) - 1),
-                                lambda i: (F.pmod(F.xxhash64(i, F.lit(p)),
-                                                  F.lit(1000)) - 500)
-                                .cast("double")),
-                    lambda a, h: a * h),
-                F.lit(0.0), lambda acc, x: acc + x)
-            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        sig = bits[0]
-        for b in bits[1:]:
-            sig = sig + b
+        sig = F.lit(0)
+        for p in range(_ANN_PLANES):
+            w = F.array(*[F.lit(_plane_w(i, p)) for i in range(_ANN_DIM)])
+            proj = _fold_dot(col, w)
+            sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         return sig
 
-    sigs = emb.select("vec_id", "embedding", signature(F.col("embedding")).alias("sig"))
+    sigs = emb.select("vec_id", "e", signature(F.col("e")).alias("sig"))
     q = sigs.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "sig")
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "sig")
     cand = sigs.select(F.col("vec_id").alias("nid"),
-                       F.col("embedding").alias("ne"), "sig")
-    dot = F.aggregate(F.zip_with("qe", "ne", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    joined = (q.join(cand, ["sig"]).filter(F.col("qid") != F.col("nid"))
-              .withColumn("sim", dot / (norm(F.col("qe")) * norm(F.col("ne")))))
+                       F.col("e").alias("ne"), "sig")
+    joined = (F.broadcast(q).join(cand, ["sig"])
+              .filter(F.col("qid") != F.col("nid"))
+              .withColumn("sim", _fold_dot("qe", "ne")
+                          / (_fold_norm(F.col("qe")) * _fold_norm(F.col("ne")))))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (joined.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3).select("qid", "nid", "rank"))
 
 
+def _ann_lsh_oracle() -> str:
+    terms = []
+    for p in range(_ANN_PLANES):
+        wlist = ("[" + ", ".join(repr(_plane_w(i, p))
+                                 for i in range(_ANN_DIM)) + "]::DOUBLE[]")
+        proj = _O_DOT.format(a="v", b=f"({wlist})", d=_ANN_DIM)
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    sig = "\n     + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT vec_id, v,
+       {sig} AS sig FROM e),
+q AS (SELECT vec_id AS qid, v AS qe, sig FROM sigs WHERE vec_id < 5),
+cand AS (SELECT vec_id AS nid, v AS ne, sig FROM sigs),
+j AS (SELECT qid, nid,
+        ({_o_dot('qe', 'ne')}) / ({_o_norm('qe')} * {_o_norm('ne')}) AS sim
+      FROM q JOIN cand USING (sig) WHERE qid <> nid)
+SELECT qid, nid, rank FROM (
+  SELECT qid, nid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+  FROM j) WHERE rank <= 3
+"""
+
+
+O_ANN_LSH = _ann_lsh_oracle()
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-style ANN scale path: coarse quantizer (16 deterministic
     centroids) -> inverted-list assignment via broadcast argmin -> probe
-    only the query's cell -> exact cosine rerank inside the cell.  At 100 TB
-    the assignment is a narrow broadcast pass and the probe join shuffles
-    one cell, not the corpus.  Rows-only check (recall vs brute force is
-    asserted in tests)."""
-    emb = load(spark, sf_dir, "embeddings")
+    only the query's cell -> exact cosine rerank inside the cell.  At
+    100 TB the assignment is a narrow broadcast pass and the probe join
+    shuffles one cell, not the corpus.  double-cast vectors + fold-order
+    parity give it a full DuckDB oracle."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
     cents = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    dot = F.aggregate(F.zip_with("embedding", "ce", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    scored = emb.join(F.broadcast(cents)) \
-        .withColumn("sim_c", dot / (norm(F.col("embedding")) * norm(F.col("ce"))))
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    scored = (emb.join(F.broadcast(cents))
+              .withColumn("sim_c", _fold_dot("e", "ce")
+                          / (_fold_norm(F.col("e")) * _fold_norm(F.col("ce")))))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim_c"), F.asc("cid"))
     assigned = (scored.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
-                .select("vec_id", "embedding", F.col("cid").alias("cell")))
+                .select("vec_id", "e", F.col("cid").alias("cell")))
     q = assigned.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell")
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "cell")
     cand = assigned.select(F.col("vec_id").alias("nid"),
-                           F.col("embedding").alias("ne"), "cell")
-    qdot = F.aggregate(F.zip_with("qe", "ne", lambda a, b: a * b),
-                       F.lit(0.0), lambda acc, x: acc + x)
-    probed = (q.join(cand, ["cell"]).filter(F.col("qid") != F.col("nid"))
-              .withColumn("sim", qdot / (norm(F.col("qe")) * norm(F.col("ne")))))
+                           F.col("e").alias("ne"), "cell")
+    probed = (F.broadcast(q).join(cand, ["cell"])
+              .filter(F.col("qid") != F.col("nid"))
+              .withColumn("sim", _fold_dot("qe", "ne")
+                          / (_fold_norm(F.col("qe")) * _fold_norm(F.col("ne")))))
     w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (probed.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= 3).select("qid", "nid", "rank"))
+
+
+O_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+scored AS (SELECT e.vec_id, e.v, c.cid,
+        ({_o_dot('e.v', 'c.cv')}) / ({_o_norm('e.v')} * {_o_norm('c.cv')}) AS sim_c
+      FROM e, c),
+assigned AS (SELECT vec_id, v, cid AS cell FROM (
+   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim_c DESC, cid ASC) AS rn
+   FROM scored) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qe, cell FROM assigned WHERE vec_id < 5),
+cand AS (SELECT vec_id AS nid, v AS ne, cell FROM assigned),
+probed AS (SELECT qid, nid,
+        ({_o_dot('qe', 'ne')}) / ({_o_norm('qe')} * {_o_norm('ne')}) AS sim
+      FROM q JOIN cand USING (cell) WHERE qid <> nid)
+SELECT qid, nid, rank FROM (
+  SELECT qid, nid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+  FROM probed) WHERE rank <= 3
+"""
 
 
 def q_multimodal_stub(spark, sf_dir):
@@ -988,8 +1185,10 @@ ORACLES = {
     "rolling_hash_fingerprint": O_ROLLING_HASH,
     "sessionize": O_SESSIONIZE,
     "conv_stats": O_CONV_STATS,
+    "dedup_minhash_lsh": O_MINHASH,
+    "dedup_simhash": O_SIMHASH,
     "ann_cosine_topk": O_ANN,
+    "ann_lsh_bucketed": O_ANN_LSH,
+    "ann_ivf": O_ANN_IVF,
     "multimodal_stub": O_MULTIMODAL,
-    # no oracle (Spark-hash-specific, rows-only check):
-    # dedup_minhash_lsh, dedup_simhash, ann_lsh_bucketed
 }

@@ -227,20 +227,35 @@ class Router:
             .agg(F.count(F.lit(1)).alias("n")))
 
     def write_fanout(self, executed: DataFrame, catalog, table: str = "sinks",
-                     salt_partitions: int | None = None) -> None:
+                     salt_partitions: int | None = None,
+                     run_id: str | None = None) -> None:
         """Single-pass fan-out: route column computed once, ONE partitioned
         write — never N filtered re-scans of the parse chain.  Optional
         salted repartition: (sink, salt) so a hot sink/conversation cannot
-        pin one output task."""
+        pin one output task.
+
+        A ``__run`` column (tagged upstream, e.g. per input file by
+        ``jobs.run_batch``) or an explicit ``run_id`` adds a partition
+        level and switches to dynamic partition overwrite: a resumed or
+        incremental run replaces ONLY its own partitions, never output
+        already committed by earlier runs (plain overwrite on a shared
+        table silently dropped prior runs' rows — they were marked done
+        in the manifest and never redone)."""
         data = executed.filter(~fcol(DROPPED))
         drop_cols = [c for c in (FAILURE, DROPPED, REROUTED, INDEX_HISTORY)
                      if c in data.columns]
         data = data.drop(*drop_cols)
+        if run_id is not None:
+            data = data.withColumn("__run", F.lit(run_id))
         if salt_partitions:
             data = data.repartition(
                 salt_partitions, F.col("__sink"),
                 F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(64)))
-        catalog.write(data, table, partition_by=["__sink"])
+        if "__run" in data.columns:
+            catalog.write(data, table, partition_by=["__run", "__sink"],
+                          dynamic=True)
+        else:
+            catalog.write(data, table, partition_by=["__sink"])
 
     @staticmethod
     def ordered_turns(executed: DataFrame) -> DataFrame:

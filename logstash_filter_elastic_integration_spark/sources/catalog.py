@@ -33,14 +33,21 @@ class Catalog:
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite",
               partition_by: list[str] | None = None,
-              meta: dict | None = None) -> None:
+              meta: dict | None = None, dynamic: bool = False) -> None:
+        """dynamic=True uses dynamic partition overwrite: only partitions
+        present in ``df`` are replaced, others are untouched — the parquet
+        stand-in for an Iceberg REPLACE-partitions commit.  This is what
+        makes incremental/resumed runs idempotent without clobbering
+        previously committed output."""
         w = df.write.format(self.FORMAT).mode(mode)
+        if dynamic:
+            w = w.option("partitionOverwriteMode", "dynamic")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.save(self.path(table))
         self._append_meta(table, {"mode": mode, "ts": time.time(),
                                   "partition_by": partition_by or [],
-                                  **(meta or {})})
+                                  "dynamic": dynamic, **(meta or {})})
 
     def _append_meta(self, table: str, entry: dict) -> None:
         """Commit-metadata sidecar (stand-in for Iceberg snapshot summary)."""

@@ -76,3 +76,38 @@ def test_painless_condition_null_safety(spark):
     col = compile_condition("ctx?.missing == 'x' && ctx.other != null", resolve)
     rows = spark.range(1).select(col.alias("v")).collect()
     assert rows[0]["v"] is False
+
+
+def test_painless_string_literals_protected(spark):
+    """Token rewrites must never run inside quoted literals (ADVICE r1):
+    'Hello!', 'a && b', 'null', and ; = ? : { } inside strings all survive
+    verbatim."""
+    from logstash_filter_elastic_integration_spark.functions.painless import (
+        compile_condition, compile_script)
+    from pyspark.sql import functions as F, types as T
+
+    def mk_resolve(value):
+        def resolve(path):
+            return F.lit(value), T.StringType()
+        return resolve
+
+    def check(cond, value, expect):
+        col = compile_condition(cond, mk_resolve(value))
+        assert spark.range(1).select(col.alias("v")).collect()[0]["v"] is expect
+
+    check("ctx.msg == 'Hello!'", "Hello!", True)
+    check("ctx.msg == 'Hello!'", "Hello not ", False)
+    check("ctx.msg == 'a && b'", "a && b", True)
+    check("ctx.msg == 'null'", "null", True)
+    check("ctx.msg != 'true || false'", "true || false", False)
+    check('ctx.msg == "semi;colon = ok?yes:no"', "semi;colon = ok?yes:no", True)
+    check("ctx.msg.contains('?.')", "x?.y", True)
+
+    # script: literal containing ; and = must not split the statement
+    assigns = compile_script("ctx.out = 'a;b=c';", mk_resolve("ignored"))
+    assert assigns[0][0] == "out"
+    got = spark.range(1).select(assigns[0][1].alias("v")).collect()[0]["v"]
+    assert got == "a;b=c"
+
+    # escaped quote inside literal
+    check(r"ctx.msg == 'it\'s'", "it's", True)

@@ -219,3 +219,47 @@ def test_reserved_timestamp_coercible_kept(spark, registry):
     assert r.get("_@timestamp") is None
     assert r["@version"] == "1"          # default applied
     assert r["_@version"] == "not-an-int"
+
+
+def test_lookup_duplicate_dim_keys_no_fanout(spark, registry):
+    """Duplicate keys in the dim must NOT multiply fact rows (ADVICE r1:
+    the reference returns exactly one record per key); the deterministic
+    pick is the smallest property tuple."""
+    dim = spark.createDataFrame(
+        [("1.2.3.4", "US", "Dallas"), ("1.2.3.4", "CA", "Toronto")],
+        "ip string, country string, city string")
+    registry.dims["GeoLite2-City.mmdb"] = dim
+    out = run_one(
+        spark, registry,
+        [{"geoip": {"field": "src_ip", "target_field": "geo"}}],
+        [("1.2.3.4",), ("1.2.3.4",), ("9.9.9.9",)], "src_ip string")
+    assert len(out) == 3  # no row multiplication
+    hits = [r for r in out if r["src_ip"] == "1.2.3.4"]
+    assert all(r["geo.country"] == "CA" for r in hits)  # deterministic pick
+
+
+def test_geoip_range_overlap_most_specific_wins(spark, registry):
+    """Overlapping IP ranges (normal in CIDR data) resolve to the
+    NARROWEST covering range — most-specific-prefix semantics — and
+    never duplicate the fact row."""
+    def ip2long(ip):
+        a, b, c, d = (int(x) for x in ip.split("."))
+        return (a << 24) | (b << 16) | (c << 8) | d
+    dim = spark.createDataFrame(
+        [(ip2long("10.0.0.0"), ip2long("10.255.255.255"), "broad"),
+         (ip2long("10.1.0.0"), ip2long("10.1.255.255"), "narrow"),
+         (ip2long("10.1.2.0"), ip2long("10.1.2.255"), "narrowest")],
+        "lo long, hi long, net string")
+    registry.dims["ranges.mmdb"] = dim
+    out = run_one(
+        spark, registry,
+        [{"geoip": {"field": "ip", "database_file": "ranges.mmdb",
+                    "range_keys": ["lo", "hi"], "target_field": "geo"}}],
+        [("10.1.2.3",), ("10.1.9.9",), ("10.200.0.1",), ("11.0.0.1",)],
+        "ip string")
+    assert len(out) == 4
+    by_ip = {r["ip"]: r for r in out}
+    assert by_ip["10.1.2.3"]["geo.net"] == "narrowest"
+    assert by_ip["10.1.9.9"]["geo.net"] == "narrow"
+    assert by_ip["10.200.0.1"]["geo.net"] == "broad"
+    assert by_ip["11.0.0.1"]["geo.net"] is None
