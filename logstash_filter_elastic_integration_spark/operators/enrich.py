@@ -21,15 +21,25 @@ from pyspark.sql import Window, functions as F
 from ..plans.document import fcol, guarded
 
 
+def _localize(df):
+    """Materialize a (tiny, broadcast-sized) dim preparation as a driver-
+    side local relation.  The dedupe/segmentation below needs a groupBy or
+    window — running it lazily would put an Exchange inside the fact
+    query's broadcast subtree and break the engine's zero-shuffle plan
+    guarantee.  Collecting once at compile time mirrors the reference,
+    which loads entire lookup databases (.mmdb) into memory on every node."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+
 def _dedupe_dim(dim, key_col: str, props: list[str]):
     """One record per key (reference returns exactly one per IP/lookup key):
     duplicate dim keys in a left join would MULTIPLY fact rows and corrupt
-    downstream sink counts.  Deterministic pick: smallest property tuple.
-    Dim is broadcast-sized, so the single-partition window is free."""
-    order = [F.col(p) for p in props] or [F.col(key_col)]
+    downstream sink counts.  Deterministic pick: smallest property tuple."""
+    order = [fcol(p) for p in props] or [fcol(key_col)]
     w = Window.partitionBy(key_col).orderBy(*order)
-    return (dim.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+    return _localize(
+        dim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn"))
 
 
 def _disjoint_narrowest(dim, lo: str, hi: str, props: list[str]):
@@ -38,9 +48,9 @@ def _disjoint_narrowest(dim, lo: str, hi: str, props: list[str]):
     specific prefix wins — normal in geoip data).  Boundary sweep: every
     [lo, hi] contributes boundaries lo and hi+1; adjacent boundaries form
     segments; a range covers a segment entirely or not at all; rank covers
-    by width.  All dim-side (broadcast-sized), so the fact join stays a
-    broadcast range join with at most ONE match per row — no fact-side
-    dedup shuffle needed at any scale."""
+    by width.  All dim-side (broadcast-sized, materialized at compile), so
+    the fact join stays a broadcast range join with at most ONE match per
+    row — no fact-side dedup shuffle needed at any scale."""
     bounds = (dim.select(F.col(lo).alias("b"))
               .union(dim.select((F.col(hi) + 1).alias("b"))).distinct())
     w = Window.orderBy("b")  # dim-sized: single task is fine
@@ -51,10 +61,11 @@ def _disjoint_narrowest(dim, lo: str, hi: str, props: list[str]):
                    & (F.col("__seg_hi") <= F.col(hi)))
     wn = Window.partitionBy("__seg_lo").orderBy(
         (F.col(hi) - F.col(lo)).asc(), F.col(lo).asc())
-    return (cov.withColumn("__rn", F.row_number().over(wn))
-            .filter(F.col("__rn") == 1)
-            .select(F.col("__seg_lo").alias(lo),
-                    F.col("__seg_hi").alias(hi), *props))
+    return _localize(
+        cov.withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("__seg_lo").alias(lo),
+                F.col("__seg_hi").alias(hi), *props))
 
 
 def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,

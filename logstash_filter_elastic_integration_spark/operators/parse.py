@@ -141,19 +141,26 @@ def p_grok(df, spec, ctx):
         out_fields = list(compiled.fields)
         schema = T.StructType(
             [T.StructField(f, T.StringType()) for f in out_fields]
-            + [T.StructField("__matched", T.BooleanType())])
+            + [T.StructField("__matched", T.BooleanType()),
+               T.StructField("__interrupted", T.BooleanType())])
+        max_exec_ms = int(cfg.get("watchdog_max_exec_ms", 1000))
 
         def extract(series):
             import pandas as pd
-            vals, matched = compiled.extract(series)
+            vals, matched, interrupted = compiled.extract(
+                series, max_exec_ms=max_exec_ms)
             vals = vals.where(pd.notna(vals), None)
             vals["__matched"] = matched
+            vals["__interrupted"] = interrupted
             return vals
 
         udf = F.pandas_udf(extract, schema)
         df = df.withColumn("__grok", udf(src))
         df = df.withColumn("__grok_matched",
                            F.coalesce(fcol("__grok")["__matched"], F.lit(False)))
+        df = df.withColumn("__grok_interrupted",
+                           F.coalesce(fcol("__grok")["__interrupted"],
+                                      F.lit(False)))
         matched = fcol("__grok_matched")
         updates = {}
         for fname in out_fields:
@@ -163,17 +170,28 @@ def p_grok(df, spec, ctx):
                 val = val.cast(_SPARK_TYPE[gtype])
             updates[fname] = val
         df = guarded(df, active & matched, updates).drop("__grok")
+        # watchdog parity (EventProcessorBuilder.java:224-225): interrupted
+        # rows fail with the reference's MatcherWatchdog message, distinct
+        # from a plain no-match
+        df = ctx.fail(df, active & fcol("__grok_interrupted"), spec,
+                      "grok pattern matching was interrupted after "
+                      f"[{max_exec_ms}] ms")
 
     if not ignore_missing:
         df = ctx.fail(
             df, active & src.isNull(), spec,
             "java.lang.IllegalArgumentException: field "
             f"[{f_name}] not present as part of path [{f_name}]")
-    df = ctx.fail(df, active & src.isNotNull() & ~matched, spec,
+    no_match = active & src.isNotNull() & ~matched
+    if "__grok_interrupted" in df.columns:
+        no_match = no_match & ~fcol("__grok_interrupted")
+    df = ctx.fail(df, no_match,
+                  spec,
                   "Provided Grok expressions do not match field value: ["
                   + f_name + "]")
-    if "__grok_matched" in df.columns:
-        df = df.drop("__grok_matched")
+    for c in ("__grok_matched", "__grok_interrupted"):
+        if c in df.columns:
+            df = df.drop(c)
     return df
 
 

@@ -236,7 +236,22 @@ def compile_pipeline(pipeline: IngestPipeline, registry: PipelineRegistry,
 def prepare(df: DataFrame) -> DataFrame:
     """Add engine state columns + pristine snapshot (the analogue of keeping
     the original Event alive while the IngestDocument mutates —
-    EventProcessor.java:176-184 needs it back on failure)."""
+    EventProcessor.java:176-184 needs it back on failure).
+
+    Input ``tags`` shape enforcement (IngestDuplexMarshaller.java:486-509
+    sanitizeEventOptionalTags): a string becomes a one-element list, a
+    string-array passes through, and any non-coercible shape moves to
+    ``_tags`` (the engine's required tags column is recreated empty) —
+    BEFORE the pristine snapshot, so failure-restore keeps the sanitized
+    view."""
+    if "tags" in df.columns:
+        dt = df.schema["tags"].dataType
+        if isinstance(dt, T.StringType):
+            df = df.withColumn("tags", F.array(fcol("tags")))
+        elif not (isinstance(dt, T.ArrayType)
+                  and isinstance(dt.elementType, T.StringType)):
+            df = df.withColumn("_tags", fcol("tags")) \
+                   .withColumn("tags", F.lit(None).cast("array<string>"))
     user_cols = [c for c in df.columns if c not in RESERVED]
     df = df.withColumn(PRISTINE, F.struct(*[fcol(c).alias(c) for c in user_cols]))
     if "tags" not in df.columns:
@@ -299,17 +314,39 @@ def finalize(df: DataFrame) -> DataFrame:
     df = df.withColumn(
         "target_ingest_pipeline", F.when(~failed, F.lit("_none")))
     df = sanitize_reserved(df)
+    df = surface_ingest_document_metadata(df)
     return df.drop(PRISTINE)
+
+
+def _ts_fallback(df: DataFrame):
+    """@timestamp fallback chain (IngestDuplexMarshaller.java
+    sanitizeEventRequiredTimestamp): `event.created` -> ingest timestamp
+    (current_timestamp is evaluated once per query — the Spark analogue of
+    the document's init/ingest time)."""
+    now_s = F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    chain = []
+    if "event.created" in df.columns and isinstance(
+            df.schema["event.created"].dataType, T.StringType):
+        ec = fcol("event.created")
+        chain.append(F.when(F.try_to_timestamp(ec).isNotNull(), ec))
+    chain.append(now_s)
+    return F.coalesce(*chain)
 
 
 def sanitize_reserved(df: DataFrame) -> DataFrame:
     """Reserved-field sanitization on the way out (SURVEY §1.3;
-    IngestDuplexMarshaller.java:237-252,357-413 + docs/index.asciidoc
-    fallback table): a pipeline-written ``@timestamp`` that is not a
-    coercible timestamp moves to ``_@timestamp`` (exercised by the dissect
-    golden, spec/integration/elastic_integration_spec.rb:323); ``@version``
-    must be a string-encoded integer else it moves to ``_@version`` and the
-    default "1" applies."""
+    IngestDuplexMarshaller.java:237-252,357-509 + docs/index.asciidoc
+    fallback table):
+
+    - ``@timestamp`` that is not a coercible timestamp moves to
+      ``_@timestamp`` (dissect golden, spec/integration/
+      elastic_integration_spec.rb:323) and the required value falls back
+      to ``event.created`` then the ingest timestamp;
+    - ``@version`` must be a string-encoded integer else it moves to
+      ``_@version`` and the default "1" applies;
+    - ``@metadata`` must be map-shaped (MapType/StructType in the static
+      model) else it moves to ``_@metadata`` and an empty map applies.
+    """
     if "@timestamp" in df.columns:
         dt = df.schema["@timestamp"].dataType
         if isinstance(dt, T.StringType):
@@ -321,14 +358,53 @@ def sanitize_reserved(df: DataFrame) -> DataFrame:
             ).isNotNull()
             df = df.withColumn("_@timestamp",
                                F.when(v.isNotNull() & ~coercible, v))
-            df = df.withColumn("@timestamp", F.when(coercible, v))
+            df = df.withColumn(
+                "@timestamp",
+                F.when(coercible, v).otherwise(_ts_fallback(df)))
+        elif not isinstance(dt, (T.TimestampType, T.DateType)):
+            # non-string, non-temporal: the reference brute-forces
+            # toString -> Timestamp(...), which fails for these shapes ->
+            # original to _@timestamp, required value from the fallbacks
+            df = df.withColumn("_@timestamp", fcol("@timestamp"))
+            df = df.withColumn("@timestamp", _ts_fallback(df))
     if "@version" in df.columns:
         v = fcol("@version").cast("string")
         ok = v.rlike("^[0-9]+$")
         df = df.withColumn("_@version", F.when(v.isNotNull() & ~ok, v))
         df = df.withColumn("@version",
                            F.when(ok, v).otherwise(F.lit("1")))
+    if "@metadata" in df.columns:
+        dt = df.schema["@metadata"].dataType
+        if not isinstance(dt, (T.MapType, T.StructType)):
+            df = df.withColumn("_@metadata", fcol("@metadata"))
+            df = df.withColumn(
+                "@metadata",
+                F.create_map().cast("map<string,string>"))
     return df
+
+
+def surface_ingest_document_metadata(df: DataFrame) -> DataFrame:
+    """``[@metadata][_ingest_document]`` surfacing
+    (IngestDuplexMarshaller.java:331-346 normalizeIngestDocumentMetadata):
+    the document's index/id/version/version_type/routing plus the ingest
+    timestamp become the flat struct column ``@metadata._ingest_document``
+    (the flat-model spelling of the nested path).  Only metadata columns
+    present in the frame are included (nulls are removed in the
+    reference); ``version`` defaults to 1 and ``timestamp`` is always
+    set."""
+    parts = []
+    for out_name, col_name in (("index", "_index"), ("id", "_id"),
+                               ("version_type", "_version_type"),
+                               ("routing", "_routing")):
+        if col_name in df.columns:
+            parts.append(fcol(col_name).alias(out_name))
+    version = (fcol("_version").cast("long") if "_version" in df.columns
+               else F.lit(1).cast("long"))
+    parts.append(version.alias("version"))
+    parts.append(F.date_format(
+        F.current_timestamp(),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("timestamp"))
+    return df.withColumn("@metadata._ingest_document", F.struct(*parts))
 
 
 def run_pipeline(df: DataFrame, name: str, registry: PipelineRegistry,

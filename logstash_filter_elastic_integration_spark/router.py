@@ -44,6 +44,16 @@ class Router:
     max_hops: int = 3
     bucket_count: int = 16
     ts_window: str = "1 hour"
+    # pipeline-name override resolvers (plugin `pipeline_name` option).
+    # pipeline_name: a constant or sprintf template ("logs-%{[svc]}") that
+    # BYPASSES index-based resolution (SprintfTemplateEventToPipelineName-
+    # Resolver.java:32-60); a row whose template doesn't fully resolve
+    # passes through unmodified (reference :128-132).  pipeline_field: take
+    # the name from a field's string value (FieldValueEventToPipelineName-
+    # Resolver.java).  Reroute hops still re-resolve via the index, like
+    # the reference's reroute loop.
+    pipeline_name: str | None = None
+    pipeline_field: str | None = None
 
     def resolve_index(self, df: DataFrame) -> DataFrame:
         if "_index" in df.columns:
@@ -55,6 +65,46 @@ class Router:
             parts.append(F.coalesce(fcol(c).cast("string"), F.lit(default))
                          if c in df.columns else F.lit(default))
         return df.withColumn("_index", F.concat_ws("-", *parts))
+
+    def _resolve_pipeline_name(self, df: DataFrame) -> Column:
+        """Initial per-row pipeline name: override resolvers first
+        (sprintf template / field value), else the index routing table.
+        Null = unresolved -> the row passes through unmodified."""
+        if self.pipeline_name is not None:
+            return self._sprintf_expr(self.pipeline_name, df)
+        if self.pipeline_field is not None:
+            if self.pipeline_field not in df.columns:
+                return F.lit(None).cast("string")
+            return fcol(self.pipeline_field).cast("string")
+        return self._pipeline_for_index(fcol("_index"))
+
+    _SPRINTF = __import__("re").compile(r"%\{([^}]+)\}")
+
+    def _sprintf_expr(self, template: str, df: DataFrame) -> Column:
+        """Logstash sprintf template -> Column.  Field refs ``%{name}`` /
+        ``%{[a][b]}`` map to (dotted) flat columns; a reference to a
+        missing column or a null value leaves the template unresolved for
+        that row (the reference checks for a leftover ``%{`` and returns
+        empty -> passthrough)."""
+        parts: list[Column] = []
+        unresolved = F.lit(False)
+        pos = 0
+        for m in self._SPRINTF.finditer(template):
+            if m.start() > pos:
+                parts.append(F.lit(template[pos:m.start()]))
+            ref = m.group(1)
+            name = ref.strip("[]").replace("][", ".")
+            if name in df.columns:
+                col = fcol(name).cast("string")
+                unresolved = unresolved | col.isNull()
+                parts.append(F.coalesce(col, F.lit("")))
+            else:
+                unresolved = F.lit(True)
+            pos = m.end()
+        if pos < len(template):
+            parts.append(F.lit(template[pos:]))
+        value = F.concat(*parts) if parts else F.lit("")
+        return F.when(~unresolved, value)
 
     def _pipeline_for_index(self, index: Column) -> Column:
         """Routing WHEN-chain: exact entries first, then '*' prefixes by
@@ -146,9 +196,22 @@ class Router:
         reroute-free routing table compiles to exactly one narrow pass."""
         df = self.resolve_index(df)
         df = prepare(df)
-        df = df.withColumn("__pipeline", self._pipeline_for_index(fcol("_index")))
+        df = df.withColumn("__pipeline", self._resolve_pipeline_name(df))
 
         hop_pipelines = self._reachable_pipelines()
+        if self.pipeline_name is not None or self.pipeline_field is not None:
+            # dynamic override can resolve to names no static analysis can
+            # enumerate: rows naming an unregistered pipeline fail with the
+            # reference's "pipeline not loaded" (EventProcessor.java:160-168)
+            from .plans.pipeline import CompileContext, ProcessorSpec
+            known = set(self.registry.pipelines) | {"_none"}
+            unknown = (fcol("__pipeline").isNotNull()
+                       & ~fcol("__pipeline").isin(*known))
+            ctx = CompileContext(self.registry, "_resolver")
+            df = ctx.fail(df, ctx.base_active(df) & unknown,
+                          ProcessorSpec("pipeline", {}),
+                          F.concat(F.lit("pipeline not loaded ["),
+                                   fcol("__pipeline"), F.lit("]")))
         for hop in range(self.max_hops):
             if not hop_pipelines:
                 break
@@ -199,9 +262,18 @@ class Router:
         return df.drop("__pipeline")
 
     def _reachable_pipelines(self) -> list[str]:
-        """Pipelines the routing table can assign — rows can never carry any
-        other name, so only these get inlined (registered or not: unknown
-        names take the 'pipeline not loaded' failure branch)."""
+        """Pipelines hop 0 can assign.  With a constant pipeline_name
+        override only that one is reachable; a dynamic override (sprintf
+        template / field value) can produce any registered name, so every
+        registered pipeline gets a gated inline (superset-safe — gates are
+        per row).  Otherwise: the routing table's targets."""
+        if self.pipeline_name is not None:
+            if "%{" not in self.pipeline_name:
+                return ([self.pipeline_name]
+                        if self.pipeline_name != "_none" else [])
+            return list(self.registry.pipelines)
+        if self.pipeline_field is not None:
+            return list(self.registry.pipelines)
         seen: list[str] = []
         for v in self.routing.values():
             if v not in seen and v != "_none":

@@ -204,7 +204,9 @@ def test_reserved_timestamp_fallback(spark, registry):
         [("[01/Apr/2023:22:00:52 +0000] hello",)], "line string")
     r = out[0]
     assert r["_@timestamp"] == "01/Apr/2023:22:00:52 +0000"
-    assert r["@timestamp"] is None
+    # the required @timestamp falls back to the ingest timestamp
+    # (IngestDuplexMarshaller sanitizeEventRequiredTimestamp chain)
+    assert r["@timestamp"] is not None and r["@timestamp"].startswith("20")
     assert r["msg"] == "hello"
 
 
@@ -263,3 +265,92 @@ def test_geoip_range_overlap_most_specific_wins(spark, registry):
     assert by_ip["10.1.9.9"]["geo.net"] == "narrow"
     assert by_ip["10.200.0.1"]["geo.net"] == "broad"
     assert by_ip["11.0.0.1"]["geo.net"] is None
+
+
+def test_grok_watchdog_interrupts_pathological_pattern(spark, registry):
+    """A catastrophically backtracking (pattern, input) pair must not stall
+    the executor: the per-row watchdog interrupts it and the row fails with
+    the reference's MatcherWatchdog message (EventProcessorBuilder.java:
+    224-225), distinct from a plain no-match."""
+    out = run_one(
+        spark, registry,
+        [{"grok": {"field": "msg", "patterns": [r"(a+)+c$"],
+                   "watchdog_max_exec_ms": 200}}],
+        [("a" * 3000 + "b",), ("ok",)], "msg string")
+    by = {r["msg"][:2]: r for r in out}
+    tags = " ".join(by["aa"]["tags"] or [])
+    assert "_grok_parse_failure" in tags or by["aa"]["tags"]
+    # distinct watchdog failure message recorded
+    fails = by["aa"].get("_ingest_pipeline_failure") or ""
+    assert "interrupted" in str(fails)
+    # the healthy row is a plain no-match, not an interruption
+    fails_ok = str(by["ok"].get("_ingest_pipeline_failure") or "")
+    assert "interrupted" not in fails_ok
+
+
+def test_reserved_timestamp_event_created_fallback(spark, registry):
+    """IngestDuplexMarshallerTest ingestDocToEventRemovedAtTimestampWith
+    EventCreatedAt: a non-coercible @timestamp falls back to the ECS
+    `event.created` value before the ingest timestamp."""
+    out = run_one(
+        spark, registry,
+        [{"set": {"field": "@timestamp", "value": "not a time"}},
+         {"set": {"field": "event.created",
+                  "value": "2020-01-23T17:45:21.918Z"}}],
+        [("x",)], "other string")
+    r = out[0]
+    assert r["_@timestamp"] == "not a time"
+    assert r["@timestamp"] == "2020-01-23T17:45:21.918Z"
+
+
+def test_reserved_metadata_shape_enforced(spark, registry):
+    """IngestDuplexMarshallerTest ingestDocToEventIncludingReservedAt
+    MetadataFieldWithInvalidShape: a scalar @metadata moves to _@metadata
+    and the required map applies."""
+    out = run_one(
+        spark, registry,
+        [{"set": {"field": "@metadata", "value": "wrong-shape"}}],
+        [("x",)], "other string")
+    r = out[0]
+    assert r["_@metadata"] == "wrong-shape"
+    assert r["@metadata"] == {}
+
+
+def test_reserved_tags_shapes(spark):
+    """sanitizeEventOptionalTags: string tags coerce to a one-element list;
+    a non-coercible (numeric) tags input moves to _tags."""
+    from logstash_filter_elastic_integration_spark.plans import (
+        PipelineRegistry, run_pipeline)
+    reg = PipelineRegistry()
+    reg.register("t", {"processors": [
+        {"set": {"field": "seen", "value": "y"}}]})
+    df = spark.createDataFrame([("hello", "strtag")], "msg string, tags string")
+    r = run_pipeline(df, "t", reg).collect()[0].asDict()
+    assert r["tags"] == ["strtag"]
+
+    df2 = spark.createDataFrame([("hello", 42)], "msg string, tags int")
+    r2 = run_pipeline(df2, "t", reg).collect()[0].asDict()
+    assert r2["_tags"] == 42
+    assert r2["tags"] is None or r2["tags"] == []
+
+
+def test_ingest_document_metadata_surfaced(spark):
+    """normalizeIngestDocumentMetadata (IngestDuplexMarshaller.java:331-346):
+    [@metadata][_ingest_document] carries index/version/timestamp; absent
+    metadata keys are excluded, version defaults to 1."""
+    from logstash_filter_elastic_integration_spark.plans import (
+        PipelineRegistry, run_pipeline)
+    reg = PipelineRegistry()
+    reg.register("m", {"processors": []})
+    df = spark.createDataFrame([("logs-x", "hi")], "_index string, msg string")
+    r = run_pipeline(df, "m", reg).collect()[0].asDict()
+    meta = r["@metadata._ingest_document"]
+    assert meta["index"] == "logs-x"
+    assert meta["version"] == 1
+    assert meta["timestamp"] is not None
+    assert "routing" not in meta.asDict()
+
+    # no _index column -> index key excluded entirely
+    df2 = spark.createDataFrame([("hi",)], "msg string")
+    r2 = run_pipeline(df2, "m", reg).collect()[0].asDict()
+    assert "index" not in r2["@metadata._ingest_document"].asDict()
