@@ -24,8 +24,9 @@ def p_set(df, spec, ctx):
     field = cfg["field"]
     active = ctx.active(df, spec)
     if "copy_from" in cfg:
-        src = cfg["copy_from"]
-        value = fcol(src) if src in df.columns else F.lit(None)
+        from ..plans.document import resolve_field
+        # resolve_field: static column, else the _extras dynamic-field map
+        value, _ = resolve_field(df, cfg["copy_from"])
     else:
         value = template_column(df, cfg.get("value"))
     if not cfg.get("override", True) and field in df.columns:

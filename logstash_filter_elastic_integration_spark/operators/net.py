@@ -106,28 +106,73 @@ def p_html_strip(df, spec, ctx):
 
 
 # ------------------------------------------------------------ user_agent ---
-# Curated subset of the public ua-parser core regexes (uap-core, public
-# domain data): enough for mainstream browsers/bots; unknown -> "Other"
-# (mirrors the ES processor's default-regex behavior at a reduced vocab —
-# our transcript tool/agent vocabulary is bounded).
+# Browser/OS/device regex bank re-expressed from the public ua-parser
+# core definitions (uap-core, public-domain data — the same dataset the
+# ES processor ships per docs/index.asciidoc:200).  Ordered: FIRST match
+# wins, so specific families (Opera variants, Samsung Internet, UC, Edge,
+# Yandex, mobile Chrome/Firefox/Safari) precede the generic engines they
+# embed.  Unknown -> "Other".
 _UA_BROWSERS = [
+    ("Opera Mini", r"Opera Mini/(\d+)\.(\d+)"),
+    ("Opera Mobile", r"Opera Mobi.*?Version/(\d+)\.(\d+)"),
+    ("Opera", r"OPR/(\d+)\.(\d+)\.(\d+)"),
+    ("Opera", r"Opera[ /](\d+)\.(\d+)"),
+    ("Samsung Internet", r"SamsungBrowser/(\d+)\.(\d+)"),
+    ("UC Browser", r"UC ?Browser/(\d+)\.(\d+)\.(\d+)"),
+    ("Yandex Browser", r"YaBrowser/(\d+)\.(\d+)\.(\d+)"),
+    ("QQ Browser", r"M?QQBrowser/(\d+)\.(\d+)"),
+    ("Vivaldi", r"Vivaldi/(\d+)\.(\d+)"),
     ("Edge", r"Edg(?:e|A|iOS)?/(\d+)\.(\d+)\.?(\d+)?"),
-    ("Chrome Mobile", r"CriOS/(\d+)\.(\d+)\.(\d+)"),
+    ("Electron", r"Electron/(\d+)\.(\d+)\.(\d+)"),
+    ("HeadlessChrome", r"HeadlessChrome/(\d+)\.(\d+)\.(\d+)"),
+    ("Chrome Mobile iOS", r"CriOS/(\d+)\.(\d+)\.(\d+)"),
+    ("Chrome Mobile", r"Chrome/(\d+)\.(\d+)\.(\d+)[0-9.]* Mobile"),
+    ("Chromium", r"Chromium/(\d+)\.(\d+)\.(\d+)"),
     ("Chrome", r"Chrome/(\d+)\.(\d+)\.(\d+)(?:\.(\d+))?"),
+    ("Firefox iOS", r"FxiOS/(\d+)\.(\d+)"),
+    ("Firefox Mobile", r"(?:Mobile|Tablet).*?Firefox/(\d+)\.(\d+)"),
     ("Firefox", r"Firefox/(\d+)\.(\d+)(?:\.(\d+))?"),
+    ("Mobile Safari", r"Version/(\d+)\.(\d+)(?:\.(\d+))?.*Mobile.*Safari/"),
     ("Safari", r"Version/(\d+)\.(\d+)(?:\.(\d+))? .*Safari/"),
+    ("IE", r"Trident/.*rv[ :](\d+)\.(\d+)"),
     ("IE", r"MSIE (\d+)\.(\d+)"),
     ("curl", r"curl/(\d+)\.(\d+)\.?(\d+)?"),
+    ("Wget", r"[Ww]get/(\d+)\.(\d+)"),
     ("Python Requests", r"python-requests/(\d+)\.(\d+)"),
+    ("Python-urllib", r"Python-urllib/(\d+)\.(\d+)"),
+    ("Go-http-client", r"Go-http-client/(\d+)\.?(\d+)?"),
+    ("okhttp", r"okhttp/(\d+)\.(\d+)\.(\d+)"),
+    ("Java", r"Java/(\d+)\.(\d+)"),
     ("Googlebot", r"Googlebot/(\d+)\.(\d+)"),
+    ("bingbot", r"bingbot/(\d+)\.(\d+)"),
+    ("Baiduspider", r"Baiduspider[+ /]*(\d+)?\.?(\d+)?"),
+    ("YandexBot", r"YandexBot/(\d+)\.(\d+)"),
+    ("DuckDuckBot", r"DuckDuckBot/(\d+)\.(\d+)"),
+    ("Slackbot", r"Slackbot(?:-LinkExpanding)? ?(\d+)?\.?(\d+)?"),
+    ("Twitterbot", r"Twitterbot/(\d+)\.(\d+)"),
+    ("FacebookBot", r"facebookexternalhit/(\d+)\.(\d+)"),
+    ("Apple Mail", r"AppleWebKit/.*\(KHTML, like Gecko\)$"),
 ]
 _UA_OS = [
-    ("Mac OS X", r"Mac OS X (\d+)[_.](\d+)(?:[_.](\d+))?"),
-    ("iOS", r"iPhone OS (\d+)_(\d+)"),
+    ("Windows Phone", r"Windows Phone (?:OS )?(\d+)\.(\d+)"),
+    ("Chrome OS", r"CrOS [a-z0-9_]+ (\d+)\.(\d+)\.(\d+)"),
     ("Android", r"Android (\d+)\.?(\d+)?"),
+    ("iOS", r"iPhone OS (\d+)_(\d+)"),
+    ("iOS", r"CPU OS (\d+)_(\d+)"),
+    ("Mac OS X", r"Mac OS X (\d+)[_.](\d+)(?:[_.](\d+))?"),
     ("Windows", r"Windows NT (\d+)\.(\d+)"),
+    ("Tizen", r"Tizen[ /](\d+)\.(\d+)"),
+    ("FreeBSD", r"FreeBSD"),
+    ("Ubuntu", r"Ubuntu"),
+    ("Fedora", r"Fedora"),
+    ("Debian", r"Debian"),
+    ("Android", r"Android"),
     ("Linux", r"Linux"),
 ]
+# uap-core maps Windows NT kernel versions to marketing versions
+_WINDOWS_NT_VERSIONS = {"10.0": "10", "6.3": "8.1", "6.2": "8",
+                        "6.1": "7", "6.0": "Vista", "5.2": "XP",
+                        "5.1": "XP", "5.0": "2000"}
 
 
 def p_user_agent(df, spec, ctx):
@@ -142,31 +187,48 @@ def p_user_agent(df, spec, ctx):
         return df
     ua = fcol(f_name).cast("string")
 
-    name = F.lit("Other")
-    version = F.lit(None).cast("string")
-    for bname, rx in reversed(_UA_BROWSERS):
-        hit = ua.rlike(rx)
+    def _version_of(rx: str):
         n_groups = rx.count("(") - rx.count("(?:")
-        ver_parts = [F.regexp_extract(ua, rx, i)
-                     for i in range(1, n_groups + 1)]
-        ver = F.concat_ws(".", *[F.when(p != "", p) for p in ver_parts])
-        name = F.when(hit, F.lit(bname)).otherwise(name)
-        version = F.when(hit, ver).otherwise(version)
+        if n_groups == 0:
+            return F.lit(None).cast("string")
+        parts = [F.regexp_extract(ua, rx, i) for i in range(1, n_groups + 1)]
+        return F.concat_ws(".", *[F.when(p != "", p) for p in parts])
 
-    os_name = F.lit("Other")
-    os_version = F.lit(None).cast("string")
-    for oname, rx in reversed(_UA_OS):
+    # FORWARD-ordered CASE chains: first matching family wins AND codegen
+    # short-circuits — a Chrome UA only executes regexes up to the Chrome
+    # rule instead of the full bank
+    name = F.when(F.lit(False), F.lit(None).cast("string"))
+    version = F.when(F.lit(False), F.lit(None).cast("string"))
+    for bname, rx in _UA_BROWSERS:
         hit = ua.rlike(rx)
-        ver_parts = [F.regexp_extract(ua, rx, i) for i in (1, 2)] if "(" in rx else []
-        ver = (F.concat_ws(".", *[F.when(p != "", p) for p in ver_parts])
-               if ver_parts else F.lit(None).cast("string"))
-        os_name = F.when(hit, F.lit(oname)).otherwise(os_name)
-        os_version = F.when(hit, ver).otherwise(os_version)
+        name = name.when(hit, F.lit(bname))
+        version = version.when(hit, _version_of(rx))
+    name = name.otherwise(F.lit("Other"))
+    version = version.otherwise(F.lit(None).cast("string"))
+
+    nt = F.regexp_extract(ua, r"Windows NT (\d+\.\d+)", 1)
+    win_ver = F.when(F.lit(False), F.lit(None).cast("string"))
+    for kernel, marketing in _WINDOWS_NT_VERSIONS.items():
+        win_ver = win_ver.when(nt == kernel, F.lit(marketing))
+    win_ver = win_ver.otherwise(F.when(nt != "", nt))
+    os_name = F.when(F.lit(False), F.lit(None).cast("string"))
+    os_version = F.when(F.lit(False), F.lit(None).cast("string"))
+    for oname, rx in _UA_OS:
+        hit = ua.rlike(rx)
+        os_name = os_name.when(hit, F.lit(oname))
+        os_version = os_version.when(
+            hit, win_ver if oname == "Windows" else _version_of(rx))
+    os_name = os_name.otherwise(F.lit("Other"))
+    os_version = os_version.otherwise(F.lit(None).cast("string"))
 
     device = (F.when(ua.rlike(r"iPhone"), "iPhone")
               .when(ua.rlike(r"iPad"), "iPad")
+              .when(ua.rlike(r"SM-[A-Za-z0-9]+"),
+                    F.concat(F.lit("Samsung "),
+                             F.regexp_extract(ua, r"(SM-[A-Za-z0-9]+)", 1)))
               .when(ua.rlike(r"Macintosh"), "Mac")
-              .when(ua.rlike(r"Android"), "Generic Smartphone")
+              .when(ua.rlike(r"Android.*Mobile"), "Generic Smartphone")
+              .when(ua.rlike(r"Android"), "Generic Tablet")
               .when(ua.rlike(r"(?i)bot|spider|crawler"), "Spider")
               .otherwise("Other"))
     updates = {
@@ -212,6 +274,16 @@ def _in_cidrs(ip_long: Column, cidrs: list[tuple[str, int]]) -> Column:
     return cond
 
 
+# IPv6 named ranges as nibble-hex prefixes of the exploded address
+_NAMED_RANGES_V6 = {
+    "private": ["fc", "fd"],                       # fc00::/7 ULA
+    "loopback": ["0" * 31 + "1"],                  # ::1/128
+    "link_local_unicast": ["fe8", "fe9", "fea", "feb"],  # fe80::/10
+    "multicast": ["ff"],                           # ff00::/8
+    "unspecified": ["0" * 32],                     # ::/128
+}
+
+
 def p_network_direction(df, spec, ctx):
     cfg = spec.config
     networks = cfg.get("internal_networks", [])
@@ -220,9 +292,18 @@ def p_network_direction(df, spec, ctx):
     target = cfg.get("target_field", "network.direction")
     active = ctx.active(df, spec)
     cidrs: list[tuple[str, int]] = []
+    v6_prefixes: list[str] = []
     for n in networks:
         if n in _NAMED_RANGES:
             cidrs.extend(_NAMED_RANGES[n])
+            v6_prefixes.extend(_NAMED_RANGES_V6.get(n, []))
+        elif ":" in n:
+            # IPv6 literal / CIDR: matched as a nibble-aligned hex prefix
+            import ipaddress
+            net = ipaddress.ip_network(n, strict=False)
+            nibbles = net.prefixlen // 4
+            v6_prefixes.append(
+                net.network_address.exploded.replace(":", "")[:nibbles])
         elif "/" in n:
             net, p = n.split("/")
             cidrs.append((net, int(p)))
@@ -230,8 +311,20 @@ def p_network_direction(df, spec, ctx):
             cidrs.append((n, 32))
     src = fcol(src_f).cast("string") if src_f in df.columns else F.lit(None).cast("string")
     dst = fcol(dst_f).cast("string") if dst_f in df.columns else F.lit(None).cast("string")
-    src_in = _in_cidrs(_ip4_to_long(src), cidrs)
-    dst_in = _in_cidrs(_ip4_to_long(dst), cidrs)
+
+    def _in_nets(ip):
+        v4 = _in_cidrs(_ip4_to_long(ip), cidrs)
+        if not v6_prefixes:
+            return F.when(ip.rlike(_IPV4_RX), v4).otherwise(F.lit(False))
+        hx = _ip6_hex(ip)
+        v6 = F.lit(False)
+        for pfx in v6_prefixes:
+            v6 = v6 | hx.startswith(pfx)
+        return F.when(ip.rlike(_IPV4_RX), v4) \
+            .otherwise(F.coalesce(v6, F.lit(False)))
+
+    src_in = _in_nets(src)
+    dst_in = _in_nets(dst)
     direction = (F.when(src_in & dst_in, "internal")
                  .when(src_in, "outbound")
                  .when(dst_in, "inbound")
@@ -243,20 +336,123 @@ def p_network_direction(df, spec, ctx):
 
 
 # ---------------------------------------------------- registered_domain ----
-# Compact public-suffix set (subset of the public PSL) — when-chain, longest
-# suffix first; bounded vocab keeps this JVM-side.
-_PUBLIC_SUFFIXES = [
-    "ac.uk", "co.uk", "gov.uk", "org.uk", "net.uk",
-    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
-    "com.br", "com.cn", "com.mx", "co.in", "co.nz", "co.za",
-    "com", "org", "net", "edu", "gov", "mil", "int", "io", "dev", "app",
-    "co", "ai", "uk", "de", "fr", "jp", "cn", "au", "br", "in", "nl", "se",
-    "no", "es", "it", "ru", "ch", "at", "be", "dk", "fi", "pl", "nz", "za",
-    "mx", "ar", "tv", "me", "cc", "us", "ca", "eu", "info", "biz", "name",
-]
+# Public Suffix List rules (public data, publicsuffix.org).  Shipped: a
+# broad builtin subset (every common gTLD/ccTLD second-level registry
+# family) plus FULL PSL *algorithm* semantics — wildcard rules ("*.ck"),
+# exception rules ("!www.ck"), longest-match-wins, and the implicit
+# default rule "*" (unknown TLD -> last label).  A complete PSL file can
+# be side-loaded via processor config ``psl_file`` (one rule per line,
+# publicsuffix.org format) — the implementation is a per-depth broadcast
+# hash join against the rule table, so rule-set size does not change the
+# plan shape (no when-chain growth, no fact-side shuffle).
+_PSL_RULES = """
+com org net edu gov mil int info biz name pro mobi asia xyz online site
+top club shop icu vip work live app dev io ai co me tv cc us ca eu uk de
+fr jp cn au br in nl se no es it ru ch at be dk fi pl nz za mx ar cl pe
+ve tr gr pt cz sk hu ro bg ua by kz il sa ae eg ma ng ke id my sg th vn
+ph hk tw kr is ie lu li mc sm va mt cy ee lv lt si hr rs ba mk al
+ac.uk co.uk gov.uk org.uk net.uk sch.uk me.uk ltd.uk plc.uk nhs.uk
+com.au net.au org.au edu.au gov.au asn.au id.au
+co.jp ne.jp or.jp ac.jp ad.jp ed.jp go.jp gr.jp lg.jp
+com.br net.br org.br gov.br edu.br
+com.cn net.cn org.cn gov.cn edu.cn ac.cn
+com.mx org.mx net.mx gob.mx edu.mx
+co.in net.in org.in firm.in gen.in ind.in ernet.in
+co.nz net.nz org.nz govt.nz ac.nz school.nz geek.nz gen.nz kiwi.nz
+co.za net.za org.za gov.za edu.za web.za ac.za
+co.kr ne.kr or.kr re.kr go.kr ac.kr pe.kr
+com.tw net.tw org.tw edu.tw gov.tw idv.tw
+com.hk net.hk org.hk edu.hk gov.hk idv.hk
+com.sg net.sg org.sg edu.sg gov.sg per.sg
+com.my net.my org.my edu.my gov.my
+co.id net.id or.id web.id ac.id sch.id go.id
+com.ar net.ar org.ar edu.ar gob.ar
+com.tr net.tr org.tr edu.tr gov.tr web.tr
+com.ru net.ru org.ru msk.ru spb.ru
+co.il net.il org.il ac.il gov.il muni.il
+com.ua net.ua org.ua edu.ua gov.ua in.ua kiev.ua
+com.pl net.pl org.pl edu.pl gov.pl waw.pl
+com.gr net.gr org.gr edu.gr gov.gr
+com.pt net.pt org.pt edu.pt gov.pt
+com.es nom.es org.es gob.es edu.es
+com.it
+co.at or.at ac.at gv.at
+com.de com.se
+co.th in.th or.th ac.th go.th net.th
+com.vn net.vn org.vn edu.vn gov.vn
+com.ph net.ph org.ph edu.ph gov.ph
+com.eg net.eg org.eg edu.eg gov.eg
+com.sa net.sa org.sa edu.sa gov.sa med.sa pub.sa
+com.ae net.ae org.ae ac.ae gov.ae
+co.ke or.ke ne.ke go.ke ac.ke sc.ke
+com.ng net.ng org.ng edu.ng gov.ng
+gov.it edu.it
+co.ve com.ve net.ve org.ve gob.ve
+com.co net.co org.co edu.co gov.co nom.co
+com.pe net.pe org.pe edu.pe gob.pe nom.pe
+com.cl gob.cl gov.cl mil.cl
+co.cr ac.cr go.cr
+com.do net.do org.do edu.do gob.do
+com.uy net.uy org.uy edu.uy gub.uy
+com.py net.py org.py edu.py gov.py
+com.bo net.bo org.bo edu.bo gob.bo
+com.ec net.ec org.ec edu.ec gob.ec fin.ec med.ec pro.ec
+github.io gitlab.io pages.dev vercel.app netlify.app herokuapp.com
+appspot.com cloudfront.net azurewebsites.net blogspot.com wordpress.com
+s3.amazonaws.com elasticbeanstalk.com fastly.net web.app firebaseapp.com
+*.ck !www.ck
+*.jm *.kh
+*.er *.fk *.mm *.np *.pg
+*.bd
+gov.bd com.bd net.bd org.bd edu.bd
+ac.th
+"""
+
+
+def _psl_parse(text: str):
+    """PSL text -> (exact: set, wildcard_parents: set, exceptions: set).
+    A wildcard '*.ck' is stored by its parent 'ck'; an exception '!www.ck'
+    by its literal labels 'www.ck'."""
+    exact, wild, exc = set(), set(), set()
+    for tok in text.split():
+        tok = tok.strip().lower()
+        if not tok or tok.startswith("//"):
+            continue
+        if tok.startswith("!"):
+            exc.add(tok[1:])
+        elif tok.startswith("*."):
+            wild.add(tok[2:])
+        else:
+            exact.add(tok)
+    return exact, wild, exc
+
+
+def _psl_rule_rows(cfg) -> list[tuple[str, bool, bool]]:
+    """(suffix_key, is_wildcard_parent, is_exception) rows for the
+    broadcast rule dim; ``psl_file`` side-loads the full public list."""
+    text = _PSL_RULES
+    if cfg.get("psl_file"):
+        with open(cfg["psl_file"]) as f:
+            text = "\n".join(
+                ln.split()[0] for ln in f
+                if ln.strip() and not ln.startswith("//"))
+    exact, wild, exc = _psl_parse(text)
+    rows = [(s, False, False) for s in exact - wild - exc]
+    rows += [(s, True, False) for s in wild]
+    rows += [(s, False, True) for s in exc]
+    return rows
+
+
+_PSL_MAX_DEPTH = 4  # deepest rule family shipped/joined (PSL max ~5)
 
 
 def p_registered_domain(df, spec, ctx):
+    """PSL resolution as per-depth broadcast hash joins: candidate suffix
+    at each label depth joins the rule dim once; the winner is the longest
+    match, with exception rules overriding wildcards (publicsuffix.org
+    algorithm).  Unknown TLDs take the implicit '*' default rule: public
+    suffix = last label (matching the ES processor, which uses the same
+    list+algorithm)."""
     cfg = spec.config
     f_name = cfg["field"]
     target = cfg.get("target_field", "")
@@ -267,20 +463,48 @@ def p_registered_domain(df, spec, ctx):
             df = ctx.fail(df, active, spec,
                           f"field [{f_name}] not present as part of path [{f_name}]")
         return df
+    spark = df.sparkSession
+    rules = spark.createDataFrame(
+        _psl_rule_rows(cfg), "sfx string, wild boolean, exc boolean")
+
     domain_expr = F.lower(fcol(f_name).cast("string"))
-    # coalesce (not a nested when-chain: that copies the tree exponentially)
-    # longest-suffix-first over the bounded PSL subset
     df = df.withColumn("__rd_domain", domain_expr)
     domain = fcol("__rd_domain")
-    tld_expr = F.coalesce(*[
-        F.when(domain.endswith("." + sfx) | (domain == sfx), F.lit(sfx))
-        for sfx in sorted(_PUBLIC_SUFFIXES, key=lambda s: (-s.count("."), s))])
-    df = df.withColumn("__rd_tld", tld_expr)
+    labels = F.split(domain, r"\.")
+    nlab = F.size(labels)
+    # candidate suffix of the last k labels, joined against the rule dim
+    for k in range(1, _PSL_MAX_DEPTH + 1):
+        cand = F.when(nlab >= k, F.concat_ws(
+            ".", F.slice(labels, nlab - k + 1, k)))
+        df = df.withColumn(f"__rd_c{k}", cand)
+        dim = rules.select(F.col("sfx").alias(f"__rd_c{k}"),
+                           F.col("wild").alias(f"__rd_w{k}"),
+                           F.col("exc").alias(f"__rd_e{k}"))
+        df = df.join(F.broadcast(dim), f"__rd_c{k}", "left")
+    # longest match wins; exceptions beat wildcards; wildcard parent at
+    # depth k implies a public suffix of k+1 labels; default rule = 1 label
+    ps = F.lit(None).cast("string")
+    for k in range(1, _PSL_MAX_DEPTH + 1):
+        exact_k = F.col(f"__rd_w{k}").isNotNull() & ~F.col(f"__rd_w{k}") \
+            & ~F.col(f"__rd_e{k}")
+        # exception at depth k: the public suffix is the rule MINUS its
+        # leftmost label (the exception's own labels are registrable)
+        exc_k = F.coalesce(F.col(f"__rd_e{k}"), F.lit(False))
+        wild_k = F.coalesce(F.col(f"__rd_w{k}"), F.lit(False))
+        ps = (F.when(exc_k, F.col(f"__rd_c{k - 1}") if k > 1
+                     else F.lit(None).cast("string"))
+              .when(wild_k & (nlab >= k + 1), F.col(f"__rd_c{k + 1}")
+                    if k + 1 <= _PSL_MAX_DEPTH
+                    else F.concat_ws(".", F.slice(labels, nlab - k, k + 1)))
+              .when(exact_k, F.col(f"__rd_c{k}"))
+              .otherwise(ps))
+    ps = F.coalesce(ps, F.col("__rd_c1"))  # implicit '*' default rule
+    df = df.withColumn("__rd_tld", ps)
     tld = fcol("__rd_tld")
+    valid = tld.isNotNull() & (F.length(domain) > F.length(tld))
     stem = domain.substr(F.lit(1), F.length(domain) - F.length(tld) - F.lit(1))
     last_label = F.element_at(F.split(stem, r"\."), -1)
-    registered_expr = F.when(tld.isNotNull() & (F.length(stem) > 0),
-                             F.concat(last_label, F.lit("."), tld))
+    registered_expr = F.when(valid, F.concat(last_label, F.lit("."), tld))
     df = df.withColumn("__rd_reg", registered_expr)
     registered = fcol("__rd_reg")
     subdomain = F.when(
@@ -293,8 +517,12 @@ def p_registered_domain(df, spec, ctx):
         f"{tprefix}top_level_domain": tld,
         f"{tprefix}subdomain": subdomain,
     }
-    df = guarded(df, active & domain.isNotNull() & tld.isNotNull(), updates)
-    return df.drop("__rd_domain", "__rd_tld", "__rd_reg")
+    df = guarded(df, active & domain.isNotNull() & registered.isNotNull(),
+                 updates)
+    drops = (["__rd_domain", "__rd_tld", "__rd_reg"]
+             + [f"__rd_{p}{k}" for k in range(1, _PSL_MAX_DEPTH + 1)
+                for p in ("c", "w", "e")])
+    return df.drop(*drops)
 
 
 # -------------------------------------------------------- community_id -----
@@ -312,11 +540,63 @@ def _port_hex(col: Column) -> Column:
     return F.lpad(F.hex(col.cast("int")), 4, "0")
 
 
+_IPV4_RX = r"^(\d{1,3}\.){3}\d{1,3}$"
+
+
+def _ip6_hex(col: Column) -> Column:
+    """IPv6 string -> 32 lowercase hex chars, pure Column expressions:
+    handles :: zero-compression; invalid shapes (including embedded
+    IPv4-in-IPv6 tails) yield null so callers can fail cleanly."""
+    c = F.lower(col)
+    has2 = c.contains("::")
+    halves = F.split(c, "::", 2)
+    left = F.when(has2, F.get(halves, 0)).otherwise(c)
+    right = F.when(has2, F.coalesce(F.get(halves, 1), F.lit(""))) \
+        .otherwise(F.lit(""))
+    lp = F.filter(F.split(left, ":"), lambda x: x != "")
+    rp = F.filter(F.split(right, ":"), lambda x: x != "")
+    nmiss = F.lit(8) - F.size(lp) - F.size(rp)
+    mids = F.when(has2 & (nmiss > 0),
+                  F.transform(F.sequence(F.lit(1), nmiss),
+                              lambda _: F.lit("0"))) \
+        .otherwise(F.array().cast("array<string>"))
+    parts = F.concat(lp, mids, rp)
+    valid = (c.contains(":")
+             & (F.size(parts) == 8)
+             & (F.size(F.filter(
+                 parts, lambda p: p.rlike("^[0-9a-f]{1,4}$"))) == 8))
+    hx = F.concat_ws("", F.transform(parts, lambda p: F.lpad(p, 4, "0")))
+    return F.when(valid, hx)
+
+
+def _ip_hex_any(col: Column) -> Column:
+    """IPv4 or IPv6 string -> network-order hex (8 or 32 chars)."""
+    return F.when(col.rlike(_IPV4_RX), _ip4_hex(col)).otherwise(_ip6_hex(col))
+
+
+# ICMP type <-> equivalent-reply type (community-id spec: bidirectional
+# message pairs are ordered like port pairs; one-way types are not flipped)
+_ICMP_EQUIV = {8: 0, 0: 8, 13: 14, 14: 13, 15: 16, 16: 15,
+               17: 18, 18: 17, 10: 9, 9: 10}
+_ICMP6_EQUIV = {128: 129, 129: 128, 133: 134, 134: 133, 135: 136, 136: 135}
+
+
+def _equiv_expr(col: Column, table: dict[int, int]) -> Column:
+    out = F.when(F.lit(False), F.lit(None).cast("int"))
+    for k, v in table.items():
+        out = out.when(col == k, F.lit(v))
+    return out.otherwise(F.lit(None).cast("int"))
+
+
 def p_community_id(df, spec, ctx):
-    """RFC draft Community ID flow hash: seed(2B) + src_ip + dst_ip +
-    proto(1B) + pad(1B) + src_port(2B) + dst_port(2B), tuple-ordered, SHA-1,
-    base64, prefixed '1:'.  Assembled as a hex string and hashed JVM-side
-    via unhex+sha1 — no UDF."""
+    """Community ID v1 flow hash: seed(2B) + src_ip + dst_ip + proto(1B) +
+    pad(1B) + src_port(2B) + dst_port(2B), tuple-ordered, SHA-1, base64,
+    prefixed '1:'.  Assembled as a hex string and hashed JVM-side via
+    unhex+sha1 — no UDF.  IPv4 and IPv6 endpoints are supported (hex
+    comparison of equal-length strings gives the canonical numeric
+    ordering); ICMP/ICMPv6 flows derive the port pair from type/code with
+    the spec's bidirectional-equivalent table, and one-way ICMP flows are
+    never flipped."""
     cfg = spec.config
     seed = int(cfg.get("seed", 0))
     target = cfg.get("target_field", "network.community_id")
@@ -329,29 +609,44 @@ def p_community_id(df, spec, ctx):
     dst_ip = col_or_null(cfg.get("destination_ip", "destination.ip"))
     src_port = col_or_null(cfg.get("source_port", "source.port")).cast("int")
     dst_port = col_or_null(cfg.get("destination_port", "destination.port")).cast("int")
+    icmp_type = col_or_null(cfg.get("icmp_type", "icmp.type")).cast("int")
+    icmp_code = col_or_null(cfg.get("icmp_code", "icmp.code")).cast("int")
     transport = F.lower(col_or_null(cfg.get("transport", "network.transport")))
     proto = F.element_at(
         F.create_map(*[x for k, v in _PROTO_NUM.items()
                        for x in (F.lit(k), F.lit(v))]), transport)
 
-    # canonical ordering: smaller (ip, port) endpoint first
-    src_long = _ip4_to_long(src_ip)
-    dst_long = _ip4_to_long(dst_ip)
-    flip = (src_long > dst_long) | ((src_long == dst_long) & (src_port > dst_port))
-    ip1 = F.when(flip, dst_ip).otherwise(src_ip)
-    ip2 = F.when(flip, src_ip).otherwise(dst_ip)
-    p1 = F.when(flip, dst_port).otherwise(src_port)
-    p2 = F.when(flip, src_port).otherwise(dst_port)
+    is_icmp = transport.isin("icmp", "icmpv6")
+    equiv = F.when(transport == "icmp", _equiv_expr(icmp_type, _ICMP_EQUIV)) \
+        .otherwise(_equiv_expr(icmp_type, _ICMP6_EQUIV))
+    # ICMP: the port pair is (type, equivalent-or-code); flows whose type
+    # has no bidirectional equivalent are one-way -> never reordered
+    eff_src_port = F.when(is_icmp, icmp_type).otherwise(src_port)
+    eff_dst_port = F.when(is_icmp, F.coalesce(equiv, icmp_code)) \
+        .otherwise(dst_port)
+    one_way = is_icmp & equiv.isNull()
+
+    src_hex = _ip_hex_any(src_ip)
+    dst_hex = _ip_hex_any(dst_ip)
+    # canonical ordering: smaller (ip, port) endpoint first (hex strings of
+    # equal length compare numerically)
+    flip = (~one_way & ((src_hex > dst_hex)
+                        | ((src_hex == dst_hex)
+                           & (eff_src_port > eff_dst_port))))
+    ip1 = F.when(flip, dst_hex).otherwise(src_hex)
+    ip2 = F.when(flip, src_hex).otherwise(dst_hex)
+    p1 = F.when(flip, eff_dst_port).otherwise(eff_src_port)
+    p2 = F.when(flip, eff_src_port).otherwise(eff_dst_port)
 
     hexstr = F.concat(
         F.lit(f"{seed:04x}"),
-        _ip4_hex(ip1), _ip4_hex(ip2),
+        ip1, ip2,
         F.lpad(F.hex(proto), 2, "0"), F.lit("00"),
         _port_hex(p1), _port_hex(p2))
     # sha1 returns hex; unhex back to raw bytes before base64
     cid = F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(F.unhex(hexstr)))))
-    ok = (src_ip.isNotNull() & dst_ip.isNotNull() & proto.isNotNull()
-          & src_port.isNotNull() & dst_port.isNotNull())
+    ok = (src_hex.isNotNull() & dst_hex.isNotNull() & proto.isNotNull()
+          & p1.isNotNull() & p2.isNotNull())
     df = ctx.fail(df, active & ~ok, spec,
                   "unable to compute community id: missing required fields")
     return guarded(df, active & ok, {target: cid})

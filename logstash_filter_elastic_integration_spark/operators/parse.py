@@ -227,9 +227,14 @@ def p_dissect(df, spec, ctx):
 
 
 def p_kv(df, spec, ctx):
-    """``str_to_map`` (JVM).  Static-schema constraint: dynamic keys land as
-    a MapType column at ``target_field`` (default ``<field>_kv``); passing
-    ``include_keys`` lifts those keys to flat root fields like ES does."""
+    """``str_to_map`` (JVM).  ``include_keys`` lifts those keys to flat
+    root fields like ES does.  WITHOUT include_keys the per-row-dynamic
+    keys land in the shared ``_extras`` map side-channel (keys scoped by
+    ``target_field``/``prefix``) — field resolution falls back to
+    ``try_element_at(_extras, name)`` (plans/document.py), so downstream
+    processors and painless conditions read dynamic keys exactly like
+    static fields: the flat-model answer to the reference's fully dynamic
+    document (IngestDuplexMarshaller.java:144-152)."""
     cfg = spec.config
     f_name = cfg["field"]
     fs, vs = cfg["field_split"], cfg["value_split"]
@@ -249,7 +254,17 @@ def p_kv(df, spec, ctx):
         updates = {f"{target + '.' if target else ''}{prefix}{k}":
                    F.element_at(m, k) for k in include_keys}
     else:
-        updates = {(target or f"{f_name}_kv"): m}
+        keyfix = (f"{target}." if target else "") + prefix
+        new_map = (F.transform_keys(
+            m, lambda k, _: F.concat(F.lit(keyfix), k)) if keyfix else m)
+        if "_extras" in df.columns:
+            old = fcol("_extras")
+            # merge, new keys win; map_concat alone throws on dup keys
+            merged = F.map_concat(
+                F.map_filter(old, lambda k, _:
+                             ~F.map_contains_key(new_map, k)), new_map)
+            new_map = F.when(old.isNotNull(), merged).otherwise(new_map)
+        updates = {"_extras": new_map}
     df = guarded(df, active & src.isNotNull(), updates)
     if not ignore_missing:
         df = ctx.fail(df, active & src.isNull(), spec,

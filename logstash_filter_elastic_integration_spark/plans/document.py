@@ -51,10 +51,15 @@ def field_type(df: DataFrame, path: str):
 
 
 def resolve_field(df: DataFrame, path: str):
-    """-> (Column, DataType|None).  A missing field resolves to typed-null
-    (string), mirroring ES ``ctx.missing == null`` semantics."""
+    """-> (Column, DataType|None).  A path with no static column falls back
+    to the ``_extras`` dynamic-field map (populated by kv/json dynamic
+    keys — lift-on-read), then to typed-null (string), mirroring ES
+    ``ctx.missing == null`` semantics."""
     dt = field_type(df, path)
     if dt is None:
+        if "_extras" in df.columns and not path.startswith("_"):
+            return (F.try_element_at(fcol("_extras"), F.lit(path)),
+                    T.StringType())
         return F.lit(None).cast("string"), None
     return fcol(path), dt
 

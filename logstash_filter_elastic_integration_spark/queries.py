@@ -90,6 +90,32 @@ FROM events
 """
 
 
+def q_pipe_kv_dynamic(spark, sf_dir):
+    """kv WITHOUT include_keys: per-row-dynamic keys land in the _extras
+    map side-channel, and downstream processors read them back by name —
+    `set copy_from` lifts one to a flat column and a painless `if` gates on
+    another (lift-on-read; the flat-model answer to the reference's fully
+    dynamic document, IngestDuplexMarshaller.java:144-152)."""
+    ev = load(spark, sf_dir, "events")
+    df = ev.withColumn("msg", F.format_string(
+        "user=%d type=%s", F.col("user_id"), F.col("event_type")))
+    out = _pipe(spark, df, [
+        {"kv": {"field": "msg", "field_split": " ", "value_split": "="}},
+        {"set": {"field": "uid_lifted", "copy_from": "user"}},
+        {"set": {"field": "is_err", "value": "Y", "if": "ctx.type == 'error'"}},
+    ])
+    return out.select(
+        "event_id", "uid_lifted",
+        F.coalesce(fcol("is_err"), F.lit("N")).alias("is_err"))
+
+
+O_KV_DYNAMIC = """
+SELECT event_id, CAST(user_id AS VARCHAR) AS uid_lifted,
+       CASE WHEN event_type = 'error' THEN 'Y' ELSE 'N' END AS is_err
+FROM events
+"""
+
+
 def q_pipe_csv(spark, sf_dir):
     doc = load(spark, sf_dir, "documents")
     df = doc.withColumn("line", F.concat_ws(",",
@@ -1113,6 +1139,7 @@ QUERIES = {
     "pipe_grok_typed": q_pipe_grok_typed,
     "pipe_dissect": q_pipe_dissect,
     "pipe_kv": q_pipe_kv,
+    "pipe_kv_dynamic": q_pipe_kv_dynamic,
     "pipe_csv": q_pipe_csv,
     "pipe_json": q_pipe_json,
     "pipe_redact": q_pipe_redact,
@@ -1155,6 +1182,7 @@ ORACLES = {
     "pipe_grok_typed": O_GROK,
     "pipe_dissect": O_DISSECT,
     "pipe_kv": O_KV,
+    "pipe_kv_dynamic": O_KV_DYNAMIC,
     "pipe_csv": O_CSV,
     "pipe_json": O_JSON,
     "pipe_redact": O_REDACT,

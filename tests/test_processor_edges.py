@@ -354,3 +354,138 @@ def test_ingest_document_metadata_surfaced(spark):
     df2 = spark.createDataFrame([("hi",)], "msg string")
     r2 = run_pipeline(df2, "m", reg).collect()[0].asDict()
     assert "index" not in r2["@metadata._ingest_document"].asDict()
+
+
+def test_registered_domain_psl_semantics(spark, registry):
+    """Full PSL algorithm: exact rules, wildcard ('*.ck'), exception
+    ('!www.ck'), default '*' rule for unknown TLDs, multi-label suffixes
+    (spec/integration/elastic_integration_spec.rb:668-693 family)."""
+    cases = [
+        ("www.example.ac.uk", "ac.uk", "example.ac.uk", "www"),
+        ("example.com", "com", "example.com", None),
+        ("a.b.example.co.jp", "co.jp", "example.co.jp", "a.b"),
+        # wildcard *.ck: public suffix is <anything>.ck
+        ("foo.bar.ck", "bar.ck", "foo.bar.ck", None),
+        ("sub.foo.bar.ck", "bar.ck", "foo.bar.ck", "sub"),
+        # exception !www.ck: www.ck itself is registrable
+        ("www.ck", "ck", "www.ck", None),
+        ("sub.www.ck", "ck", "www.ck", "sub"),
+        # unknown TLD: implicit '*' default rule (last label)
+        ("example.unknowntld", "unknowntld", "example.unknowntld", None),
+        # private-domain rule families
+        ("myapp.github.io", "github.io", "myapp.github.io", None),
+    ]
+    out = run_one(
+        spark, registry,
+        [{"registered_domain": {"field": "domain_field",
+                                "target_field": "url"}}],
+        [(d,) for d, *_ in cases], "domain_field string")
+    by = {r["domain_field"]: r for r in out}
+    for dom, tld, reg, sub in cases:
+        r = by[dom]
+        assert r["url.top_level_domain"] == tld, (dom, r["url.top_level_domain"])
+        assert r["url.registered_domain"] == reg, (dom, r["url.registered_domain"])
+        assert r["url.subdomain"] == sub, (dom, r["url.subdomain"])
+        assert r["url.domain"] == dom
+
+
+def test_user_agent_expanded_families(spark, registry):
+    """UA families beyond the r1 subset (VERDICT: Opera, Samsung Internet,
+    UC, Edge-on-Chrome, Windows NT marketing-version mapping)."""
+    uas = {
+        "opera": "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+                 " (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 OPR/106.0.0.0",
+        "samsung": "Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36"
+                   " (KHTML, like Gecko) Chrome/115.0.0.0 Mobile Safari/537.36"
+                   " SamsungBrowser/23.0",
+        "uc": "Mozilla/5.0 (Linux; U; Android 12) UCBrowser/13.4.0.1306 Mobile",
+        "ie11": "Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko",
+        "fx_mobile": "Mozilla/5.0 (Android 14; Mobile; rv:123.0) Gecko/123.0"
+                     " Firefox/123.0",
+    }
+    out = run_one(
+        spark, registry,
+        [{"user_agent": {"field": "agent"}}],
+        [(k, v) for k, v in uas.items()], "k string, agent string")
+    by = {r["k"]: r for r in out}
+    assert by["opera"]["user_agent.name"] == "Opera"
+    assert by["opera"]["user_agent.version"].startswith("106")
+    assert by["opera"]["user_agent.os.name"] == "Windows"
+    assert by["opera"]["user_agent.os.version"] == "10"
+    assert by["samsung"]["user_agent.name"] == "Samsung Internet"
+    assert by["samsung"]["user_agent.device.name"] == "Samsung SM-S918B"
+    assert by["uc"]["user_agent.name"] == "UC Browser"
+    assert by["ie11"]["user_agent.name"] == "IE"
+    assert by["ie11"]["user_agent.version"].startswith("11")
+    assert by["ie11"]["user_agent.os.version"] == "7"
+    assert by["fx_mobile"]["user_agent.name"] == "Firefox Mobile"
+
+
+def _community_id_model(seed, saddr, daddr, proto, sport, dport, one_way=False):
+    """Independent python model of Community ID v1 (ipaddress + hashlib)."""
+    import base64
+    import hashlib
+    import ipaddress
+    import struct
+    sb = ipaddress.ip_address(saddr).packed
+    db = ipaddress.ip_address(daddr).packed
+    if not one_way and (sb > db or (sb == db and sport > dport)):
+        sb, db, sport, dport = db, sb, dport, sport
+    payload = (struct.pack("!H", seed) + sb + db
+               + struct.pack("!BBHH", proto, 0, sport, dport))
+    return "1:" + base64.b64encode(hashlib.sha1(payload).digest()).decode()
+
+
+def test_community_id_ipv6_and_icmp(spark, registry):
+    """IPv6 endpoints hash correctly (r1 produced null under a passing ok
+    gate); ICMP derives the port pair from type/code with the
+    bidirectional-equivalent table; one-way ICMP types never flip."""
+    schema = ("`source.ip` string, `source.port` int, `destination.ip` string, "
+              "`destination.port` int, `network.transport` string, "
+              "`icmp.type` int, `icmp.code` int, k string")
+    rows = [
+        ("2001:db8::68", 2305, "2001:db8::69", 80, "tcp", None, None, "v6tcp"),
+        ("192.168.0.89", 0, "192.168.0.1", 0, "icmp", 8, 0, "echo"),
+        ("192.168.0.89", 0, "192.168.0.1", 0, "icmp", 11, 0, "oneway"),
+        ("fe80::1", 0, "fe80::2", 0, "icmpv6", 128, 0, "v6echo"),
+    ]
+    out = run_one(spark, registry, [{"community_id": {}}], rows, schema)
+    by = {r["k"]: r for r in out}
+    assert by["v6tcp"]["network.community_id"] == _community_id_model(
+        0, "2001:db8::68", "2001:db8::69", 6, 2305, 80)
+    # echo request: dst "port" is the equivalent reply type (0)
+    assert by["echo"]["network.community_id"] == _community_id_model(
+        0, "192.168.0.89", "192.168.0.1", 1, 8, 0)
+    # time-exceeded (11) has no equivalent: one-way, ports (type, code)
+    assert by["oneway"]["network.community_id"] == _community_id_model(
+        0, "192.168.0.89", "192.168.0.1", 1, 11, 0, one_way=True)
+    assert by["v6echo"]["network.community_id"] == _community_id_model(
+        0, "fe80::1", "fe80::2", 58, 128, 129)
+
+
+def test_community_id_invalid_ip_fails_cleanly(spark, registry):
+    """Unparseable endpoints fail with the missing-fields message instead
+    of hashing nulls."""
+    out = run_one(
+        spark, registry, [{"community_id": {}}],
+        [("not-an-ip", 1, "10.0.0.1", 2, "tcp")],
+        "`source.ip` string, `source.port` int, `destination.ip` string, "
+        "`destination.port` int, `network.transport` string")
+    assert "_ingest_pipeline_failure" in (out[0]["tags"] or [])
+
+
+def test_network_direction_ipv6_internal(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"network_direction": {"internal_networks":
+                                ["private", "loopback", "2001:db8::/32"]}}],
+        [("fd00::1", "2001:db8::5", "both"),
+         ("fd00::1", "2607:f8b0::1", "out"),
+         ("2607:f8b0::1", "::1", "in"),
+         ("2607:f8b0::1", "2600::1", "ext")],
+        "`source.ip` string, `destination.ip` string, k string")
+    by = {r["k"]: r for r in out}
+    assert by["both"]["network.direction"] == "internal"
+    assert by["out"]["network.direction"] == "outbound"
+    assert by["in"]["network.direction"] == "inbound"
+    assert by["ext"]["network.direction"] == "external"

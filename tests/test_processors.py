@@ -395,3 +395,21 @@ def test_dot_expander_noop(spark, registry):  # spec :335-358 (flat model)
                    {"set": {"field": "foo.bar", "value": "nested"}}],
                   [("x",)], "other string")
     assert out[0]["foo.bar"] == "nested"
+
+
+def test_kv_dynamic_extras_lift_on_read(spark, registry):
+    """kv without include_keys: keys land in _extras; set copy_from and
+    painless conditions resolve them like static fields."""
+    out = run_one(
+        spark, registry,
+        [{"kv": {"field": "message", "field_split": " ", "value_split": "="}},
+         {"set": {"field": "lifted_ip", "copy_from": "ip"}},
+         {"set": {"field": "flagged", "value": "Y",
+                  "if": "ctx.error == 'REFUSED'"}}],
+        [("ip=1.2.3.4 error=REFUSED",), ("ip=5.6.7.8 error=OK",)],
+        "message string")
+    by = {r["lifted_ip"]: r for r in out}
+    assert by["1.2.3.4"]["flagged"] == "Y"
+    assert by["5.6.7.8"]["flagged"] is None
+    # the dynamic map itself is present as the _extras side-channel
+    assert by["1.2.3.4"]["_extras"]["error"] == "REFUSED"
