@@ -123,6 +123,10 @@ class CompiledGrok:
     java_patterns: list[str] = field(default_factory=list)
     # runtime engine patterns (regex module w/ atomic groups, or re)
     runtime: list = field(default_factory=list)
+    # sentinel-wrapped python regexes for the vectorized fast path
+    sentinels: list[re.Pattern] = field(default_factory=list)
+    # per-pattern: can it catastrophically backtrack? (nested quantifiers)
+    risky: list[bool] = field(default_factory=list)
     has_timeout: bool = False
 
     def extract(self, series, max_exec_ms: int = 1000,
@@ -137,14 +141,20 @@ class CompiledGrok:
         the series per pattern).
 
         Watchdog (reference: EventProcessorBuilder.java:224-225, a joni
-        MatcherWatchdog): with the `regex` module every search carries a
-        hard per-call ``max_exec_ms`` timeout — a pathological
-        (pattern, input) pair is interrupted per row exactly like the
-        reference (measured ~5us/row overhead; negligible against 32-way
-        parallelism).  Without the `regex` module (plain `re` cannot be
-        bounded), a cooperative batch budget (50us/row, floor 2s) marks
-        remaining rows interrupted once something is clearly backtracking
-        pathologically — the first offending row itself is not bounded.
+        MatcherWatchdog), risk-aware so the hot path stays vectorized:
+
+        - patterns that CANNOT catastrophically backtrack (no quantified
+          group containing a quantifier, checked at compile time) run
+          through ``Series.str.extract`` with a sentinel whole-match group
+          — one C-level scan per pattern, zero watchdog overhead;
+        - risky patterns run per row through the `regex` engine (atomic
+          groups intact, joni parity) with a hard per-call ``max_exec_ms``
+          timeout; timed-out rows are marked *interrupted* and fail with
+          the reference's watchdog message;
+        - everything additionally respects a cooperative batch budget
+          (50us/row, floor 2s): once exceeded — e.g. polynomial-but-not-
+          exponential backtracking on the fast path — remaining rows are
+          marked interrupted between chunks.
         """
         import numpy as np
         import pandas as pd
@@ -154,43 +164,150 @@ class CompiledGrok:
         cols = {f: np.full(n, None, dtype=object) for f in fields}
         matched = np.zeros(n, dtype=bool)
         interrupted = np.zeros(n, dtype=bool)
-        vals = series.to_numpy(dtype=object, na_value=None)
+        s = series.astype(object).where(series.notna(), None)
+        valid = np.fromiter((isinstance(x, str) for x in s.to_numpy()),
+                            dtype=bool, count=n)
         budget = (batch_budget_s if batch_budget_s is not None
                   else max(2.0, n * 50e-6))
         deadline = time.monotonic() + budget
         timeout_s = max_exec_ms / 1000.0
-        has_timeout = self.has_timeout
-        bail = False
-        pats = list(zip(self.runtime, self.group_maps))
-        for i in range(n):
-            x = vals[i]
-            if not isinstance(x, str):
-                continue
-            if not has_timeout:
-                if not bail and (i & 1023) == 0 \
-                        and time.monotonic() > deadline:
-                    bail = True
-                if bail:
-                    interrupted[i] = True
-                    continue
-            for rx, gmap in pats:
-                try:
-                    m = (rx.search(x, timeout=timeout_s) if has_timeout
-                         else rx.search(x))
-                except TimeoutError:
-                    interrupted[i] = True
+        CHUNK = 8192
+        pos_index = np.arange(n)
+        for pi in range(len(self.runtime)):
+            todo = valid & ~matched & ~interrupted
+            idxs = pos_index[todo]
+            if len(idxs) == 0:
+                break
+            gmap = self.group_maps[pi]
+            strict = self.risky[pi] and self.has_timeout
+            vals = s.to_numpy()
+            for start in range(0, len(idxs), CHUNK):
+                chunk = idxs[start:start + CHUNK]
+                if time.monotonic() > deadline:
+                    # cooperative bail: unprocessed rows -> interrupted
+                    interrupted[pos_index[valid & ~matched]] = True
                     break
-                if m is not None:
-                    matched[i] = True
+                if strict:
+                    rx = self.runtime[pi]
+                    for i in chunk:
+                        try:
+                            m = rx.search(vals[i], timeout=timeout_s)
+                        except TimeoutError:
+                            interrupted[i] = True
+                            continue
+                        if m is not None:
+                            matched[i] = True
+                            for g, fname in gmap.items():
+                                v = m.group(g)
+                                if v is not None:
+                                    cols[fname][i] = v
+                else:
+                    sub = s.iloc[chunk]
+                    ext = sub.str.extract(self.sentinels[pi], expand=True)
+                    hit = ext["__m"].notna().to_numpy()
+                    hit_idx = chunk[hit]
+                    matched[hit_idx] = True
                     for g, fname in gmap.items():
-                        v = m.group(g)
-                        if v is not None:
-                            cols[fname][i] = v
-                    break
+                        if g in ext.columns:
+                            gv = ext[g].to_numpy(dtype=object)[hit]
+                            present = pd.notna(gv)
+                            cols[fname][hit_idx[present]] = gv[present]
         out = pd.DataFrame(cols, index=series.index, columns=fields,
                            dtype=object)
         return (out, pd.Series(matched, index=series.index),
                 pd.Series(interrupted, index=series.index))
+
+
+def has_nested_quantifier(pattern: str) -> bool:
+    """Compile-time backtracking-risk check: True when a group whose body
+    contains a quantifier is itself quantified by an UNBOUNDED quantifier
+    (+ * {) AND the group's first element does not anchor each iteration.
+
+    A repeated group whose body STARTS with one required, unquantified
+    atom (literal/escape/char-class) — e.g. URIPATH's ``(?:/[...]*)+`` —
+    consumes that anchor every iteration, so backtracking is at worst
+    polynomial (the cooperative batch deadline covers that); the
+    exponential shapes ((a+)+, (a?)*, (x|y+)*) have a quantified or
+    alternated first position.  False positives are safe — they just take
+    the per-row watchdog path."""
+    n = len(pattern)
+    # frame: [contains_quantifier, first_atom_kind, first_atom_quantified,
+    #         top_level_alternation, element_count]
+    frames = [[False, None, False, False, 0]]
+    prev = ""
+    i = 0
+
+    def note_atom(kind: str):
+        fr = frames[-1]
+        if fr[4] == 0:
+            fr[1] = kind
+        fr[4] += 1
+
+    def note_quant():
+        fr = frames[-1]
+        fr[0] = True
+        if fr[4] == 1 and prev_atom_was_first[0]:
+            fr[2] = True
+
+    prev_atom_was_first = [False]
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            prev_atom_was_first[0] = frames[-1][4] == 0
+            note_atom("atom")
+            prev = "x"
+            i += 2
+            continue
+        if ch == "[":
+            prev_atom_was_first[0] = frames[-1][4] == 0
+            note_atom("atom")
+            i += 1
+            if i < n and pattern[i] == "]":
+                i += 1
+            while i < n and pattern[i] != "]":
+                if pattern[i] == "\\":
+                    i += 1
+                i += 1
+            prev = "x"
+        elif ch == "(":
+            prev_atom_was_first[0] = frames[-1][4] == 0
+            note_atom("group")
+            frames.append([False, None, False, False, 0])
+            prev = "("
+            # skip group markers ((?:  (?P<name>  (?=  (?!  …) so the '?'
+            # is not mistaken for a quantifier
+            if i + 1 < n and pattern[i + 1] == "?":
+                if i + 2 < n and pattern[i + 2] == ":":
+                    i += 2
+                elif i + 2 < n and pattern[i + 2] == "P":
+                    j = pattern.find(">", i)
+                    i = j if j != -1 else i + 2
+                else:
+                    i += 2
+        elif ch == ")":
+            fr = frames.pop() if len(frames) > 1 else [False, None, False,
+                                                       False, 0]
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            unanchored = (fr[3] or fr[1] != "atom" or fr[2])
+            if fr[0] and nxt != "" and nxt in "+*{" and unanchored:
+                return True
+            if fr[0] and frames:
+                frames[-1][0] = True
+            prev = ")"
+        elif ch == "|":
+            frames[-1][3] = True
+            frames[-1][4] = 0  # next branch starts fresh
+            prev = "|"
+        elif ch in "+*{" or (ch == "?" and prev not in ("(", "")):
+            note_quant()
+            prev = ch
+        else:
+            if ch not in "^$?":
+                prev_atom_was_first[0] = frames[-1][4] == 0
+                note_atom("atom")
+            prev = ch
+        i += 1
+    return False
 
 
 class GrokCompiler:
@@ -228,6 +345,8 @@ class GrokCompiler:
             out.java_patterns.append(expanded)
             python_rx = _ATOMIC.sub("(?:", expanded)
             out.regexes.append(re.compile(python_rx))
+            out.sentinels.append(re.compile(f"(?P<__m>{python_rx})"))
+            out.risky.append(has_nested_quantifier(python_rx))
             if _regex_mod is not None:
                 # atomic groups intact: possessive semantics = structural
                 # backtracking protection, matching the joni engine

@@ -228,7 +228,46 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                            "trim": F.trim, "urlDecode": F.url_decode}
                 if fn.attr in helpers:
                     return helpers[fn.attr](arg), T.StringType()
+                if fn.attr == "bytes":
+                    from ..operators.net import bytes_expr
+                    return bytes_expr(arg), T.LongType()
                 raise UnsupportedScriptError(f"Processors.{fn.attr} unsupported")
+            # java.lang.Math static methods -> built-in Column functions
+            if isinstance(fn.value, ast.Name) and fn.value.id == "Math":
+                args = [_eval(a, c)[0] for a in node.args]
+                unary = {"abs": F.abs, "floor": F.floor, "ceil": F.ceil,
+                         "sqrt": F.sqrt, "round": F.round, "log": F.log,
+                         "exp": F.exp}
+                if fn.attr in unary and len(args) == 1:
+                    dt = (T.LongType() if fn.attr in ("floor", "ceil", "round")
+                          else T.DoubleType())
+                    out = unary[fn.attr](args[0])
+                    if fn.attr in ("floor", "ceil"):
+                        out = out.cast("long")
+                    return out, dt
+                binary = {"min": F.least, "max": F.greatest, "pow": F.pow}
+                if fn.attr in binary and len(args) == 2:
+                    return binary[fn.attr](*args), T.DoubleType()
+                raise UnsupportedScriptError(f"Math.{fn.attr} unsupported")
+            # boxed-type parse/valueOf statics -> try_cast (null on bad input,
+            # matching painless NumberFormatException -> on_failure flows)
+            if isinstance(fn.value, ast.Name) and fn.value.id in (
+                    "Integer", "Long", "Double", "Float", "String"):
+                arg, _ = _eval(node.args[0], c)
+                owner = fn.value.id
+                if owner == "String" and fn.attr == "valueOf":
+                    return arg.cast("string"), T.StringType()
+                casts = {"Integer": ("int", T.IntegerType()),
+                         "Long": ("long", T.LongType()),
+                         "Double": ("double", T.DoubleType()),
+                         "Float": ("float", T.FloatType())}
+                if owner in casts and fn.attr in (
+                        "parseInt", "parseLong", "parseDouble",
+                        "parseFloat", "valueOf"):
+                    t, dt = casts[owner]
+                    return arg.try_cast(t), dt
+                raise UnsupportedScriptError(
+                    f"{owner}.{fn.attr} unsupported")
             recv, rdt = _eval(fn.value, c)
             args = [_eval(a, c)[0] for a in node.args]
             meth = fn.attr
@@ -254,6 +293,16 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                 return F.trim(recv), T.StringType()
             if meth == "size":
                 return F.size(recv), T.IntegerType()
+            if meth == "substring":
+                if len(args) == 1:
+                    return F.substring(recv, args[0] + 1,
+                                       F.lit(2 ** 31 - 1)), T.StringType()
+                return F.substring(recv, args[0] + 1,
+                                   args[1] - args[0]), T.StringType()
+            if meth == "indexOf":
+                return (F.instr(recv, args[0]) - 1).cast("int"), T.IntegerType()
+            if meth == "replace":
+                return F.replace(recv, args[0], args[1]), T.StringType()
             raise UnsupportedScriptError(f"method .{meth}() unsupported")
         raise UnsupportedScriptError(f"call unsupported: {ast.dump(node)}")
 

@@ -32,7 +32,37 @@ def _parse_one(src: Column, fmt: str, tz: str) -> Column:
     if fmt == "UNIX_MS":
         return (src.try_cast("double") / 1000.0).cast("timestamp")
     if fmt == "TAI64N":
-        return F.lit(None).cast("timestamp")
+        # ES DateFormat.Tai64n semantics: optional '@', 24 hex chars;
+        # millis = hex[1:16]*1000 - 10000 (epoch TAI-UTC offset) +
+        # hex[16:24] (nanos) / 1e6.  Round 1 silently yielded null here —
+        # now it parses, and non-TAI64N shapes fall through to the next
+        # format / parse-failure like the reference.
+        s = F.when(src.startswith("@"), F.substring(src, 2, 24)) \
+            .otherwise(F.substring(src, 1, 24))
+        ok = s.rlike("^[0-9a-fA-F]{24}$")
+        base = F.conv(F.substring(s, 2, 15), 16, 10).cast("long")
+        rest = F.conv(F.substring(s, 17, 8), 16, 10).cast("long")
+        ms = (base * 1000 - 10000
+              + F.floor(rest / 1000000).cast("long"))
+        return F.when(ok, F.timestamp_millis(ms))
+    if fmt in ("week_date", "weekyear_week_day"):
+        # ISO-8601 week date xxxx-'Www'-e: Spark bans week-based pattern
+        # letters, so compute from ISO rules (week 1 contains Jan 4)
+        y = F.regexp_extract(src, r"^(\d{4})-W(\d{2})-(\d)$", 1).try_cast("int")
+        w = F.regexp_extract(src, r"^(\d{4})-W(\d{2})-(\d)$", 2).try_cast("int")
+        d = F.regexp_extract(src, r"^(\d{4})-W(\d{2})-(\d)$", 3).try_cast("int")
+        jan4 = F.make_date(y, F.lit(1), F.lit(4))
+        iso_dow_jan4 = (F.dayofweek(jan4) + 5) % 7 + 1
+        week1_mon = F.date_sub(jan4, iso_dow_jan4 - 1)
+        dt = F.date_add(week1_mon, (w - 1) * 7 + (d - 1)).cast("timestamp")
+        if tz and tz != "UTC":
+            dt = F.to_utc_timestamp(dt, tz)
+        return F.when(y.isNotNull() & w.isNotNull() & d.isNotNull(), dt)
+    if fmt in ("ordinal_date", "ordinal_date_time_no_millis"):
+        parsed = F.try_to_timestamp(src, F.lit("yyyy-DDD"))
+        if tz and tz != "UTC":
+            parsed = F.to_utc_timestamp(parsed, tz)
+        return parsed
     parsed = F.try_to_timestamp(src.cast("string"), F.lit(fmt))
     # shift from the document timezone ONLY when the format itself carries
     # no zone info (ES semantics: an explicit offset in the text wins)

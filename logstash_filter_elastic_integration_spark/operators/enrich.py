@@ -158,9 +158,16 @@ def p_geoip(df, spec, ctx):
     """geoip with broadcast dim standing in for the .mmdb file; missing dim
     -> tag `_geoip_database_unavailable_<db>` (reference parity).  A dim
     with ``range_keys`` config resolves by CIDR/IP range instead of exact
-    key (the real .mmdb shape)."""
+    key (the real .mmdb shape).  ``database_path`` ingests an actual
+    MaxMind .mmdb file (sources/mmdb.py parses the public binary format
+    into the range dim — the IpDatabaseProvider.java:36-99 load path)."""
     db = spec.config.get("database_file", "GeoLite2-City.mmdb")
     dims = getattr(ctx.registry, "dims", {})
+    if db not in dims and spec.config.get("database_path"):
+        from ..sources.mmdb import load_mmdb_dim
+        dims[db] = load_mmdb_dim(df.sparkSession,
+                                 spec.config["database_path"])
+        spec.config.setdefault("range_keys", ["lo", "hi"])
     if "range_keys" in spec.config and db in dims:
         return _broadcast_range_lookup(
             df, spec, ctx, db,

@@ -22,6 +22,20 @@ _BYTES_UNITS = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3,
                 "tb": 1024**4, "pb": 1024**5}
 
 
+def bytes_expr(col: Column) -> Column:
+    """'10kb' -> 10240; shared by the bytes processor and the painless
+    ``Processors.bytes`` helper."""
+    src = F.trim(col.cast("string"))
+    rx = r"(?i)^([0-9]*\.?[0-9]+)\s*(b|kb|mb|gb|tb|pb)?$"
+    num = F.regexp_extract(src, rx, 1)
+    unit = F.lower(F.regexp_extract(src, rx, 2))
+    mult = F.coalesce(
+        F.element_at(F.create_map(
+            *[x for k, v in _BYTES_UNITS.items() for x in (F.lit(k), F.lit(v))]), unit),
+        F.lit(1))
+    return (num.try_cast("double") * mult).cast("long")
+
+
 def p_bytes(df, spec, ctx):
     cfg = spec.config
     f_name = cfg["field"]
@@ -33,13 +47,7 @@ def p_bytes(df, spec, ctx):
                           f"field [{f_name}] not present as part of path [{f_name}]")
         return df
     src = F.trim(fcol(f_name).cast("string"))
-    num = F.regexp_extract(src, r"(?i)^([0-9]*\.?[0-9]+)\s*(b|kb|mb|gb|tb|pb)?$", 1)
-    unit = F.lower(F.regexp_extract(src, r"(?i)^([0-9]*\.?[0-9]+)\s*(b|kb|mb|gb|tb|pb)?$", 2))
-    mult = F.coalesce(
-        F.element_at(F.create_map(
-            *[x for k, v in _BYTES_UNITS.items() for x in (F.lit(k), F.lit(v))]), unit),
-        F.lit(1))
-    value = (num.try_cast("double") * mult).cast("long")
+    value = bytes_expr(src)
     df = ctx.fail(df, active & src.isNotNull() & value.isNull(), spec,
                   f"failed to parse setting [{f_name}] with value [?] as a size in bytes")
     return guarded(df, active & value.isNotNull(), {dst: value})

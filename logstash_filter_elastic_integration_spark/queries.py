@@ -1108,6 +1108,30 @@ SELECT qid, nid, rank FROM (
 """
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """REAL codec round-trip (not a stub): synthesize a mono 16-bit PCM
+    WAV per document (stdlib wave), then parse it back — two Arrow-batched
+    mapInPandas stages.  The oracle recomputes sample-rate/frames/duration
+    and the peak amplitude of the deterministic ramp signal in closed
+    form."""
+    from .operators.multimodal import decode_audio, encode_wav
+    doc = _spread(load(spark, sf_dir, "documents")
+                  .select("doc_id",
+                          F.col("n_chars").cast("long").alias("n_samples")),
+                  "doc_id")
+    return decode_audio(encode_wav(doc))
+
+
+O_MULTIMODAL_AUDIO = """
+SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
+       CAST(n_chars AS BIGINT) AS n_frames,
+       CAST(n_chars AS BIGINT) * 1000 // 16000 AS duration_ms,
+       CAST(list_max(list_transform(range(0, n_chars),
+            i -> abs((i * (doc_id % 97 + 1)) % 20000 - 10000))) AS INT) AS peak
+FROM documents
+"""
+
+
 def q_multimodal_stub(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column + Arrow-batched
     mapInPandas 'decode' (deterministic stand-in — real image/audio codecs
@@ -1176,6 +1200,7 @@ QUERIES = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "multimodal_stub": q_multimodal_stub,
+    "multimodal_audio": q_multimodal_audio,
 }
 
 ORACLES = {
@@ -1219,4 +1244,5 @@ ORACLES = {
     "ann_lsh_bucketed": O_ANN_LSH,
     "ann_ivf": O_ANN_IVF,
     "multimodal_stub": O_MULTIMODAL,
+    "multimodal_audio": O_MULTIMODAL_AUDIO,
 }

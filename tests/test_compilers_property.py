@@ -111,3 +111,30 @@ def test_painless_string_literals_protected(spark):
 
     # escaped quote inside literal
     check(r"ctx.msg == 'it\'s'", "it's", True)
+
+
+def test_grok_backtracking_risk_detector():
+    """Compile-time nested-quantifier detection routes patterns between the
+    vectorized fast path and the per-row watchdog path."""
+    from logstash_filter_elastic_integration_spark.functions.grok import (
+        GrokCompiler, has_nested_quantifier)
+
+    assert has_nested_quantifier(r"(a+)+c")
+    assert has_nested_quantifier(r"(a?)*x")
+    assert has_nested_quantifier(r"(x|y+)*z")
+    assert has_nested_quantifier(r"([^/]+/)*end")
+    assert not has_nested_quantifier(r"(\d+)\.(\d+)")
+    assert not has_nested_quantifier(r"(?:abc)+")
+    assert not has_nested_quantifier(r"^\w+ [a-z]* (x|y)?$")
+    # '?'-quantified groups with inner quantifiers are safe (single pass)
+    assert not has_nested_quantifier(r"(?:[0-9]+)? tail")
+    # anchored-first-atom repeats are at worst polynomial -> fast path
+    assert not has_nested_quantifier(r"(?:ab[0-9]{1,3})*tail")
+    assert not has_nested_quantifier(r"(?:/[A-Za-z0-9._-]*)+")
+
+    c = GrokCompiler()
+    flagship = c.compile(["^%{INT:a:int} %{WORD:b}$"])
+    assert flagship.risky == [False]       # fast vectorized path
+    assert c.compile(["%{URIPATHPARAM:p}"]).risky == [False]  # '/'-anchored
+    # QUOTEDSTRING's stripped (\\.|[^\\"]+)+ IS exponential -> watchdog
+    assert c.compile(["%{QS:q}"]).risky == [True]

@@ -1,0 +1,71 @@
+"""MaxMind DB ingestion: fixture .mmdb round-trip (writer -> reader ->
+broadcast range dim -> geoip processor), covering the reference's
+IpDatabaseProvider path (geoip/IpDatabaseProvider.java:36-99) with the
+public MaxMind-DB binary format."""
+
+from logstash_filter_elastic_integration_spark.sources.mmdb import (
+    MmdbReader, load_mmdb_dim, write_mmdb)
+from tests.conftest import run_one
+
+
+def _fixture(path):
+    write_mmdb(str(path), [
+        ("8.8.8.0/24", {"country": {"iso_code": "US",
+                                    "names": {"en": "United States"}},
+                        "city": {"names": {"en": "Mountain View"}},
+                        "location": {"latitude": 37.4, "longitude": -122.0}}),
+        ("10.0.0.0/8", {"net": "corp", "internal": True, "asn": 64512}),
+        ("192.168.1.0/30", {"net": "lab", "internal": True, "asn": 64513}),
+    ])
+    return str(path)
+
+
+def test_mmdb_reader_round_trip(tmp_path):
+    path = _fixture(tmp_path / "test.mmdb")
+    r = MmdbReader(path)
+    assert r.metadata["record_size"] == 24 and r.ip_version == 4
+    nets = {(lo, hi): rec for lo, hi, rec in r.networks()}
+
+    def ip(s):
+        a, b, c, d = (int(x) for x in s.split("."))
+        return (a << 24) | (b << 16) | (c << 8) | d
+
+    assert nets[(ip("8.8.8.0"), ip("8.8.8.255"))]["country"]["iso_code"] == "US"
+    corp = nets[(ip("10.0.0.0"), ip("10.255.255.255"))]
+    assert corp["net"] == "corp" and corp["internal"] is True
+    assert corp["asn"] == 64512
+    lab = nets[(ip("192.168.1.0"), ip("192.168.1.3"))]
+    assert lab["net"] == "lab"
+
+
+def test_mmdb_dim_feeds_geoip_processor(spark, registry, tmp_path):
+    path = _fixture(tmp_path / "GeoTest.mmdb")
+    dim = load_mmdb_dim(spark, path)
+    assert {"lo", "hi", "country_iso_code", "city_name", "net"} <= set(dim.columns)
+    registry.dims["GeoTest.mmdb"] = dim
+    out = run_one(
+        spark, registry,
+        [{"geoip": {"field": "ip", "database_file": "GeoTest.mmdb",
+                    "range_keys": ["lo", "hi"], "target_field": "geo",
+                    "properties": ["country_iso_code", "city_name", "net"]}}],
+        [("8.8.8.8",), ("10.1.2.3",), ("1.1.1.1",)], "ip string")
+    by = {r["ip"]: r for r in out}
+    assert by["8.8.8.8"]["geo.country_iso_code"] == "US"
+    assert by["8.8.8.8"]["geo.city_name"] == "Mountain View"
+    assert by["10.1.2.3"]["geo.net"] == "corp"
+    assert by["1.1.1.1"]["geo.country_iso_code"] is None
+
+
+def test_geoip_database_path_autoload(spark, registry, tmp_path):
+    """geoip with database_path ingests the .mmdb directly — no manual dim
+    registration needed."""
+    path = _fixture(tmp_path / "Auto.mmdb")
+    out = run_one(
+        spark, registry,
+        [{"geoip": {"field": "ip", "database_file": "Auto.mmdb",
+                    "database_path": path, "target_field": "geo",
+                    "properties": ["country_iso_code", "net"]}}],
+        [("8.8.8.8",), ("10.9.9.9",)], "ip string")
+    by = {r["ip"]: r for r in out}
+    assert by["8.8.8.8"]["geo.country_iso_code"] == "US"
+    assert by["10.9.9.9"]["geo.net"] == "corp"

@@ -489,3 +489,68 @@ def test_network_direction_ipv6_internal(spark, registry):
     assert by["out"]["network.direction"] == "outbound"
     assert by["in"]["network.direction"] == "inbound"
     assert by["ext"]["network.direction"] == "external"
+
+
+def test_date_tai64n_and_week_formats(spark, registry):
+    """TAI64N parses with ES DateFormat.Tai64n semantics (r1 yielded null);
+    ISO week dates and ordinal dates parse despite Spark banning week-based
+    pattern letters."""
+    tai = "@4000000037c219bf2ef02e94"
+    exp_ms = int(tai[2:17], 16) * 1000 - 10000 + int(tai[17:25], 16) // 10**6
+    import datetime
+    exp = datetime.datetime.fromtimestamp(exp_ms / 1000.0,
+                                          tz=datetime.timezone.utc)
+    out = run_one(
+        spark, registry,
+        [{"date": {"field": "t", "formats": ["TAI64N"], "target_field": "iso"}}],
+        [(tai,)], "t string")
+    assert out[0]["iso"].startswith(exp.strftime("%Y-%m-%dT%H:%M:%S"))
+
+    out2 = run_one(
+        spark, registry,
+        [{"date": {"field": "t", "formats": ["week_date"],
+                   "target_field": "iso"}}],
+        [("2023-W10-3",)], "t string")
+    assert out2[0]["iso"].startswith("2023-03-08T00:00:00")
+
+    out3 = run_one(
+        spark, registry,
+        [{"date": {"field": "t", "formats": ["ordinal_date"],
+                   "target_field": "iso"}}],
+        [("2023-067",)], "t string")
+    assert out3[0]["iso"].startswith("2023-03-08T00:00:00")
+
+    # unparseable TAI64N still fails the row (parse-or-fail, not null-out)
+    out4 = run_one(
+        spark, registry,
+        [{"date": {"field": "t", "formats": ["TAI64N"], "target_field": "iso"}}],
+        [("garbage",)], "t string")
+    assert "_ingest_pipeline_failure" in (out4[0]["tags"] or [])
+
+
+def test_painless_math_parse_and_string_methods(spark, registry):
+    """Widened painless subset: Math.*, Integer/Double parse statics,
+    String.valueOf, substring/indexOf/replace, Processors.bytes."""
+    out = run_one(
+        spark, registry,
+        [{"script": {"source": "ctx.mx = Math.max(ctx.a, ctx.b);"}},
+         {"script": {"source": "ctx.fl = Math.floor(ctx.f)"}},
+         {"script": {"source": "ctx.n = Integer.parseInt(ctx.numstr)"}},
+         {"script": {"source": "ctx.bad = Integer.parseInt(ctx.word)"}},
+         {"script": {"source": "ctx.s = String.valueOf(ctx.a)"}},
+         {"script": {"source": "ctx.sub = ctx.word.substring(1, 3)"}},
+         {"script": {"source": "ctx.idx = ctx.word.indexOf('l')"}},
+         {"script": {"source": "ctx.rep = ctx.word.replace('l', 'L')"}},
+         {"script": {"source": "ctx.kb = Processors.bytes('2kb')"}}],
+        [(3, 7, 2.9, "41", "hello")],
+        "a int, b int, f double, numstr string, word string")
+    r = out[0]
+    assert r["mx"] == 7
+    assert r["fl"] == 2
+    assert r["n"] == 41
+    assert r["bad"] is None  # NumberFormatException analogue: null
+    assert r["s"] == "3"
+    assert r["sub"] == "el"
+    assert r["idx"] == 2
+    assert r["rep"] == "heLLo"
+    assert r["kb"] == 2048
