@@ -14,6 +14,8 @@ has a full DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .plans.pipeline import PipelineRegistry, run_pipeline
@@ -806,14 +808,25 @@ def q_dedup_minhash_lsh(spark, sf_dir):
        upstream is computed exactly once.
 
     Hashes are md5-derived (portable), so this has a full DuckDB oracle."""
+    _, pairs = _minhash_reps_and_pairs(spark, sf_dir)
+    return pairs
+
+
+def _shingles_expr():
+    words = F.split("text", " ")
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3))))
+
+
+def _minhash_reps_and_pairs(spark, sf_dir):
+    """Shared minhash-LSH core: exact-dedup representatives (with their
+    shingle sets) + in-bucket candidate pairs."""
     doc = load(spark, sf_dir, "documents")
     reps = _spread(doc.groupBy("text").agg(F.min("doc_id").alias("doc_id")),
                    "doc_id")
-    words = F.split("text", " ")
-    shingles = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3))))
-    ex = (reps.select("doc_id", F.explode(shingles).alias("s"))
+    reps = reps.withColumn("sh", _shingles_expr())
+    ex = (reps.select("doc_id", F.explode("sh").alias("s"))
           .withColumn("h", F.pmod(_md5_long(F.col("s")), F.lit(_MH_P))))
     # explode + groupBy(min): measured ~5x faster than HOF aggregate in r1;
     # partial MIN compresses the shuffle to one row per (doc, hash_i)
@@ -835,7 +848,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             F.slice("ds", i + F.lit(2), _MH_CAP),
             lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("p"))
         .select("p.a", "p.b").distinct())
-    return pairs
+    return reps, pairs
 
 
 def _mh_oracle() -> str:
@@ -870,6 +883,170 @@ SELECT DISTINCT p.a AS a, p.b AS b FROM px
 
 
 O_MINHASH = _mh_oracle()
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Completes the dedup family (brief): LSH candidate pairs verified by
+    EXACT 3-gram (word-shingle) Jaccard similarity — the block-then-verify
+    shape.  Verification is two broadcast-or-hash joins back to the
+    representative shingle sets + array_intersect/union sizes; the score
+    is integer percent (floor) for bit-exact oracle parity."""
+    reps, pairs = _minhash_reps_and_pairs(spark, sf_dir)
+    sa = reps.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    sb = reps.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    j = pairs.join(sa, "a").join(sb, "b")
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = F.floor(inter * 100 / union).cast("long")
+    return (j.select("a", "b", jac.alias("jac_pct"))
+            .filter(F.col("jac_pct") >= 50))
+
+
+def _jaccard_oracle() -> str:
+    return f"""
+WITH cand AS ({_mh_oracle()}),
+reps2 AS (SELECT MIN(doc_id) AS doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(str_split(text,' '))-2, 1)+1),
+                   i -> array_to_string(str_split(text,' ')[i:i+2], ' ')))
+                 AS sh
+          FROM documents GROUP BY text),
+j AS (SELECT cand.a, cand.b,
+             len(list_filter(ra.sh, x -> list_contains(rb.sh, x))) AS inter,
+             len(ra.sh) + len(rb.sh)
+               - len(list_filter(ra.sh, x -> list_contains(rb.sh, x))) AS un
+      FROM cand JOIN reps2 ra ON ra.doc_id = cand.a
+                JOIN reps2 rb ON rb.doc_id = cand.b)
+SELECT a, b, CAST(floor(inter * 100 / un) AS BIGINT) AS jac_pct
+FROM j WHERE floor(inter * 100 / un) >= 50
+"""
+
+
+O_JACCARD = _jaccard_oracle()
+
+
+# curated character-trigram evidence (public-knowledge frequency facts,
+# integer weights) — the broadcast-dim shape of a real lang-id model
+_LANG_TRIGRAMS = {
+    "en": ["the", "ing", "and", "ion", "ent", " th", "he ", "er ", "ed ",
+           " of"],
+    "de": ["der", "ein", "sch", "ich", "und", "den", "cht", "ung", " de",
+           "ie "],
+    "fr": ["les", "ent", "des", "que", "ait", " le", "la ", "ion", "eur",
+           " pa"],
+    "es": ["que", "ión", "los", "ent", " de", "la ", "el ", "ado", "cio",
+           "as "],
+}
+
+
+def q_lang_id_trigram(spark, sf_dir):
+    """Language-ID via character-trigram evidence: docs explode to char
+    trigrams, broadcast-join the trigram->language weight dim, per-doc
+    per-lang score sum, argmax (ties by lang asc), default 'und' when no
+    trigram hits.  The real scale shape for lang-id: a model-as-dimension
+    join, never a per-row Python model call."""
+    doc = _spread(load(spark, sf_dir, "documents"), "doc_id")
+    rows = [(t, lang) for lang, ts in _LANG_TRIGRAMS.items() for t in ts]
+    dim = spark.createDataFrame(rows, "tg string, lang string")
+    tgs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+        lambda i: F.col("text").substr(i, F.lit(3)))
+    ex = doc.select("doc_id", F.explode(tgs).alias("tg"))
+    scored = (ex.join(F.broadcast(dim), "tg")
+              .groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("lang"))
+    best = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("lang").alias("lang_pred"),
+                    F.col("n").cast("long").alias("evidence")))
+    return (load(spark, sf_dir, "documents").select("doc_id")
+            .join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+                    F.coalesce("evidence", F.lit(0)).cast("long")
+                    .alias("evidence")))
+
+
+def _langid_oracle() -> str:
+    vals = ", ".join(f"('{t}', '{lang}')"
+                     for lang, ts in _LANG_TRIGRAMS.items() for t in ts)
+    return f"""
+WITH dim(tg, lang) AS (VALUES {vals}),
+ex AS (SELECT doc_id, unnest(list_transform(
+         range(1, greatest(length(text)-2, 1)+1),
+         i -> substr(text, i, 3))) AS tg
+       FROM documents),
+scored AS (SELECT doc_id, lang, COUNT(*) AS n
+           FROM ex JOIN dim USING (tg) GROUP BY doc_id, lang),
+best AS (SELECT doc_id, lang, n FROM (
+   SELECT doc_id, lang, n,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY n DESC, lang ASC) AS rn
+   FROM scored) WHERE rn = 1)
+SELECT d.doc_id, COALESCE(best.lang, 'und') AS lang_pred,
+       CAST(COALESCE(best.n, 0) AS BIGINT) AS evidence
+FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+"""
+
+
+O_LANGID = _langid_oracle()
+
+
+def q_doc_quality(spark, sf_dir):
+    """Training-data quality scoring, integer-exact for oracle parity:
+    token count, mean word length (x100 floor), punctuation / digit
+    counts, stopword-ratio percent, and a composite keep/drop score of
+    the common heuristic shape (length band + stopword evidence -
+    symbol noise)."""
+    doc = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    tokens = F.size(words)
+    mean_wlen_x100 = F.floor(
+        (F.length("text") - tokens + 1) * 100 / tokens).cast("long")
+    punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^\w\s]", ""))
+    digits = F.length("text") - F.length(
+        F.regexp_replace("text", r"[0-9]", ""))
+    stop_n = F.size(F.filter(
+        words, lambda x: x.isin("the", "a", "of", "and", "is", "to", "in")))
+    stop_pct = F.floor(stop_n * 100 / tokens).cast("long")
+    score = (F.when((tokens >= 5) & (tokens <= 100000), 40).otherwise(0)
+             + F.least(stop_pct, F.lit(30))
+             + F.when(punct * 4 <= tokens, 20).otherwise(0)
+             + F.when(digits * 10 <= F.length("text"), 10).otherwise(0))
+    return doc.select(
+        "doc_id", tokens.cast("long").alias("tokens"),
+        mean_wlen_x100.alias("mean_wlen_x100"),
+        punct.cast("long").alias("punct_n"),
+        digits.cast("long").alias("digit_n"),
+        stop_pct.alias("stop_pct"),
+        score.cast("long").alias("quality_score"))
+
+
+O_DOC_QUALITY = """
+WITH q AS (
+  SELECT doc_id, text,
+         len(str_split(text, ' ')) AS tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+           AS punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS digits,
+         len(list_filter(str_split(text, ' '),
+             x -> x IN ('the','a','of','and','is','to','in'))) AS stop_n
+  FROM documents)
+SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
+       CAST(floor((length(text) - tokens + 1) * 100 / tokens) AS BIGINT)
+         AS mean_wlen_x100,
+       CAST(punct AS BIGINT) AS punct_n,
+       CAST(digits AS BIGINT) AS digit_n,
+       CAST(floor(stop_n * 100 / tokens) AS BIGINT) AS stop_pct,
+       CAST((CASE WHEN tokens BETWEEN 5 AND 100000 THEN 40 ELSE 0 END)
+            + least(CAST(floor(stop_n * 100 / tokens) AS BIGINT), 30)
+            + (CASE WHEN punct * 4 <= tokens THEN 20 ELSE 0 END)
+            + (CASE WHEN digits * 10 <= length(text) THEN 10 ELSE 0 END)
+            AS BIGINT) AS quality_score
+FROM q
+"""
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1108,6 +1285,36 @@ SELECT qid, nid, rank FROM (
 """
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState) run
+    availableNow over the events table: per-user session assembly with a
+    30-min gap and event-time timeouts.  Genuinely non-SQL-expressible
+    (driver records the rows-only check per the brief's escape hatch)."""
+    import uuid
+
+    from .streaming.stream import sessionize_stream
+    name = "q" + uuid.uuid4().hex[:10]
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isfile(path):
+        # file streams need a directory source: expose the single-file
+        # table through a symlink dir (testdata ships bare files)
+        d = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir)}_events"
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "part-0.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
+        path = d
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(path)
+    out = sessionize_stream(
+        src.select("user_id", F.col("ts").cast("timestamp").alias("ts")),
+        gap_s=1800, watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_multimodal_audio(spark, sf_dir):
     """REAL codec round-trip (not a stub): synthesize a mono 16-bit PCM
     WAV per document (stdlib wave), then parse it back — two Arrow-batched
@@ -1195,12 +1402,16 @@ QUERIES = {
     "sessionize": q_sessionize,
     "conv_stats": q_conv_stats,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "doc_quality": q_doc_quality,
+    "lang_id_trigram": q_lang_id_trigram,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "multimodal_stub": q_multimodal_stub,
     "multimodal_audio": q_multimodal_audio,
+    "stream_sessionize": q_stream_sessionize,
 }
 
 ORACLES = {
@@ -1239,6 +1450,9 @@ ORACLES = {
     "sessionize": O_SESSIONIZE,
     "conv_stats": O_CONV_STATS,
     "dedup_minhash_lsh": O_MINHASH,
+    "doc_quality": O_DOC_QUALITY,
+    "lang_id_trigram": O_LANGID,
+    "dedup_ngram_jaccard": O_JACCARD,
     "dedup_simhash": O_SIMHASH,
     "ann_cosine_topk": O_ANN,
     "ann_lsh_bucketed": O_ANN_LSH,

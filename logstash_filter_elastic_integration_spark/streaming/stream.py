@@ -53,3 +53,60 @@ def windowed_counts_stream(stream_df: DataFrame, window: str = "1 hour",
             .groupBy(F.window("ts", window)["start"].alias("ts_window"),
                      "role", "tool")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def sessionize_stream(stream_df: DataFrame, gap_s: int = 1800,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Custom STATEFUL streaming operator (brief: applyInPandasWithState):
+    per-user session assembly with an inactivity gap.  State = the open
+    session (start/end epoch, event count); a batch's events extend or
+    close sessions; closed sessions are EMITTED (append mode) and the open
+    one stays in state until the event-time timeout fires after the
+    watermark passes ``gap_s`` beyond its last event.
+
+    Scale shape: state is partitioned by the group key (user), so the
+    operator shards across executors with no driver involvement; the
+    pandas kernel sees one user's micro-batch slice at a time."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("user_id LONG, session_start TIMESTAMP, "
+                  "session_end TIMESTAMP, n_events LONG")
+    state_schema = "start LONG, end LONG, n LONG"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        (uid,) = key
+        closed = []
+        if state.hasTimedOut:
+            start, end, n = state.get
+            closed.append((uid, start, end, n))
+            state.remove()
+        else:
+            start, end, n = state.get if state.exists else (None, None, 0)
+            ts_all = []
+            for pdf in pdfs:
+                ts_all.extend(
+                    int(t.timestamp()) for t in pd.to_datetime(pdf["ts"]))
+            for t in sorted(ts_all):
+                if end is not None and t - end > gap_s:
+                    closed.append((uid, start, end, n))
+                    start, n = None, 0
+                if start is None:
+                    start = t
+                end = t
+                n += 1
+            if n:
+                state.update((start, end, n))
+                state.setTimeoutTimestamp((end + gap_s) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [{"user_id": u,
+                  "session_start": pd.Timestamp(s, unit="s"),
+                  "session_end": pd.Timestamp(e, unit="s"),
+                  "n_events": c} for u, s, e, c in closed])
+
+    return (stream_df.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout))

@@ -35,3 +35,47 @@ def test_stream_pipeline_availablenow(spark, tmp_path):
     assert written
     total = spark.read.parquet(*sorted({p for p in written})).count()
     assert total == 1000
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: within-batch gaps close sessions
+    (emitted); the trailing open session stays in state, then closes via
+    event-time timeout once the watermark advances past it."""
+    import datetime as dt
+
+    from logstash_filter_elastic_integration_spark.streaming.stream import (
+        sessionize_stream)
+
+    src = str(tmp_path / "ev_in")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(mins):
+        return base + dt.timedelta(minutes=mins)
+
+    rows = [
+        (1, t(0)), (1, t(5)), (1, t(10)),      # session A (3 events)
+        (1, t(90)), (1, t(95)),                # >30min gap -> session B
+        (2, t(0)),                             # single-event session
+        (2, t(200)),                           # far later -> closes first
+        # watermark driver: a dummy user far in the future pushes the
+        # watermark beyond every session's timeout
+        (99, t(2000)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.coalesce(1).write.parquet(src)
+
+    out = sessionize_stream(
+        spark.readStream.schema("user_id long, ts timestamp").parquet(src),
+        gap_s=1800, watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["n_events"])
+           for r in spark.sql("SELECT * FROM sessions").collect()}
+    # closed by in-batch gaps: user1 A(3), user2 first(1); closed by the
+    # event-time TIMEOUT once the watermark (driven by user99's t+2000min
+    # event) passed their end+gap: user1 B(2), user2 second(1)
+    assert {(1, 3), (1, 2), (2, 1)} <= got
+    # user99's own session is newer than the watermark -> still open in
+    # state, not emitted
+    assert (99, 1) not in got
