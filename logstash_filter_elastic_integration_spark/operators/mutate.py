@@ -38,13 +38,24 @@ def p_remove(df, spec, ctx):
     """spec/integration/elastic_integration_spec.rb:695-726: removing an
     absent field fails the pipeline unless ignore_missing.  Flat-column
     model: removal = null-out (schema is global; tests treat null as
-    absent)."""
+    absent).  A field living only in the ``_extras`` dynamic map is TRULY
+    removed (map_filter drops the key) — per-row removal, exactly the ES
+    semantics the flat model can't express for static columns."""
     cfg = spec.config
     fields = cfg["field"] if isinstance(cfg["field"], list) else [cfg["field"]]
     ignore_missing = cfg.get("ignore_missing", False)
     active = ctx.active(df, spec)
     for f_name in fields:
         if f_name not in df.columns:
+            if "_extras" in df.columns:
+                present = F.map_contains_key(fcol("_extras"), F.lit(f_name))
+                if not ignore_missing:
+                    df = ctx.fail(
+                        df, active & ~F.coalesce(present, F.lit(False)), spec,
+                        f"field [{f_name}] not present as part of path [{f_name}]")
+                df = guarded(df, active, {"_extras": F.map_filter(
+                    fcol("_extras"), lambda k, _: k != f_name)})
+                continue
             if not ignore_missing:
                 df = ctx.fail(df, active, spec,
                               f"field [{f_name}] not present as part of path [{f_name}]")
@@ -228,8 +239,21 @@ def p_gsub(df, spec, ctx):
 
 def p_dot_expander(df, spec, ctx):
     """spec/integration/elastic_integration_spec.rb:335-358.  In the flat
-    column model a dotted key *is* the nested path, so expansion is the
-    identity — kept as an explicit no-op for DSL compatibility."""
+    column model a dotted key *is* the nested path, so expansion of static
+    columns is the identity.  For DYNAMIC fields the processor is real:
+    a dotted key in the ``_extras`` map (e.g. written by kv) is lifted to
+    a flat (dotted) root column — the flat-model equivalent of turning
+    literal "a.b" into nested a.b."""
+    cfg = spec.config
+    f_name = cfg.get("field")
+    if (f_name and f_name != "*" and f_name not in df.columns
+            and "_extras" in df.columns):
+        active = ctx.active(df, spec)
+        val = F.try_element_at(fcol("_extras"), F.lit(f_name))
+        df = guarded(df, active, {
+            f_name: val,
+            "_extras": F.map_filter(fcol("_extras"),
+                                    lambda k, _: k != f_name)})
     return df
 
 

@@ -192,6 +192,121 @@ FROM events
 """
 
 
+def q_pipe_append(spark, sf_dir):
+    """append: array concat with allow_duplicates=False (array_union order
+    semantics) AND scalar->array promotion in one pipeline."""
+    ev = load(spark, sf_dir, "events")
+    df = ev.withColumn("arr", F.array(F.col("event_type")))
+    out = _pipe(spark, df, [
+        {"append": {"field": "arr", "value": ["x1", "x2", "{{event_type}}"],
+                    "allow_duplicates": False}},
+        {"append": {"field": "event_type", "value": ["extra"]}},
+    ])
+    return out.select("event_id", "arr",
+                      F.col("event_type").alias("etype_arr"))
+
+
+O_APPEND = """
+SELECT event_id, [event_type, 'x1', 'x2'] AS arr,
+       [event_type, 'extra'] AS etype_arr
+FROM events
+"""
+
+
+def q_pipe_dot_expander(spark, sf_dir):
+    """dot_expander lifting a dotted DYNAMIC key (kv -> _extras) to a flat
+    root column (static dotted columns are already the expanded form)."""
+    ev = load(spark, sf_dir, "events")
+    df = ev.withColumn("msg", F.format_string("geo.city=C%d", F.col("user_id")))
+    out = _pipe(spark, df, [
+        {"kv": {"field": "msg", "field_split": " ", "value_split": "="}},
+        {"dot_expander": {"field": "geo.city"}},
+    ])
+    return out.select("event_id", fcol("geo.city").alias("city"))
+
+
+O_DOT_EXPANDER = """
+SELECT event_id, 'C' || CAST(user_id AS VARCHAR) AS city FROM events
+"""
+
+
+def q_pipe_date_index_name(spark, sf_dir):
+    """date_index_name: the ES date-math index expression
+    <prefix{date||/M{fmt|tz}}> (DateIndexNameProcessor shape)."""
+    ev = load(spark, sf_dir, "events")
+    out = _pipe(spark, ev, [
+        {"date_index_name": {"field": "ts", "index_name_prefix": "monthly-",
+                             "date_rounding": "M",
+                             "index_name_format": "yyyy-MM-dd"}}])
+    return out.select("event_id", F.col("_index").alias("didx"))
+
+
+O_DATE_INDEX_NAME = """
+SELECT event_id,
+       '<monthly-{' || strftime(ts, '%Y-%m-%d') || '||/M{yyyy-MM-dd|UTC}}>'
+         AS didx
+FROM events
+"""
+
+
+def q_pipe_drop_fail_terminate(spark, sf_dir):
+    """Control-flow trio: drop cancels (row kept + flagged,
+    EventProcessor.java:185-189), terminate stops the chain for the row,
+    fail restores pristine + tags; all three gate the late `set`."""
+    ev = load(spark, sf_dir, "events")
+    out = _pipe(spark, ev, [
+        {"drop": {"if": "ctx.event_type == 'error'"}},
+        {"terminate": {"if": "ctx.event_type == 'click'"}},
+        {"fail": {"message": "boom", "if": "ctx.event_type == 'purchase'"}},
+        {"set": {"field": "mark", "value": "late"}},
+    ])
+    return out.select(
+        "event_id", F.col("__dropped").alias("dropped"),
+        F.coalesce(F.array_contains("tags", "_ingest_pipeline_failure"),
+                   F.lit(False)).alias("failed"),
+        F.coalesce(F.col("mark"), F.lit("-")).alias("mark"))
+
+
+O_DROP_FAIL_TERMINATE = """
+SELECT event_id, (event_type = 'error') AS dropped,
+       (event_type = 'purchase') AS failed,
+       CASE WHEN event_type IN ('error', 'click', 'purchase') THEN '-'
+            ELSE 'late' END AS mark
+FROM events
+"""
+
+
+def q_enrich_geoip_range(spark, sf_dir):
+    """geoip by IP RANGE (the .mmdb shape): broadcast range dim with
+    most-specific-prefix resolution; probe IPs derived from user_id."""
+    ev = load(spark, sf_dir, "events")
+
+    def ip2long(a, b):
+        return (a << 24) | (b << 16)
+
+    dim = spark.createDataFrame(
+        [(ip2long(10, 0), ip2long(10, 100) - 1, "low"),
+         (ip2long(10, 100), ip2long(10, 200) - 1, "high"),
+         (ip2long(10, 42), ip2long(10, 43) - 1, "answer")],  # overlaps 'low'
+        "lo long, hi long, zone string")
+    df = ev.withColumn(
+        "ip", F.format_string("10.%d.0.1", (F.col("user_id") % 200).cast("int")))
+    out = _pipe(spark, df, [
+        {"geoip": {"field": "ip", "database_file": "R.mmdb",
+                   "range_keys": ["lo", "hi"], "target_field": "geo",
+                   "properties": ["zone"]}}],
+        dims={"R.mmdb": dim})
+    return out.select("event_id", fcol("geo.zone").alias("zone"))
+
+
+O_GEOIP_RANGE = """
+SELECT event_id,
+       CASE WHEN user_id % 200 = 42 THEN 'answer'
+            WHEN user_id % 200 < 100 THEN 'low' ELSE 'high' END AS zone
+FROM events
+"""
+
+
 # ----------------------------------------------------- mutate / scalar -----
 
 def q_pipe_mutate_chain(spark, sf_dir):
@@ -1371,6 +1486,11 @@ QUERIES = {
     "pipe_dissect": q_pipe_dissect,
     "pipe_kv": q_pipe_kv,
     "pipe_kv_dynamic": q_pipe_kv_dynamic,
+    "enrich_geoip_range": q_enrich_geoip_range,
+    "pipe_drop_fail_terminate": q_pipe_drop_fail_terminate,
+    "pipe_date_index_name": q_pipe_date_index_name,
+    "pipe_dot_expander": q_pipe_dot_expander,
+    "pipe_append": q_pipe_append,
     "pipe_csv": q_pipe_csv,
     "pipe_json": q_pipe_json,
     "pipe_redact": q_pipe_redact,
@@ -1419,6 +1539,11 @@ ORACLES = {
     "pipe_dissect": O_DISSECT,
     "pipe_kv": O_KV,
     "pipe_kv_dynamic": O_KV_DYNAMIC,
+    "enrich_geoip_range": O_GEOIP_RANGE,
+    "pipe_drop_fail_terminate": O_DROP_FAIL_TERMINATE,
+    "pipe_date_index_name": O_DATE_INDEX_NAME,
+    "pipe_dot_expander": O_DOT_EXPANDER,
+    "pipe_append": O_APPEND,
     "pipe_csv": O_CSV,
     "pipe_json": O_JSON,
     "pipe_redact": O_REDACT,

@@ -413,3 +413,19 @@ def test_kv_dynamic_extras_lift_on_read(spark, registry):
     assert by["5.6.7.8"]["flagged"] is None
     # the dynamic map itself is present as the _extras side-channel
     assert by["1.2.3.4"]["_extras"]["error"] == "REFUSED"
+
+
+def test_remove_and_dot_expander_on_extras(spark, registry):
+    """Dynamic fields (kv -> _extras) support TRUE per-row removal and
+    dot_expander lifts dotted dynamic keys to flat root columns."""
+    out = run_one(
+        spark, registry,
+        [{"kv": {"field": "msg", "field_split": " ", "value_split": "="}},
+         {"dot_expander": {"field": "geo.city"}},
+         {"remove": {"field": "secret"}}],
+        [("geo.city=Lima secret=hunter2 keep=yes",)], "msg string")
+    r = out[0]
+    assert r["geo.city"] == "Lima"
+    assert "secret" not in r["_extras"]
+    assert r["_extras"]["keep"] == "yes"
+    assert "geo.city" not in r["_extras"]
