@@ -89,7 +89,9 @@ def main() -> None:
     qtimes: dict[str, float] = {"flagship_pipeline": round(flagship_s, 3)}
     headline = ["pipe_grok_typed", "pipe_mutate_chain", "route_fanout",
                 "agg_sink_counts", "dedup_exact", "dedup_minhash_lsh",
-                "ann_cosine_topk", "text_stats", "window_turn_order"]
+                "dedup_simhash", "dedup_ngram_jaccard", "lang_id_trigram",
+                "doc_quality", "ann_cosine_topk", "ann_ivf",
+                "multimodal_audio", "text_stats", "window_turn_order"]
     for name in headline:
         # min-of-2 per query too: pass 1 pays whole-stage-codegen compile
         # + JIT for that query's generated classes (and eats any host-noise

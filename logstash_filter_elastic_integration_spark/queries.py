@@ -1007,6 +1007,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     representative shingle sets + array_intersect/union sizes; the score
     is integer percent (floor) for bit-exact oracle parity."""
     reps, pairs = _minhash_reps_and_pairs(spark, sf_dir)
+    # candidate pairs are tiny (bucket-capped): materialize once so the
+    # 16-hash minhash subtree isn't re-executed under each join branch
+    # (Catalyst does not share common subtrees across joins)
+    pairs = pairs.localCheckpoint(eager=True)
     sa = reps.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
     sb = reps.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
     j = pairs.join(sa, "a").join(sb, "b")

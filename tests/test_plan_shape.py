@@ -82,3 +82,40 @@ def test_adjacent_groks_fuse_into_one_arrow_node(spark):
     df = spark.createDataFrame([("1", "w")], "a string, b string")
     out = run_pipeline(df, "two", reg)
     assert _executed_plan(out).count("ArrowEvalPython") == 1
+
+
+def test_registered_domain_plan_broadcast_only(spark):
+    """The PSL rule joins must all be broadcast hash joins: no exchange on
+    the fact side regardless of rule-set size."""
+    from logstash_filter_elastic_integration_spark.plans import (
+        PipelineRegistry, run_pipeline)
+    reg = PipelineRegistry()
+    reg.register("rd", {"processors": [
+        {"registered_domain": {"field": "domain_field",
+                               "target_field": "url"}}]})
+    df = spark.range(100).selectExpr("concat('www.example', id, '.co.uk') AS domain_field")
+    out = run_pipeline(df, "rd", reg)
+    plan = _executed_plan(out)
+    stripped = plan.replace("BroadcastExchange", "BCX")
+    assert "Exchange" not in stripped
+    assert plan.count("BroadcastHashJoin") >= 4  # one per PSL depth
+
+
+def test_geoip_range_plan_broadcast_only(spark, tmp_path):
+    """Range geoip (incl. most-specific segmentation) keeps the fact side
+    exchange-free: segmentation runs dim-side at compile."""
+    from logstash_filter_elastic_integration_spark.plans import (
+        PipelineRegistry, run_pipeline)
+    reg = PipelineRegistry()
+    dim = spark.createDataFrame(
+        [(0, 100, "a"), (50, 60, "b")], "lo long, hi long, zone string")
+    reg.dims["r.mmdb"] = dim
+    reg.register("g", {"processors": [
+        {"geoip": {"field": "ip", "database_file": "r.mmdb",
+                   "range_keys": ["lo", "hi"], "target_field": "geo"}}]})
+    df = spark.range(100).selectExpr("concat('10.0.0.', id % 255) AS ip")
+    out = run_pipeline(df, "g", reg)
+    plan = _executed_plan(out)
+    stripped = plan.replace("BroadcastExchange", "BCX")
+    assert "Exchange" not in stripped
+    assert "BroadcastNestedLoopJoin" in plan
