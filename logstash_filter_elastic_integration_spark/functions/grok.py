@@ -356,3 +356,28 @@ class GrokCompiler:
                 out.runtime.append(out.regexes[-1])
             out.group_maps.append(gmap)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Worker-process compile cache.
+#
+# A pandas-UDF closure that captures a CompiledGrok pickles its re/regex
+# Pattern objects, and Pattern.__reduce__ RE-COMPILES on every unpickle —
+# i.e. once per Spark TASK.  At local[32] with ~200 scan tasks that is
+# ~200 redundant compiles of multi-KB expanded patterns per action (and on
+# a real cluster, once per task forever).  Executors reuse worker
+# processes, so a module-level cache keyed by the pattern/bank content
+# compiles once per WORKER instead: the closure captures only strings.
+# ---------------------------------------------------------------------------
+_COMPILE_CACHE: dict = {}
+
+
+def cached_compile(patterns: tuple[str, ...],
+                   extra_items: tuple[tuple[str, str], ...] = ()) -> CompiledGrok:
+    """Process-level memoized GrokCompiler().compile() — see note above."""
+    key = (patterns, extra_items)
+    hit = _COMPILE_CACHE.get(key)
+    if hit is None:
+        hit = _COMPILE_CACHE[key] = GrokCompiler(
+            extra_patterns=dict(extra_items) or None).compile(list(patterns))
+    return hit

@@ -21,6 +21,23 @@ from pyspark.sql import Window, functions as F
 from ..plans.document import fcol, guarded
 
 
+def _prepared_dim(ctx, cache_key, build):
+    """Compile-time cache of prepared (deduped/segmented, localized) dims.
+
+    Dim preparation collects the dim to the driver (tiny by contract), but
+    doing it on EVERY Router.execute() call re-pays two Spark jobs per
+    lookup — measured ~1s of the flagship's plan-construction time.  The
+    prepared local relation only depends on the registered dim object, so
+    key the cache by (name, id(dim), config) on the registry itself;
+    re-registering a dim naturally invalidates via id()."""
+    cache = getattr(ctx.registry, "_dim_cache", None)
+    if cache is None:
+        cache = ctx.registry._dim_cache = {}
+    if cache_key not in cache:
+        cache[cache_key] = build()
+    return cache[cache_key]
+
+
 def _localize(df):
     """Materialize a (tiny, broadcast-sized) dim preparation as a driver-
     side local relation.  The dedupe/segmentation below needs a groupBy or
@@ -93,7 +110,9 @@ def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
     dim = dims[dim_name]
     key_col = cfg.get("lookup_key", dim.columns[0])
     props = cfg.get("properties") or [c for c in dim.columns if c != key_col]
-    dim = _dedupe_dim(dim, key_col, props)
+    dim = _prepared_dim(
+        ctx, ("exact", dim_name, id(dim), key_col, tuple(props)),
+        lambda: _dedupe_dim(dim, key_col, props))
     joined = "__lk_" + dim_name
     renamed = dim.select(
         F.col(key_col).alias(joined),
@@ -130,7 +149,9 @@ def _broadcast_range_lookup(df, spec, ctx, dim_name: str, default_target: str):
     key_long = F.when(key.rlike(r"^(\d{1,3}\.){3}\d{1,3}$"), _ip4_to_long(key)) \
         .otherwise(key.try_cast("long"))
     props = cfg.get("properties") or [c for c in dim.columns if c not in (lo, hi)]
-    dim = _disjoint_narrowest(dim, lo, hi, props)
+    dim = _prepared_dim(
+        ctx, ("range", dim_name, id(dim), lo, hi, tuple(props)),
+        lambda: _disjoint_narrowest(dim, lo, hi, props))
     joined = "__rlk_" + dim_name.replace(".", "_")
     renamed = dim.select(
         F.col(lo).alias(f"{joined}_lo"), F.col(hi).alias(f"{joined}_hi"),

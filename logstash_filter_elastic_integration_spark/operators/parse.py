@@ -145,9 +145,18 @@ def p_grok(df, spec, ctx):
                T.StructField("__interrupted", T.BooleanType())])
         max_exec_ms = int(cfg.get("watchdog_max_exec_ms", 1000))
 
+        # capture STRINGS, not the CompiledGrok: pickled Pattern objects
+        # recompile on every unpickle (= every task).  cached_compile
+        # compiles once per worker process instead (functions/grok.py).
+        patterns_key = tuple(patterns)
+        extra_items = tuple(sorted(
+            (cfg.get("pattern_definitions") or {}).items()))
+
         def extract(series):
             import pandas as pd
-            vals, matched, interrupted = compiled.extract(
+            from ..functions.grok import cached_compile
+            vals, matched, interrupted = cached_compile(
+                patterns_key, extra_items).extract(
                 series, max_exec_ms=max_exec_ms)
             vals = vals.where(pd.notna(vals), None)
             vals["__matched"] = matched

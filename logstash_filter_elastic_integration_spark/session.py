@@ -22,6 +22,15 @@ def get_spark(
     if shuffle_partitions is None:
         n = os.cpu_count() or 8 if cores == "*" else int(cores)
         shuffle_partitions = max(8, int(n))
+    # glibc malloc tuning for the Arrow/pandas worker fleet: N workers
+    # churning millions of short-lived strings per batch trigger an
+    # mmap/munmap storm (measured 80% SYSTEM cpu at local[32] on the grok
+    # stage; kernel zone-lock contention).  Pin arenas and disable trim so
+    # freed batch memory is reused instead of returned page-by-page.  Must
+    # be in the environment BEFORE the JVM forks the pyspark worker daemon.
+    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "134217728")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
