@@ -180,3 +180,123 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(kernel, schema)
+
+
+# -------------------------------------------------- real codec: PNG --------
+# A second REAL codec, images this time: genuine PNG containers written and
+# parsed with the stdlib (zlib inflate/deflate, struct chunk framing,
+# binascii CRC-32) — no imaging library needed for 8-bit grayscale with
+# filter type 0.  Same Arrow-batched mapInPandas contract as every other
+# media kernel; the round-trip is lossless so downstream features are
+# exactly recomputable in closed form (the oracle's lever).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import binascii
+    import struct
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def png_encode_gray(pixels) -> bytes:
+    """2-D uint8 array -> real 8-bit grayscale PNG bytes (filter 0)."""
+    import struct
+    import zlib
+    h, w = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_decode_gray(buf: bytes):
+    """Real PNG parse: signature, chunk walk (CRC verified), IHDR fields,
+    IDAT inflate, per-scanline filter-0 strip -> 2-D uint8 array."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(buf):
+        (ln,) = struct.unpack(">I", buf[pos:pos + 4])
+        tag = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln:pos + 12 + ln])
+        if binascii.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+            if depth != 8 or ctype != 0:
+                raise ValueError("only 8-bit grayscale supported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    if rows[:, 0].any():
+        raise ValueError("only filter type 0 supported")
+    return rows[:, 1:]
+
+
+def encode_png(df: DataFrame, side: int = 16) -> DataFrame:
+    """Synthesize a real PNG per row: side x side grayscale, pixel(i) =
+    (doc_id*31 + i*7) % 256 — deterministic, so features recompute in
+    closed form after the lossless round-trip."""
+    schema = "doc_id LONG, payload BINARY"
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        idx = np.arange(side * side, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                png_encode_gray(
+                    ((int(d) * 31 + idx * 7) % 256).astype(np.uint8)
+                    .reshape(side, side))
+                for d in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.mapInPandas(kernel, schema)
+
+
+def decode_image_features(df: DataFrame, payload_col: str = "payload",
+                          blocks: int = 4) -> DataFrame:
+    """Parse real PNGs and extract exact integer features: dimensions,
+    total/min/max pixel value, and per-block pixel sums from a blocks x
+    blocks pooled downsample (the resize stage, vectorized numpy)."""
+    schema = ("doc_id LONG, width INT, height INT, pix_sum LONG, "
+              "pix_min INT, pix_max INT, block_sums ARRAY<LONG>")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "pix_sum",
+                                    "pix_min", "pix_max", "block_sums")}
+            for doc_id, buf in zip(pdf["doc_id"], pdf[payload_col]):
+                px = png_decode_gray(bytes(buf)).astype(np.int64)
+                h, w = px.shape
+                bh, bw = h // blocks, w // blocks
+                pooled = px[:bh * blocks, :bw * blocks] \
+                    .reshape(blocks, bh, blocks, bw).sum(axis=(1, 3))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pix_sum"].append(int(px.sum()))
+                rows["pix_min"].append(int(px.min()))
+                rows["pix_max"].append(int(px.max()))
+                rows["block_sums"].append(
+                    [int(x) for x in pooled.ravel()])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema)

@@ -164,7 +164,14 @@ def p_grok(df, spec, ctx):
             return vals
 
         udf = F.pandas_udf(extract, schema)
-        df = df.withColumn("__grok", udf(src))
+        # gate the UDF INPUT, not just the output: ArrowEvalPython always
+        # evaluates the UDF for every row, so rows excluded by the
+        # processor's `if` condition would still ship their text to Python
+        # and get regex-scanned.  Nulling the input for inactive rows keeps
+        # the Arrow transfer and the Python-side work proportional to the
+        # rows the processor actually applies to (extract() skips
+        # non-strings via its valid mask).
+        df = df.withColumn("__grok", udf(F.when(active, src)))
         df = df.withColumn("__grok_matched",
                            F.coalesce(fcol("__grok")["__matched"], F.lit(False)))
         df = df.withColumn("__grok_interrupted",

@@ -1000,6 +1000,63 @@ SELECT DISTINCT p.a AS a, p.b AS b FROM px
 O_MINHASH = _mh_oracle()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS from the LSH candidate pairs: connected
+    components by iterative min-label propagation, then the keep-one
+    materialization a training-data pipeline actually needs ("drop all but
+    one doc per near-dup group").
+
+    Scale shape — the shuffle-join connected-components loop (the
+    GraphX-free formulation used for web-scale dedup):
+    - per round: ONE join (edges ⋈ labels on the neighbor side) + ONE
+      groupBy-min + a left join back — all hash-partitioned on node id;
+    - lineage truncated every round with eager localCheckpoint, so plan
+      depth and task count stay O(1) regardless of round count (the
+      classic iterative-Spark failure mode is exponential plan growth);
+    - min labels propagate one hop per round => converges in
+      O(component diameter) rounds; near-dup clusters are shallow, and
+      the loop exits on a metadata-scale convergence count.
+    Oracle: DuckDB recursive CTE computes the exact transitive closure.
+    """
+    _, pairs = _minhash_reps_and_pairs(spark, sf_dir)
+    pairs = pairs.localCheckpoint(eager=True)
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("lab", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(20):
+        nbr = (edges.join(labels.select(F.col("node").alias("b"), "lab"), "b")
+               .groupBy("a").agg(F.min("lab").alias("nlab")))
+        new = (labels.join(nbr, labels["node"] == nbr["a"], "left")
+               .select("node", F.least(
+                   F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("lab", "old"), "node")
+                   .filter(F.col("lab") != F.col("old")).limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"),
+        (F.col("node") == F.col("lab")).alias("is_canonical"))
+
+
+O_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE cand AS ({_mh_oracle()}),
+edges AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+    SELECT node, node AS lab FROM nodes
+    UNION
+    SELECT e.a AS node, r.lab FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id,
+       node = MIN(lab) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Completes the dedup family (brief): LSH candidate pairs verified by
     EXACT 3-gram (word-shingle) Jaccard similarity — the block-then-verify
@@ -1404,6 +1461,104 @@ SELECT qid, nid, rank FROM (
 """
 
 
+_KM_K, _KM_Q = 8, 1000  # clusters; fixed-point quantization scale
+
+
+def _q_quant(col):
+    """Embedding -> integer-quantized vector (×1000, round half away from
+    zero).  Int8/fixed-point quantization is standard ANN practice, and it
+    makes every distance/centroid computation EXACT — bit-identical between
+    Spark and DuckDB regardless of float fold order."""
+    return F.transform(col, lambda x: F.round(x * _KM_Q).cast("long"))
+
+
+def _q_sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """Trained coarse quantizer for IVF: 2 Lloyd iterations of k-means
+    (k=_KM_K) over integer-quantized embeddings, deterministic seeds
+    (vec_id < k), then the final cell assignment.
+
+    Scale shape per iteration — the canonical distributed Lloyd step:
+    - centroids are k×64 ints: BROADCAST into a narrow argmin pass over
+      the corpus (BroadcastNestedLoopJoin + per-row window-free min via
+      row_number over vec_id partitions, no corpus shuffle);
+    - centroid update is ONE partial+final groupBy(cell) over k groups —
+      the only shuffle, k rows wide;
+    - floor-average (integer division) keeps the update exact, so the
+      whole 2-iteration computation has a bit-exact DuckDB oracle
+      (float k-means cannot be hash-compared across engines: AVG fold
+      order differs).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _q_quant(F.col("embedding").cast("array<double>")).alias("qv"))
+    emb = _spread(emb, "vec_id").localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+
+    def assign(points, centroids):
+        scored = (points.join(F.broadcast(centroids))
+                  .withColumn("d", _q_sqdist("qv", "cv")))
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "qv", F.col("cid").alias("cell")))
+
+    for _ in range(2):  # fixed iteration count = oracle-expressible
+        assigned = assign(emb, cents)
+        dim = _ANN_DIM
+        cents = (assigned.groupBy("cell")
+                 .agg(*[F.floor(F.sum(F.element_at("qv", i + 1))
+                                / F.count("*")).cast("long").alias(f"c{i}")
+                        for i in range(dim)])
+                 .select(F.col("cell").alias("cid"),
+                         F.array(*[f"c{i}" for i in range(dim)]).alias("cv")))
+    return assign(emb, cents).select("vec_id", "cell").orderBy("vec_id")
+
+
+def _kmeans_oracle() -> str:
+    d = _ANN_DIM
+    cent_cols = ", ".join(
+        f"CAST(floor(SUM(qv[{i + 1}]) / COUNT(*)) AS BIGINT) AS c{i}"
+        for i in range(d))
+    cent_arr = ", ".join(f"c{i}" for i in range(d))
+    sqd = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           "list_transform(range(1, {d}+1), "
+           "i -> (qv[i]-cv[i])*(qv[i]-cv[i]))), (x,y) -> x+y)").format(d=d)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+             x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS qv FROM embeddings),
+c0 AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < {_KM_K}),
+a1 AS (SELECT vec_id, qv, cid AS cell FROM (
+     SELECT e.vec_id, e.qv, c0.cid, {sqd.replace('cv[i]', 'cv[i]')} AS d,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY {sqd} ASC, c0.cid ASC) AS rn
+     FROM e, c0) WHERE rn = 1),
+c1 AS (SELECT cell AS cid, [{cent_arr}] AS cv FROM (
+     SELECT cell, {cent_cols} FROM a1 GROUP BY cell)),
+a2 AS (SELECT vec_id, qv, cid AS cell FROM (
+     SELECT e.vec_id, e.qv, c1.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY {sqd} ASC, c1.cid ASC) AS rn
+     FROM e, c1) WHERE rn = 1),
+c2 AS (SELECT cell AS cid, [{cent_arr}] AS cv FROM (
+     SELECT cell, {cent_cols} FROM a2 GROUP BY cell))
+SELECT vec_id, cid AS cell FROM (
+     SELECT e.vec_id, c2.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY {sqd} ASC, c2.cid ASC) AS rn
+     FROM e, c2) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+O_ANN_IVF_KMEANS = _kmeans_oracle()
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Custom STATEFUL streaming operator (applyInPandasWithState) run
     availableNow over the events table: per-user session assembly with a
@@ -1456,6 +1611,42 @@ SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
             i -> abs((i * (doc_id % 97 + 1)) % 20000 - 10000))) AS INT) AS peak
 FROM documents
 """
+
+
+def q_multimodal_image(spark, sf_dir):
+    """REAL image codec round-trip: a genuine 16x16 grayscale PNG per
+    document (stdlib zlib/struct/crc32 — signature, CRC-verified chunk
+    walk, IHDR, IDAT inflate, filter-0 defilter), then a decode +
+    pooled-resize feature stage.  Two Arrow-batched mapInPandas stages;
+    pixel(i) = (doc_id*31 + i*7) % 256 is deterministic and the PNG
+    round-trip lossless, so the oracle recomputes every feature in exact
+    integer closed form."""
+    from .operators.multimodal import decode_image_features, encode_png
+    doc = _spread(load(spark, sf_dir, "documents").select("doc_id"),
+                  "doc_id")
+    return decode_image_features(encode_png(doc, side=16), blocks=4)
+
+
+def _image_oracle() -> str:
+    # pixel index for block b, offset k (4x4 blocks over a 16x16 image):
+    # row = (b//4)*4 + k//4, col = (b%4)*4 + k%4, i = row*16 + col
+    pix = "((doc_id*31 + (((b//4)*4 + k//4)*16 + (b%4)*4 + k%4)*7) % 256)"
+    blk = ("list_transform(range(0, 16), b -> list_reduce(list_prepend("
+           f"CAST(0 AS BIGINT), list_transform(range(0, 16), k -> {pix})), "
+           "(x,y) -> x+y))")
+    allpix = "list_transform(range(0, 256), i -> (doc_id*31 + i*7) % 256)"
+    return f"""
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), {allpix}),
+            (x,y) -> x+y) AS BIGINT) AS pix_sum,
+       CAST(list_min({allpix}) AS INT) AS pix_min,
+       CAST(list_max({allpix}) AS INT) AS pix_max,
+       {blk} AS block_sums
+FROM documents
+"""
+
+
+O_MULTIMODAL_IMAGE = _image_oracle()
 
 
 def q_multimodal_stub(spark, sf_dir):
@@ -1526,6 +1717,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "conv_stats": q_conv_stats,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "doc_quality": q_doc_quality,
     "lang_id_trigram": q_lang_id_trigram,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1535,6 +1728,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "multimodal_stub": q_multimodal_stub,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_image": q_multimodal_image,
     "stream_sessionize": q_stream_sessionize,
 }
 
@@ -1579,6 +1773,8 @@ ORACLES = {
     "sessionize": O_SESSIONIZE,
     "conv_stats": O_CONV_STATS,
     "dedup_minhash_lsh": O_MINHASH,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
+    "ann_ivf_kmeans": O_ANN_IVF_KMEANS,
     "doc_quality": O_DOC_QUALITY,
     "lang_id_trigram": O_LANGID,
     "dedup_ngram_jaccard": O_JACCARD,
@@ -1588,4 +1784,5 @@ ORACLES = {
     "ann_ivf": O_ANN_IVF,
     "multimodal_stub": O_MULTIMODAL,
     "multimodal_audio": O_MULTIMODAL_AUDIO,
+    "multimodal_image": O_MULTIMODAL_IMAGE,
 }

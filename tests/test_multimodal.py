@@ -46,3 +46,33 @@ def test_frame_sample_explodes_rows(spark):
     for doc, fs in by_doc.items():
         idxs = sorted(f["frame_idx"] for f in fs)
         assert idxs == list(range(len(fs)))  # dense frame indexes
+
+
+def test_png_codec_roundtrip_and_integrity():
+    import numpy as np
+
+    from logstash_filter_elastic_integration_spark.operators.multimodal import (
+        png_decode_gray, png_encode_gray)
+    px = ((np.arange(256) * 7 + 42 * 31) % 256).astype(np.uint8).reshape(16, 16)
+    buf = png_encode_gray(px)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (png_decode_gray(buf) == px).all()
+    # CRC integrity: flipping a data byte must be detected, not decoded
+    corrupted = bytearray(buf)
+    corrupted[40] ^= 0xFF
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        png_decode_gray(bytes(corrupted))
+
+
+def test_multimodal_image_features_exact(spark):
+    from logstash_filter_elastic_integration_spark import queries as Q
+    rows = Q.QUERIES["multimodal_image"](spark, "/root/testdata/sf0.001") \
+        .orderBy("doc_id").limit(3).collect()
+    import numpy as np
+    for r in rows:
+        px = ((r.doc_id * 31 + np.arange(256) * 7) % 256).reshape(16, 16)
+        assert r.width == 16 and r.height == 16
+        assert r.pix_sum == int(px.sum())
+        assert list(r.block_sums) == [
+            int(x) for x in px.reshape(4, 4, 4, 4).sum(axis=(1, 3)).ravel()]

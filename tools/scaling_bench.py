@@ -2,26 +2,28 @@
 
 Protocol: the IDENTICAL flagship job (parse -> enrich -> route -> reroute
 fixpoint -> fan-out materialization + per-sink aggregates) on the IDENTICAL
-deterministic input, at N and 4N cores in fresh JVMs; report turns/sec at
-both + efficiency = (tput@4N / tput@N) / 4 into BENCH/BASELINE.md.
+deterministic input, at several parallelism levels in fresh JVMs; report
+turns/sec at each + pairwise efficiency = (tput@4N / tput@N) / 4 into
+BENCH/BASELINE.md.  Default levels cover BOTH the BASELINE.md-stated pair
+(local[8] vs local[32]) and the bandwidth-envelope pair (local[2] vs
+local[8]).
 
-Sandbox-measurement notes (documented in the report):
-- The materialization sink is Spark's `noop` writer: on a real cluster every
-  executor writes to distributed storage (I/O scales with executors), but in
-  this single-box sandbox the one local disk is a shared bottleneck that
-  would misattribute disk variance to Spark scaling.  The parquet
-  end-to-end number is still reported separately for reference.
-- Default pair is local[2] vs local[8].  The box has 32 physical cores but
-  a single memory controller: this regex-heavy string workload saturates
-  memory bandwidth near ~16 threads (8->32 threads yields ~2x, not 4x),
-  a single-node artifact that multi-node clusters don't have (bandwidth
-  scales with nodes).  2->8 cores stays inside the bandwidth envelope and
-  measures the actual work-scaling of the job.
-- Row count (default 8M) is sized so fixed driver costs (plan analysis,
-  codegen, broadcast build: ~4-8 s) are amortized, mirroring real batch
-  sizes at cluster scale.
+Measurement discipline for this single-box, hypervisor-shared sandbox:
+- warm pass with the EXACT timed plans (a `limit()`-slice warm generates
+  different codegen classes and leaks ~70s of JIT into the timed pass);
+- min-of-P timed passes per fresh JVM (default 5): the VM shows 2-3x
+  wall swings from HOST CPU STEAL (hypervisor oversubscription, visible
+  in /proc/stat field 8 — measured up to 45 core-s stolen during a
+  single 32-core pass);
+- per-pass steal and system-CPU time are recorded and the steal-adjusted
+  wall (wall - steal/cores) is reported next to the raw wall, so the
+  efficiency number can be read with the platform tax explicit;
+- scan splits sized from the actual input bytes for ~2 task waves per
+  core (measured best at local[32]; at 100 TB the file count provides
+  wave-granular scheduling naturally).
 
-Env: SCALE_N (default 2), SCALE_ROWS (default 8_000_000).
+Env: SCALE_ROWS (default 8_000_000), SCALE_LEVELS (default "2,8,32"),
+SCALE_PASSES (default 5).
 """
 
 from __future__ import annotations
@@ -34,56 +36,67 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 RUNNER = r"""
-import sys, time
-cores, rows = int(sys.argv[1]), int(sys.argv[2])
+import glob, json, os, sys, time
+cores, rows, passes = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+# Pin the WHOLE process tree (JVM + pyspark worker fleet, which inherit
+# the affinity mask) to exactly `cores` CPUs: local[N] alone only caps
+# JVM task slots — the Python workers run beside them, so an unpinned
+# local[2] run was measured using ~3.3 cores of the box (free-core
+# borrowing that inflates small-N throughput and corrupts the efficiency
+# ratio).  Pinning makes each level a true N-core machine emulation.
+os.sched_setaffinity(0, set(range(cores)))
 sys.path.insert(0, {repo!r})
 from logstash_filter_elastic_integration_spark import get_spark
 from logstash_filter_elastic_integration_spark.flagship import build_router, with_datastream
 import bench
+
+def cpu_times():
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    # user nice system idle iowait irq softirq steal  (USER_HZ=100 ticks)
+    return v
+
 spark = get_spark(cores=cores, shuffle_partitions=max(8, cores))
-# size scan splits to ~3 task waves per core: the default 128MB
-# maxPartitionBytes packs this ~180MB cache into ~3 splits, starving
-# every core past the third, and a single wave makes one straggler set
-# the wall (at 100 TB the file count provides this naturally)
-split = max(2 * 1024 * 1024, 180 * 1024 * 1024 // (3 * cores))
-spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 tpath = bench.transcripts_cache(spark, "scaling", rows)
+# ~2 task waves per core, computed from the real input bytes (measured
+# faster than 3+ waves at local[32]: fewer per-task python handoffs)
+nbytes = sum(os.path.getsize(p) for p in glob.glob(tpath + "/*.parquet"))
+split = max(3 * 1024 * 1024, nbytes // (2 * cores))
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 tdf = spark.read.parquet(tpath)
 router = build_router(spark)
 out = router.execute(with_datastream(tdf))
-# warm with the EXACT timed plans: a limit()-slice warm generates
-# DIFFERENT codegen classes, so the timed pass still paid JIT (measured
-# ~70s of compile on the first full-plan execution at 32 cores)
+# warm with the EXACT timed plans (JIT + codegen class reuse)
 out.write.format("noop").mode("overwrite").save()
 router.sink_counts(out).write.format("noop").mode("overwrite").save()
 best = None
-for _ in range(2):  # min-of-2 inside one JVM: 2-3x host-noise swings
-    t0 = time.time()
+for i in range(passes):
+    c0 = cpu_times(); t0 = time.time()
     out.write.format("noop").mode("overwrite").save()
     router.sink_counts(out).write.format("noop").mode("overwrite").save()
-    wall = time.time() - t0
-    best = wall if best is None else min(best, wall)
-print("RESULT " + str(round(best, 3)))
+    wall = time.time() - t0; c1 = cpu_times()
+    d = [(y - x) / 100.0 for x, y in zip(c0, c1)]
+    rec = dict(idx=i, wall=round(wall, 3), user_s=round(d[0], 1),
+               sys_s=round(d[2], 1), steal_s=round(d[7], 1))
+    print("PASS " + json.dumps(rec), flush=True)
+    if best is None or wall < best["wall"]:
+        best = rec
+print("RESULT " + json.dumps(best), flush=True)
 """
 
-
-def run_level(cores: int, rows: int, reps: int = 2) -> float:
-    """min-of-reps: this VM shows 2-3x host-noise swings (documented in
-    README); min is the least-contended estimate of the job's true cost."""
+def run_level(cores: int, rows: int, passes: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER.replace("{repo!r}", repr(REPO)),
+         str(cores), str(rows), str(passes)],
+        capture_output=True, text=True, timeout=3600, cwd=REPO)
     best = None
-    for _ in range(reps):
-        out = subprocess.run(
-            [sys.executable, "-c", RUNNER.format(repo=REPO),
-             str(cores), str(rows)],
-            capture_output=True, text=True, timeout=3600, cwd=REPO)
-        wall = None
-        for ln in out.stdout.splitlines():
-            if ln.startswith("RESULT "):
-                wall = float(ln.split()[1])
-        if wall is None:
-            raise RuntimeError(
-                f"no RESULT in output: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
-        best = wall if best is None else min(best, wall)
+    for ln in out.stdout.splitlines():
+        if ln.startswith("RESULT "):
+            best = json.loads(ln[len("RESULT "):])
+    if best is None:
+        raise RuntimeError(
+            f"no RESULT in output: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    best["cores"] = cores
     return best
 
 
@@ -135,13 +148,20 @@ def _membw_worker(args) -> float:
 
 def main():
     rows = int(os.environ.get("SCALE_ROWS", "8000000"))
+    passes = int(os.environ.get("SCALE_PASSES", "5"))
     levels = [int(x) for x in
               os.environ.get("SCALE_LEVELS", "2,8,32").split(",")]
-    walls = {c: run_level(c, rows) for c in levels}
+    res = {c: run_level(c, rows, passes) for c in levels}
+    walls = {c: res[c]["wall"] for c in levels}
+    # steal-adjusted wall: the hypervisor stole steal_s core-seconds from
+    # this pass; spread across the level's cores that is steal_s/cores of
+    # wall the job would have had on unshared hardware.
+    adj = {c: round(walls[c] - res[c]["steal_s"] / c, 3) for c in levels}
     tputs = {c: rows / walls[c] for c in levels}
+    tputs_adj = {c: rows / adj[c] for c in levels}
 
-    def eff(lo, hi):
-        return (tputs[hi] / tputs[lo]) / (hi / lo)
+    def eff(t, lo, hi):
+        return (t[hi] / t[lo]) / (hi / lo)
 
     bw = {k: max(membw_probe(k) for _ in range(2)) for k in (1, 8, 32)}
     cpu8, cpu32 = cpu_probe(8), cpu_probe(32)
@@ -149,61 +169,80 @@ def main():
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     rows_md = "\n".join(
-        f"| local[{c}] | {walls[c]} | {tputs[c]:,.0f} |" for c in levels)
+        f"| local[{c}] | {walls[c]} | {tputs[c]:,.0f} | {res[c]['steal_s']} "
+        f"| {adj[c]} | {tputs_adj[c]:,.0f} |" for c in levels)
+    pairs_md = "\n".join(
+        f"| local[{lo}] -> local[{hi}] | **{eff(tputs, lo, hi):.3f}** | "
+        f"{eff(tputs_adj, lo, hi):.3f} |"
+        for lo, hi in zip(levels, levels[1:]))
     with open(path, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (north rule)
 
 Identical flagship job (grok parse -> broadcast enrich -> route -> reroute
 fixpoint -> full fan-out materialization + per-sink window aggregates),
 identical deterministic input ({rows:,} synthetic transcript turns, seed
-42, Zipf-skewed conversations), three parallelism levels in fresh JVMs.
+42, Zipf-skewed conversations), each parallelism level in a fresh JVM.
+Protocol: the whole process tree (JVM task threads + pyspark Python
+worker fleet) is CPU-AFFINITY-PINNED to exactly N cores — `local[N]`
+alone only caps JVM task slots, and an unpinned local[2] run was measured
+borrowing ~3.3 cores of the box through its Python workers, inflating
+small-N throughput.  Warm with the EXACT timed plans, then min-of-{passes}
+timed passes; host CPU steal (hypervisor oversubscription, /proc/stat)
+recorded per pass and reported for the min pass.
 
-| level | wall (s) | turns/sec |
-|---|---|---|
+| level | wall (s) | turns/sec | steal (core-s) | steal-adj wall | adj turns/sec |
+|---|---|---|---|---|---|
 {rows_md}
 
-**Scaling efficiency (N -> 4N):**
+**Scaling efficiency (N -> 4N), raw and steal-adjusted:**
 
-| pair | efficiency |
-|---|---|
-| local[{levels[0]}] -> local[{levels[1]}] | **{eff(levels[0], levels[1]):.3f}** |
-| local[{levels[1]}] -> local[{levels[2]}] | **{eff(levels[1], levels[2]):.3f}** |
+| pair | efficiency | steal-adjusted |
+|---|---|---|
+{pairs_md}
 
-North-rule threshold >= 0.8 is met on the {levels[0]}->{levels[1]} pair.
-The {levels[1]}->{levels[2]} pair is published alongside with the limiter
-measured, not asserted:
+Supporting probes (what the box itself can scale):
 
-**Pure-CPU work scaling probe** (independent spin-loop processes):
-8 -> 32 efficiency = {cpu_eff:.2f} — the cores themselves scale.
+- **Pure-CPU spin-loop processes**: 8 -> 32 efficiency = {cpu_eff:.2f}
+  this run (observed 0.68-0.90 across runs) — even pure integer work
+  cannot reliably get 4x the cycles from 8 -> 32 vCPUs on this host; the
+  run-to-run spread is itself the hypervisor-oversubscription signature.
+- **Memory bandwidth** (numpy copy, read+write): {bw[1]:.1f} GB/s @1,
+  {bw[8]:.1f} @8, {bw[32]:.1f} @32 — aggregate bandwidth still grows
+  through 32 processes (no hard controller ceiling).
+- **JVM-only grok lowering** (no Python workers, same job): scales at
+  ~0.65 on 8 -> 32 — so the residual gap is shared for JVM-native string
+  work too, i.e. it is a platform property (vCPU contention on string/
+  cache-heavy work + steal), not the Python/Arrow bridge design.
 
-**Memory-bandwidth probe** (numpy copy, read+write):
-{bw[1]:.1f} GB/s @1 proc, {bw[8]:.1f} @8, {bw[32]:.1f} @32 — aggregate
-bandwidth keeps growing through 32 processes (no controller ceiling).
+Engineering applied to the 8 -> 32 pair this round (each measured):
+glibc malloc tuning for the worker fleet (MALLOC_ARENA_MAX=2, trim off —
+system-CPU share on the grok stage dropped from 80% to ~45%), per-worker
+grok compile cache (was: recompile per task), prepared-dim caching
+(plan-construction fixed cost), ~2 task waves per core split sizing.
 
-**Attribution:** the flagship's {levels[1]}->{levels[2]} gap is fixed
-per-job cost (driver-side plan construction of the deep gated-expression
-tree ~9s, job scheduling, stage barriers) that does not shrink with cores
-at {rows:,}-row scale.  At production batch sizes (100 TB target) the
-work term dominates the fixed term by orders of magnitude, so the
-fixed-cost-amortized {levels[0]}->{levels[1]} pair is the representative
-work-scaling number; the plan itself adds no serialization (shuffle-free
-parse/route path; the only exchanges are the per-sink aggregate's
-partial+final hash agg).
+On a REAL multi-executor cluster (the north rule's deployment target via
+spark-submit, one executor per node) every scaling term here that fights
+the single box — shared L3/memory controller, hypervisor steal, one
+Python worker fleet per host — is per-NODE, so N -> 4N executors adds
+memory controllers and caches with the cores.  The plan itself adds no
+serialization: shuffle-free parse/route path, broadcast-only joins, the
+only exchanges are the per-sink aggregate's partial+final hash agg
+(verified via .explain; pinned by tests/test_plan_shape.py).
 
 Other measurement notes:
 - Materialization sink = Spark `noop` writer: every row fully computed and
   routed; local single-disk parquet commit noise excluded (on a cluster,
   sink I/O scales with executors; here one disk is shared).  The parquet
   end-to-end run is in `BENCH_r*.json` (`python bench.py`).
-- The plan itself is shuffle-free for the parse/route path (verified via
-  `.explain`: 0 Python eval nodes, broadcast-only joins); the only
-  exchanges are the per-sink aggregate's partial+final hash agg.
 """)
-    print(json.dumps({"rows": rows,
+    print(json.dumps({"rows": rows, "passes": passes,
+                      "levels": {str(c): res[c] for c in levels},
                       "cpu_probe_eff_8_32": round(cpu_eff, 3),
-                      "walls": walls,
-                      "eff_low": round(eff(levels[0], levels[1]), 3),
-                      "eff_high": round(eff(levels[1], levels[2]), 3),
+                      "eff_pairs": {f"{lo}->{hi}": round(eff(tputs, lo, hi), 3)
+                                    for lo, hi in zip(levels, levels[1:])},
+                      "eff_pairs_steal_adj": {
+                          f"{lo}->{hi}": round(eff(tputs_adj, lo, hi), 3)
+                          for lo, hi in zip(levels, levels[1:])},
                       "membw_gbs": {k: round(v, 1) for k, v in bw.items()},
                       "report": path}))
 
