@@ -72,11 +72,11 @@ def main() -> None:
     # one materializing pass for the fan-out write; the aggregate then reads
     # the WRITTEN columnar output back (parquet column pruning: 5 columns)
     # instead of persisting the wide working rows.
-    # Reported value = min of 2 passes: this sandbox VM shows 2-3x
-    # host-noise swings between identical runs, so the minimum is the
-    # honest steady-state estimate (both passes recorded).
+    # Reported value = min of 3 passes: this sandbox VM shows 2-3x
+    # host-steal swings between identical runs (see BENCH/BASELINE.md), so
+    # the minimum is the honest steady-state estimate (all passes recorded).
     passes = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         executed = router.execute(with_datastream(tdf))
         router.write_fanout(executed, catalog, table="sinks")
