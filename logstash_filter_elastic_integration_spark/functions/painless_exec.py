@@ -1,0 +1,542 @@
+"""Painless STATEMENT interpreter — the slow-path complement to the
+vectorized Column compiler in :mod:`painless`.
+
+The Column compiler covers straight-line assignments and single-level
+``if`` blocks as pure Catalyst expressions (the fast path: whole-stage
+codegen, no Python).  Real integration pipelines also use loops, local
+variables, and compound updates (reference: the script processor executes
+arbitrary Painless per event, docs/index.asciidoc:192).  Those compile
+here instead:
+
+1. TRANSPILE Painless to Python source: literal protection, ``&&/||/!``,
+   ``null/true/false``, ``?.``; C-style ``for (int i = 0; i < n; i++)``
+   and for-each ``for (def x : xs)``; typed declarations (``int x = ..``)
+   to bare assignment; ``x++``/``x--``; braces to indentation; ternaries
+   to conditional expressions; ``while`` bodies get an injected iteration
+   cap (watchdog analogue — a runaway script fails the ROW, it cannot
+   stall an executor core).
+2. VALIDATE the parsed AST against a statement/expression whitelist (no
+   imports, no lambdas, no dunder access) — anything outside it raises
+   UnsupportedScriptError at COMPILE time, preserving the engine's
+   fail-loud contract.
+3. EXECUTE per row inside an Arrow-batched pandas UDF.  ``ctx`` bridges
+   the flat dotted-column document model; string/list values are wrapped
+   so Painless method names (``substring``/``indexOf``/``size``/...)
+   work naturally.  A per-row exception fails that row (script runtime
+   error -> failure channel), not the batch.
+
+Per-row Python is the documented exception for this operator: the
+reference itself runs scripts one event at a time, and every other
+processor stays vectorized.  Output TYPES are inferred by a compile-time
+dry run on a synthetic row built from the input schema.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+
+from .painless import (UnsupportedScriptError, _protect_literals,
+                       _restore_literals)
+
+_TOKEN_REWRITES = [
+    (re.compile(r"&&"), " and "),
+    (re.compile(r"\|\|"), " or "),
+    (re.compile(r"!(?![=])"), " not "),
+    (re.compile(r"\bnull\b"), "None"),
+    (re.compile(r"\btrue\b"), "True"),
+    (re.compile(r"\bfalse\b"), "False"),
+    (re.compile(r"\?\."), "."),
+    (re.compile(r"\bnew\s+ArrayList\s*\(\s*\)"), "[]"),
+    (re.compile(r"\bnew\s+HashMap\s*\(\s*\)"), "dict()"),
+]
+_DECL = re.compile(
+    r"^(?:def|var|int|long|short|byte|double|float|boolean|char|String|"
+    r"Object|List|Map|ArrayList|HashMap)\s+(?=[A-Za-z_])")
+_INCR = re.compile(r"^(?P<t>.+?)\+\+$")
+_DECR = re.compile(r"^(?P<t>.+?)--$")
+_TERN = re.compile(r"^(?P<c>[^?]+)\?(?P<a>[^:?]+):(?P<b>.+)$")
+_WHILE_CAP = 100_000
+
+
+def _rw_expr(e: str) -> str:
+    e = e.strip()
+    m = _TERN.match(e)
+    if m and "(" not in m.group("c"):  # conservative whole-expr ternary
+        return (f"({_rw_expr(m.group('a'))}) if ({_rw_expr(m.group('c'))}) "
+                f"else ({_rw_expr(m.group('b'))})")
+    return e
+
+
+def _split_assign(stmt: str):
+    """First top-level '=' that isn't a comparison -> (lhs_with_op, rhs)."""
+    depth = 0
+    for i, ch in enumerate(stmt):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "=" and depth == 0:
+            prev = stmt[i - 1] if i else ""
+            nxt = stmt[i + 1] if i + 1 < len(stmt) else ""
+            if prev in "=!<>" or nxt == "=":
+                continue
+            op = prev if prev in "+-*/%" else ""
+            lhs = stmt[:i - len(op)].strip()
+            return f"{lhs} {op}=", stmt[i + 1:].strip()
+    return None, None
+
+
+def _stmt_py(stmt: str) -> str:
+    stmt = _DECL.sub("", stmt.strip())
+    m = _INCR.match(stmt)
+    if m:
+        return f"{m.group('t').strip()} += 1"
+    m = _DECR.match(stmt)
+    if m:
+        return f"{m.group('t').strip()} -= 1"
+    lhs, rhs = _split_assign(stmt)
+    if lhs is not None:
+        return f"{lhs} {_rw_expr(rhs)}"
+    return _rw_expr(stmt)
+
+
+def _split_stmts(src: str):
+    """Split a brace-free chunk on top-level ';' (paren/bracket-aware)."""
+    out, depth, cur = [], 0, []
+    for ch in src:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == ";" and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return [s.strip() for s in out if s.strip()]
+
+
+_HDR = re.compile(r"^\s*(if|for|while|else\s+if|else)\b\s*", re.S)
+
+
+def _transpile_block(src: str, indent: int, lines: list[str],
+                     counter: list[int]) -> None:
+    pad = "    " * indent
+    i = 0
+    n = len(src)
+    while i < n:
+        while i < n and src[i] in " \t\r\n;":
+            i += 1
+        if i >= n:
+            break
+        m = _HDR.match(src[i:])
+        if m:
+            kw = re.sub(r"\s+", " ", m.group(1))
+            j = i + m.end()
+            cond = None
+            if kw != "else":
+                if j >= n or src[j] != "(":
+                    raise UnsupportedScriptError(
+                        f"expected ( after {kw!r}: {src[i:i+40]!r}")
+                depth, k = 1, j + 1
+                while k < n and depth:
+                    depth += {"(": 1, ")": -1}.get(src[k], 0)
+                    k += 1
+                cond, j = src[j + 1:k - 1], k
+            while j < n and src[j] in " \t\r\n":
+                j += 1
+            if j >= n or src[j] != "{":
+                raise UnsupportedScriptError(
+                    f"painless blocks must be braced: {src[i:i+40]!r}")
+            depth, k = 1, j + 1
+            while k < n and depth:
+                depth += {"{": 1, "}": -1}.get(src[k], 0)
+                k += 1
+            body = src[j + 1:k - 1]
+            if kw == "if":
+                lines.append(f"{pad}if {_rw_expr(cond)}:")
+                _transpile_block(body, indent + 1, lines, counter)
+            elif kw == "else if":
+                lines.append(f"{pad}elif {_rw_expr(cond)}:")
+                _transpile_block(body, indent + 1, lines, counter)
+            elif kw == "else":
+                lines.append(f"{pad}else:")
+                _transpile_block(body, indent + 1, lines, counter)
+            elif kw == "while":
+                cap = f"__wcap{counter[0]}"
+                counter[0] += 1
+                lines.append(f"{pad}{cap} = 0")
+                lines.append(f"{pad}while {_rw_expr(cond)}:")
+                lines.append(f"{pad}    {cap} += 1")
+                lines.append(f"{pad}    if {cap} > {_WHILE_CAP}: "
+                             f"raise RuntimeError('script while-loop "
+                             f"exceeded {_WHILE_CAP} iterations (watchdog)')")
+                _transpile_block(body, indent + 1, lines, counter)
+            else:  # for
+                parts = _split_stmts(cond)
+                if len(parts) == 3:  # C-style: init; test; step
+                    lines.append(f"{pad}{_stmt_py(parts[0])}")
+                    cap = f"__wcap{counter[0]}"
+                    counter[0] += 1
+                    lines.append(f"{pad}{cap} = 0")
+                    lines.append(f"{pad}while {_rw_expr(parts[1])}:")
+                    lines.append(f"{pad}    {cap} += 1")
+                    lines.append(f"{pad}    if {cap} > {_WHILE_CAP}: "
+                                 f"raise RuntimeError('script for-loop "
+                                 f"exceeded {_WHILE_CAP} iterations "
+                                 f"(watchdog)')")
+                    _transpile_block(body, indent + 1, lines, counter)
+                    lines.append(f"{pad}    {_stmt_py(parts[2])}")
+                elif len(parts) == 1 and ":" in parts[0]:  # for-each
+                    var, _, it = parts[0].partition(":")
+                    var = _DECL.sub("", var.strip())
+                    lines.append(f"{pad}for {var} in ({_rw_expr(it)}):")
+                    _transpile_block(body, indent + 1, lines, counter)
+                else:
+                    raise UnsupportedScriptError(
+                        f"unsupported for(...) header: {cond!r}")
+            i = k
+        else:
+            # plain statements until the next '{' at depth 0 or end
+            j = i
+            depth = 0
+            while j < n:
+                ch = src[j]
+                if ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                elif ch == "{" and depth == 0:
+                    break
+                j += 1
+            # back off to the start of the header statement if a block
+            # follows; header keywords are matched on the next loop turn
+            chunk = src[i:j]
+            if j < n:  # a '{' follows: split off the trailing header
+                hm = None
+                for hmatch in re.finditer(
+                        r"(?:^|;)\s*((?:if|for|while|else)\b.*)$", chunk,
+                        re.S):
+                    hm = hmatch
+                if hm is None:
+                    raise UnsupportedScriptError(
+                        f"unexpected '{{' after: {chunk[-40:]!r}")
+                head = chunk[:hm.start(1)]
+                for s in _split_stmts(head):
+                    lines.append(pad + _stmt_py(s))
+                i = i + hm.start(1)
+                continue
+            for s in _split_stmts(chunk):
+                lines.append(pad + _stmt_py(s))
+            i = j
+    if not lines:
+        lines.append(f"{pad}pass")
+
+
+def transpile(source: str) -> str:
+    """Painless statements -> Python source (literals protected during the
+    whole structural pass, restored at the end)."""
+    src, lits = _protect_literals(source)
+    for rx, rep in _TOKEN_REWRITES:
+        src = rx.sub(rep, src)
+    lines: list[str] = []
+    _transpile_block(src, 0, lines, [0])
+    return _restore_literals("\n".join(lines), lits)
+
+
+# --------------------------------------------------------------- validate --
+
+_OK_STMT = (ast.Module, ast.Assign, ast.AugAssign, ast.Expr, ast.If,
+            ast.For, ast.While, ast.Break, ast.Continue, ast.Pass,
+            ast.Raise)
+_OK_EXPR = (ast.BoolOp, ast.BinOp, ast.UnaryOp, ast.IfExp, ast.Compare,
+            ast.Call, ast.Attribute, ast.Subscript, ast.Name, ast.Constant,
+            ast.List, ast.Dict, ast.Tuple, ast.Slice, ast.And, ast.Or,
+            ast.Not, ast.USub, ast.UAdd, ast.Load, ast.Store,
+            ast.expr_context, ast.operator, ast.cmpop, ast.unaryop,
+            ast.boolop, ast.keyword, ast.Starred)
+
+
+def validate(tree: ast.AST) -> None:
+    for node in ast.walk(tree):
+        if not isinstance(node, _OK_STMT + _OK_EXPR):
+            raise UnsupportedScriptError(
+                f"painless construct unsupported: {type(node).__name__}")
+        if isinstance(node, ast.Attribute) and node.attr.startswith("_"):
+            raise UnsupportedScriptError(f"attribute {node.attr!r} blocked")
+        if isinstance(node, ast.Name) and node.id.startswith("__") \
+                and not node.id.startswith("__wcap"):
+            raise UnsupportedScriptError(f"name {node.id!r} blocked")
+
+
+def collect_ctx_paths(tree: ast.AST):
+    """-> (reads, writes): dotted ctx field paths referenced/assigned."""
+    reads: set[str] = set()
+    writes: set[str] = set()
+
+    # an Attribute that is a Call's func is a METHOD name, not a field:
+    # for ctx.msg.substring(...) the field read is ctx.msg
+    method_attrs = {id(n.func) for n in ast.walk(tree)
+                    if isinstance(n, ast.Call)
+                    and isinstance(n.func, ast.Attribute)}
+
+    def path_of(node):
+        parts = []
+        while isinstance(node, ast.Attribute):
+            parts.append(node.attr)
+            node = node.value
+        if isinstance(node, ast.Name) and node.id == "ctx":
+            return ".".join(reversed(parts))
+        return None
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Attribute):
+            target = node.value if id(node) in method_attrs else node
+            if not isinstance(target, ast.Attribute):
+                continue
+            p = path_of(target)
+            if p:
+                if isinstance(target.ctx, ast.Store):
+                    writes.add(p)
+                else:
+                    reads.add(p)
+    return reads, writes
+
+
+# ---------------------------------------------------------------- runtime --
+
+class JStr(str):
+    """str with Painless/Java method names."""
+
+    def substring(self, a, b=None):
+        return JStr(self[a:] if b is None else self[a:b])
+
+    def indexOf(self, s):          # noqa: N802  (java name)
+        return self.find(s)
+
+    def contains(self, s):
+        return s in self
+
+    def startsWith(self, s):       # noqa: N802
+        return self.startswith(s)
+
+    def endsWith(self, s):         # noqa: N802
+        return self.endswith(s)
+
+    def toLowerCase(self):         # noqa: N802
+        return JStr(self.lower())
+
+    def toUpperCase(self):         # noqa: N802
+        return JStr(self.upper())
+
+    def trim(self):
+        return JStr(self.strip())
+
+    def length(self):
+        return len(self)
+
+    def splitOnToken(self, s):     # noqa: N802
+        return JList(JStr(x) for x in self.split(s))
+
+    def replace(self, a, b):
+        return JStr(str.replace(self, a, b))
+
+
+class JList(list):
+    """list with Painless/Java method names."""
+
+    def size(self):
+        return len(self)
+
+    def add(self, x):
+        self.append(x)
+
+    def get(self, i):
+        return self[i]
+
+    def contains(self, x):
+        return x in self
+
+    def isEmpty(self):             # noqa: N802
+        return not self
+
+
+def _wrap(v):
+    if isinstance(v, str):
+        return JStr(v)
+    if isinstance(v, (list, tuple)):
+        return JList(_wrap(x) for x in v)
+    return v
+
+
+class _CtxNode:
+    """Attribute bridge for dotted flat fields: ctx.a.b <-> row['a.b']."""
+
+    def __init__(self, row, writes, prefix=""):
+        object.__setattr__(self, "_row", row)
+        object.__setattr__(self, "_writes", writes)
+        object.__setattr__(self, "_prefix", prefix)
+
+    def _key(self, name):
+        return f"{self._prefix}.{name}" if self._prefix else name
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        k = self._key(name)
+        if k in self._writes:
+            return _wrap(self._writes[k])
+        if k in self._row:
+            return _wrap(self._row[k])
+        pref = k + "."
+        if any(x.startswith(pref) for x in self._row):
+            return _CtxNode(self._row, self._writes, k)
+        return None
+
+    def __setattr__(self, name, value):
+        self._writes[self._key(name)] = value
+
+    def containsKey(self, name):   # noqa: N802
+        k = self._key(name)
+        return (self._writes.get(k) is not None
+                or self._row.get(k) is not None)
+
+
+class _JavaMath:
+    import math as _m
+    PI, E = _m.pi, _m.e
+
+    @staticmethod
+    def abs(x):
+        return abs(x)
+
+    @staticmethod
+    def max(a, b):
+        return max(a, b)
+
+    @staticmethod
+    def min(a, b):
+        return min(a, b)
+
+    @staticmethod
+    def floor(x):
+        import math
+        return float(math.floor(x))
+
+    @staticmethod
+    def ceil(x):
+        import math
+        return float(math.ceil(x))
+
+    @staticmethod
+    def round(x):
+        import math
+        return math.floor(x + 0.5)
+
+    @staticmethod
+    def sqrt(x):
+        import math
+        return math.sqrt(x)
+
+    @staticmethod
+    def pow(a, b):
+        return float(a) ** b
+
+
+class _JavaInteger:
+    @staticmethod
+    def parseInt(s):               # noqa: N802
+        return int(str(s).strip())
+
+    @staticmethod
+    def toString(v):               # noqa: N802
+        return JStr(str(int(v)))
+
+    MAX_VALUE = 2 ** 31 - 1
+    MIN_VALUE = -2 ** 31
+
+
+class _JavaDouble:
+    @staticmethod
+    def parseDouble(s):            # noqa: N802
+        return float(str(s).strip())
+
+
+class _JavaString:
+    @staticmethod
+    def valueOf(v):                # noqa: N802
+        if isinstance(v, bool):
+            return JStr("true" if v else "false")
+        return JStr(str(v))
+
+    @staticmethod
+    def join(sep, parts):
+        return JStr(sep.join(str(p) for p in parts))
+
+
+class _Processors:
+    @staticmethod
+    def lowercase(s):
+        return JStr(str(s).lower())
+
+    @staticmethod
+    def uppercase(s):
+        return JStr(str(s).upper())
+
+    @staticmethod
+    def trim(s):
+        return JStr(str(s).strip())
+
+    @staticmethod
+    def bytes(s):
+        units = {"b": 1, "kb": 1024, "mb": 1024 ** 2, "gb": 1024 ** 3,
+                 "tb": 1024 ** 4, "pb": 1024 ** 5}
+        m = re.match(r"(?i)^\s*([0-9]*\.?[0-9]+)\s*(b|kb|mb|gb|tb|pb)?\s*$",
+                     str(s))
+        if not m:
+            raise ValueError(f"cannot parse bytes: {s!r}")
+        return int(float(m.group(1)) * units.get((m.group(2) or "b").lower(), 1))
+
+
+_GLOBALS = {
+    "Math": _JavaMath, "Integer": _JavaInteger, "Long": _JavaInteger,
+    "Double": _JavaDouble, "Float": _JavaDouble, "String": _JavaString,
+    "Processors": _Processors, "range": range, "len": len, "abs": abs,
+    "min": min, "max": max, "dict": dict, "RuntimeError": RuntimeError,
+    "__builtins__": {},
+}
+
+
+class CompiledScript:
+    """Transpiled + validated + compiled Painless statements, executable
+    per row.  Pickles by source (code objects recompile per worker)."""
+
+    def __init__(self, source: str, params: dict | None = None):
+        self.source = source
+        self.params = dict(params or {})
+        py = transpile(source)
+        try:
+            tree = ast.parse(py, mode="exec")
+        except SyntaxError as e:
+            raise UnsupportedScriptError(
+                f"cannot transpile painless: {e}: {py[:200]!r}") from e
+        validate(tree)
+        self.python_source = py
+        self.reads, self.writes = collect_ctx_paths(tree)
+        self._code = compile(tree, "<painless>", "exec")
+
+    def __getstate__(self):
+        return {"source": self.source, "params": self.params}
+
+    def __setstate__(self, state):
+        self.__init__(state["source"], state["params"])
+
+    def run_row(self, row: dict) -> dict:
+        """-> {path: new_value} for the fields the script assigned."""
+        writes: dict = {}
+        env = {"ctx": _CtxNode(row, writes), "params": dict(self.params)}
+        exec(self._code, dict(_GLOBALS), env)  # noqa: S102 (validated AST)
+        return writes

@@ -312,18 +312,136 @@ def p_foreach(df, spec, ctx):
                    {f_name: F.transform(fcol(f_name), fn)})
 
 
+_PY_TO_SPARK = [
+    (bool, "boolean", bool),
+    (int, "long", int),
+    (float, "double", float),
+    (str, "string", str),
+]
+
+
+def _zero_of(dt):
+    if isinstance(dt, T.StringType):
+        # "1" not "": numeric-parse calls (Integer.parseInt) must succeed
+        # in the type-inference dry run or every output degrades to string
+        return "1"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return 1
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return 1.0
+    if isinstance(dt, T.BooleanType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return [_zero_of(dt.elementType)]
+    return ""
+
+
+def _script_interpreted(df, spec, ctx, active):
+    """Arrow-batched interpreter path for scripts beyond the Column
+    compiler (loops, locals, compound updates) — see painless_exec.
+    Scripts execute per ROW (the reference's own model); everything
+    around them stays vectorized, and a row-level exception fails that
+    row through the standard failure channel."""
+    from ..functions.painless_exec import CompiledScript
+
+    cfg = spec.config
+    cs = CompiledScript(cfg.get("source", ""), cfg.get("params"))
+    in_paths = [p for p in sorted(cs.reads | cs.writes) if p in df.columns]
+    # compile-time dry run on a synthetic row infers output types
+    sample = {p: _zero_of(field_type(df, p)) for p in in_paths}
+    try:
+        probe = cs.run_row(dict(sample))
+    except Exception:
+        probe = {}
+    out_types = {}
+    for w in sorted(cs.writes):
+        v = probe.get(w)
+        if isinstance(v, (list, tuple)):
+            out_types[w] = ("array<string>",
+                            lambda x: [str(i) for i in x] if x is not None else None)
+            continue
+        for pytype, ddl, co in _PY_TO_SPARK:
+            if isinstance(v, pytype):
+                out_types[w] = (ddl, co)
+                break
+        else:
+            out_types[w] = ("string",
+                            lambda x: None if x is None else str(x))
+    writes = sorted(cs.writes)
+    schema = T.StructType(
+        [T.StructField(w, T._parse_datatype_string(out_types[w][0]))
+         for w in writes]
+        + [T.StructField("__perr", T.StringType())])
+
+    def kernel(struct_s):
+        import pandas as pd
+        rows = struct_s.to_dict("records")
+        out = {w: [] for w in writes}
+        errs = []
+        def norm(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            return v
+
+        for row in rows:
+            run = row.pop("__active", False)
+            clean = {k: norm(v) for k, v in row.items()}
+            if not run:
+                for w in writes:
+                    out[w].append(None)
+                errs.append(None)
+                continue
+            try:
+                res = cs.run_row(clean)
+                for w in writes:
+                    co = out_types[w][1]
+                    v = res.get(w)
+                    out[w].append(None if v is None else co(v))
+                errs.append(None)
+            except Exception as e:  # script runtime error -> row failure
+                for w in writes:
+                    out[w].append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+        out["__perr"] = errs
+        return pd.DataFrame(out, columns=writes + ["__perr"])
+
+    udf = F.pandas_udf(kernel, schema)
+    in_struct = F.struct(
+        *[fcol(p).alias(p) for p in in_paths],
+        F.coalesce(active, F.lit(False)).alias("__active"))
+    df = df.withColumn("__script", udf(in_struct))
+    err = fcol("__script")["__perr"]
+    for w in writes:
+        df = guarded(df, active & err.isNull(),
+                     {w: fcol("__script")[w]})
+    df = ctx.fail(df, active & err.isNotNull(), spec, err)
+    return df.drop("__script")
+
+
 def p_script(df, spec, ctx):
-    """Painless-subset script processor
-    (spec/integration/elastic_integration_spec.rb:754-809; subset caveat
-    docs/index.asciidoc:192 — unsupported painless fails at compile, the
-    reference's fail-loud parity)."""
+    """Painless script processor
+    (spec/integration/elastic_integration_spec.rb:754-809; caveat
+    docs/index.asciidoc:192).  Two physical engines:
+
+    - Column compiler (functions/painless.py): straight-line assignments
+      and if/else blocks lower to pure Catalyst expressions — JVM-side,
+      whole-stage codegen, the fast path;
+    - statement interpreter (functions/painless_exec.py): loops, local
+      variables, compound updates run per row in an Arrow-batched UDF
+      with an iteration watchdog — the reference's own per-event script
+      execution model.
+    Scripts neither engine accepts fail at compile (fail-loud parity)."""
     cfg = spec.config
     active = ctx.active(df, spec)
     try:
         assignments = compile_script(
             cfg.get("source", ""), resolver_for(df), cfg.get("params"))
-    except UnsupportedScriptError as e:
-        return ctx.fail(df, active, spec, f"unsupported painless script: {e}")
+    except UnsupportedScriptError:
+        try:
+            return _script_interpreted(df, spec, ctx, active)
+        except UnsupportedScriptError as e:
+            return ctx.fail(df, active, spec,
+                            f"unsupported painless script: {e}")
     for path, col in assignments:
         path = "_index" if path == "_index" else path
         df = guarded(df, active, {path: col})

@@ -478,6 +478,44 @@ SELECT doc_id, lang || '-v1' AS slug FROM documents
 """
 
 
+def q_pipe_script_loop(spark, sf_dir):
+    """Script beyond the Column compiler — loops + locals + method calls —
+    exercising the per-row Painless INTERPRETER engine (transpile ->
+    validated AST -> Arrow-batched execution with an iteration watchdog).
+    Computes a word-length histogram facet and a checksum over the text."""
+    doc = load(spark, sf_dir, "documents")
+    out = _pipe(spark, doc, [
+        {"script": {"lang": "painless", "source": """
+            def parts = ctx.text.splitOnToken(' ');
+            int big = 0;
+            long check = 0;
+            for (def p : parts) {
+                if (p.length() > 4) { big++; }
+                check = (check * 31 + p.length()) % 1000003;
+            }
+            ctx.big_words = big;
+            ctx.len_checksum = check;
+            ctx.flag = ctx.n_chars > 100 ? 'long' : 'short';
+        """}}])
+    return out.select("doc_id",
+                      F.col("big_words").cast("long").alias("big_words"),
+                      F.col("len_checksum").cast("long").alias("len_checksum"),
+                      "flag")
+
+
+O_SCRIPT_LOOP = """
+WITH w AS (SELECT doc_id, n_chars,
+                  list_transform(str_split(text, ' '), p -> len(p)) AS ls
+           FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(ls, l -> l > 4)) AS BIGINT) AS big_words,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), ls),
+                   (acc, l) -> (acc * 31 + l) % 1000003) AS len_checksum,
+       CASE WHEN n_chars > 100 THEN 'long' ELSE 'short' END AS flag
+FROM w
+"""
+
+
 def q_pipe_user_agent(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     ua = F.when(
@@ -1700,6 +1738,7 @@ QUERIES = {
     "pipe_uri_parts": q_pipe_uri_parts,
     "pipe_html_strip": q_pipe_html_strip,
     "pipe_script": q_pipe_script,
+    "pipe_script_loop": q_pipe_script_loop,
     "pipe_user_agent": q_pipe_user_agent,
     "pipe_network_direction": q_pipe_network_direction,
     "pipe_community_id": q_pipe_community_id,
@@ -1756,6 +1795,7 @@ ORACLES = {
     "pipe_uri_parts": O_URI_PARTS,
     "pipe_html_strip": O_HTML_STRIP,
     "pipe_script": O_SCRIPT,
+    "pipe_script_loop": O_SCRIPT_LOOP,
     "pipe_user_agent": O_USER_AGENT,
     "pipe_network_direction": O_NETDIR,
     "pipe_community_id": O_COMMUNITY_ID,

@@ -1,0 +1,91 @@
+"""Painless statement-interpreter engine (loops/locals/compound updates):
+transpiler, sandbox, and the script processor's per-row failure contract."""
+
+import pytest
+
+from tests.conftest import run_one
+
+from logstash_filter_elastic_integration_spark.functions.painless import (
+    UnsupportedScriptError)
+from logstash_filter_elastic_integration_spark.functions.painless_exec import (
+    CompiledScript)
+
+
+def test_c_style_for_loop_and_locals():
+    cs = CompiledScript(
+        "int t = 0; for (int i = 1; i <= ctx.n; i++) { t += i * i; } "
+        "ctx.sq_sum = t;")
+    assert cs.run_row({"n": 4}) == {"sq_sum": 30}
+
+
+def test_for_each_and_java_string_methods():
+    cs = CompiledScript("""
+        def out = '';
+        for (def p : ctx.s.splitOnToken(',')) {
+            if (p.trim().startsWith('a')) { out = out + p.trim().toUpperCase(); }
+        }
+        ctx.joined = out;
+    """)
+    assert cs.run_row({"s": "ax, b, ay"}) == {"joined": "AXAY"}
+
+
+def test_while_watchdog_caps_runaway():
+    cs = CompiledScript("while (ctx.n > 0) { ctx.x = 1; }")
+    with pytest.raises(RuntimeError, match="watchdog"):
+        cs.run_row({"n": 1})
+
+
+def test_sandbox_blocks_imports_and_dunders():
+    for src in ["import os;", "ctx.x = (1).__class__;"]:
+        with pytest.raises(UnsupportedScriptError):
+            CompiledScript(src)
+
+
+def test_missing_field_reads_null():
+    cs = CompiledScript(
+        "if (ctx.absent == None) { ctx.ok = true; } else { ctx.ok = false; }")
+    assert cs.run_row({}) == {"ok": True}
+
+
+def test_script_processor_interpreter_engine(spark, registry):
+    rows = run_one(spark, registry, [
+        {"script": {"source": """
+            int acc = 0;
+            for (int i = 0; i < ctx.reps; i++) { acc += ctx.step; }
+            ctx.total = acc;
+        """}}],
+        [(1, 3, 10), (2, 5, 2)], "id long, reps long, step long")
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["total"] == 30
+    assert by_id[2]["total"] == 10
+
+
+def test_script_runtime_error_fails_row_not_batch(spark, registry):
+    """A script exception (parse failure on one row's data) must fail THAT
+    row through the failure channel; other rows still get values."""
+    rows = run_one(spark, registry, [
+        {"script": {"source": """
+            int v = Integer.parseInt(ctx.raw);
+            int t = 0;
+            for (int i = 0; i < 2; i++) { t += v; }
+            ctx.doubled = t;
+        """}}],
+        [(1, "21"), (2, "not-a-number")], "id long, raw string")
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["doubled"] == 42
+    assert by_id[1].get("_ingest_pipeline_failure") is None
+    assert by_id[2]["doubled"] is None
+    assert by_id[2]["_ingest_pipeline_failure"] is not None
+
+
+def test_column_compiler_still_wins_for_straight_line(spark, registry):
+    """Straight-line scripts must NOT take the interpreter path (no Python
+    eval node in the plan — the fast path stays codegen)."""
+    from logstash_filter_elastic_integration_spark.plans.pipeline import (
+        run_pipeline)
+    registry.register("fast", {"processors": [
+        {"script": {"source": "ctx.y = ctx.x + 1"}}]})
+    df = spark.createDataFrame([(1,)], "x long")
+    plan = run_pipeline(df, "fast", registry)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
