@@ -286,7 +286,13 @@ _ELEMENTWISE = {
     "gsub": lambda cfg: (lambda c: F.regexp_replace(c, cfg["pattern"], cfg["replacement"])),
     "urldecode": lambda cfg: F.url_decode,
     "convert": lambda cfg: (lambda c: c.cast(_CONVERT_TYPES[cfg["type"]])),
+    "bytes": lambda cfg: (lambda c: _net().bytes_expr(c)),
 }
+
+
+def _net():
+    from . import net
+    return net
 
 
 def p_foreach(df, spec, ctx):

@@ -554,3 +554,12 @@ def test_painless_math_parse_and_string_methods(spark, registry):
     assert r["idx"] == 2
     assert r["rep"] == "heLLo"
     assert r["kb"] == 2048
+
+
+def test_foreach_bytes_elementwise(spark, registry):
+    from tests.conftest import run_one
+    rows = run_one(spark, registry, [
+        {"foreach": {"field": "sizes",
+                     "processor": {"bytes": {}}}}],
+        [(1, ["1kb", "2mb", "10b"])], "id long, sizes array<string>")
+    assert rows[0]["sizes"] == [1024, 2 * 1024 * 1024, 10]
