@@ -21,7 +21,7 @@ from pyspark.sql import Window, functions as F
 from ..plans.document import fcol, guarded
 
 
-def _prepared_dim(ctx, cache_key, build):
+def _prepared_dim(ctx, cache_key, dim, build):
     """Compile-time cache of prepared (deduped/segmented, localized) dims.
 
     Dim preparation collects the dim to the driver (tiny by contract), but
@@ -34,8 +34,10 @@ def _prepared_dim(ctx, cache_key, build):
     if cache is None:
         cache = ctx.registry._dim_cache = {}
     if cache_key not in cache:
-        cache[cache_key] = build()
-    return cache[cache_key]
+        cache[cache_key] = (dim, build())
+    # the cached tuple pins the source dim object alive so its id() (part
+    # of the key) cannot be recycled onto a DIFFERENT dim after gc
+    return cache[cache_key][1]
 
 
 def _localize(df):
@@ -111,7 +113,7 @@ def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
     key_col = cfg.get("lookup_key", dim.columns[0])
     props = cfg.get("properties") or [c for c in dim.columns if c != key_col]
     dim = _prepared_dim(
-        ctx, ("exact", dim_name, id(dim), key_col, tuple(props)),
+        ctx, ("exact", dim_name, id(dim), key_col, tuple(props)), dim,
         lambda: _dedupe_dim(dim, key_col, props))
     joined = "__lk_" + dim_name
     renamed = dim.select(
@@ -150,7 +152,7 @@ def _broadcast_range_lookup(df, spec, ctx, dim_name: str, default_target: str):
         .otherwise(key.try_cast("long"))
     props = cfg.get("properties") or [c for c in dim.columns if c not in (lo, hi)]
     dim = _prepared_dim(
-        ctx, ("range", dim_name, id(dim), lo, hi, tuple(props)),
+        ctx, ("range", dim_name, id(dim), lo, hi, tuple(props)), dim,
         lambda: _disjoint_narrowest(dim, lo, hi, props))
     joined = "__rlk_" + dim_name.replace(".", "_")
     renamed = dim.select(
