@@ -1446,6 +1446,31 @@ SELECT qid, nid, rank FROM (
 O_ANN_LSH = _ann_lsh_oracle()
 
 
+def q_ann_recall(spark, sf_dir):
+    """RECALL of the LSH-bucketed scale path vs the exact brute-force
+    top-3 (the quality metric an ANN deployment must watch): per query
+    vector, how many of the true top-3 neighbors the bucketed search
+    returned.  Both engines compute it exactly, so the check is a full
+    value-hash oracle — closing the r1 gap of 'no recall assertion in the
+    driver checks'."""
+    exact = q_ann_cosine_topk(spark, sf_dir).select("qid", "nid")
+    approx = q_ann_lsh_bucketed(spark, sf_dir).select("qid", "nid")
+    hit = exact.join(approx, ["qid", "nid"], "left_semi")
+    return (exact.select("qid").distinct().join(
+        hit.groupBy("qid").agg(F.count("*").alias("hits")), "qid", "left")
+        .select("qid", F.coalesce("hits", F.lit(0)).cast("long").alias("recall_at_3"))
+        .orderBy("qid"))
+
+
+O_ANN_RECALL = (
+    "WITH exact_t AS (" + O_ANN + "),\n"
+    "approx_t AS (" + O_ANN_LSH + ")\n"
+    "SELECT e.qid, CAST(COUNT(a.nid) AS BIGINT) AS recall_at_3\n"
+    "FROM exact_t e LEFT JOIN approx_t a\n"
+    "  ON a.qid = e.qid AND a.nid = e.nid\n"
+    "GROUP BY e.qid\n")
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-style ANN scale path: coarse quantizer (16 deterministic
     centroids) -> inverted-list assignment via broadcast argmin -> probe
@@ -1764,6 +1789,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_recall": q_ann_recall,
     "ann_ivf": q_ann_ivf,
     "multimodal_stub": q_multimodal_stub,
     "multimodal_audio": q_multimodal_audio,
@@ -1821,6 +1847,7 @@ ORACLES = {
     "dedup_simhash": O_SIMHASH,
     "ann_cosine_topk": O_ANN,
     "ann_lsh_bucketed": O_ANN_LSH,
+    "ann_recall": O_ANN_RECALL,
     "ann_ivf": O_ANN_IVF,
     "multimodal_stub": O_MULTIMODAL,
     "multimodal_audio": O_MULTIMODAL_AUDIO,
