@@ -1060,8 +1060,15 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # seed labels with one propagation round for free: pairs carry a < b,
+    # so min(a) over a node's partners IS its round-1 label — bucket-clique
+    # graphs (the common near-dup shape) then converge on the first check
+    pre = pairs.groupBy(F.col("b").alias("node")).agg(F.min("a").alias("m"))
     labels = (edges.select(F.col("a").alias("node")).distinct()
-              .withColumn("lab", F.col("node"))
+              .join(pre, "node", "left")
+              .select("node", F.least(F.col("node"),
+                                      F.coalesce("m", F.col("node")))
+                      .alias("lab"))
               .localCheckpoint(eager=True))
     for _ in range(20):
         nbr = (edges.join(labels.select(F.col("node").alias("b"), "lab"), "b")
