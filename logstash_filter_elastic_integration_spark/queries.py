@@ -1111,8 +1111,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     reps, pairs = _minhash_reps_and_pairs(spark, sf_dir)
     # candidate pairs are tiny (bucket-capped): materialize once so the
     # 16-hash minhash subtree isn't re-executed under each join branch
-    # (Catalyst does not share common subtrees across joins)
+    # (Catalyst does not share common subtrees across joins); reps feed
+    # BOTH join sides, so checkpoint them too or the shingle computation
+    # runs twice
     pairs = pairs.localCheckpoint(eager=True)
+    reps = reps.localCheckpoint(eager=True)
     sa = reps.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
     sb = reps.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
     j = pairs.join(sa, "a").join(sb, "b")
@@ -1659,6 +1662,52 @@ def q_stream_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def _events_stream_dir(sf_dir: str) -> str:
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isfile(path):
+        d = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir)}_events"
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "part-0.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
+        return d
+    return path
+
+
+def q_stream_window(spark, sf_dir):
+    """Structured Streaming watermarked event-time WINDOWED aggregation
+    (readStream -> withWatermark -> groupBy(window) -> complete), run
+    availableNow over the events table.  Unlike the stateful sessionizer,
+    windowed counts ARE SQL-expressible, so streaming gets a full
+    value-hash oracle: per (1-hour window, event_type) row counts."""
+    import uuid
+
+    name = "q" + uuid.uuid4().hex[:10]
+    path = _events_stream_dir(sf_dir)
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(path)
+    agg = (src.select(F.col("ts").cast("timestamp").alias("ts"),
+                      "event_type")
+           .withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour")["start"].alias("win_start"),
+                    "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select(F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"), "event_type",
+                    F.col("n").cast("long").alias("n")))
+
+
+O_STREAM_WINDOW = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_multimodal_audio(spark, sf_dir):
     """REAL codec round-trip (not a stub): synthesize a mono 16-bit PCM
     WAV per document (stdlib wave), then parse it back — two Arrow-batched
@@ -1802,6 +1851,7 @@ QUERIES = {
     "multimodal_audio": q_multimodal_audio,
     "multimodal_image": q_multimodal_image,
     "stream_sessionize": q_stream_sessionize,
+    "stream_window": q_stream_window,
 }
 
 ORACLES = {
@@ -1858,5 +1908,6 @@ ORACLES = {
     "ann_ivf": O_ANN_IVF,
     "multimodal_stub": O_MULTIMODAL,
     "multimodal_audio": O_MULTIMODAL_AUDIO,
+    "stream_window": O_STREAM_WINDOW,
     "multimodal_image": O_MULTIMODAL_IMAGE,
 }
