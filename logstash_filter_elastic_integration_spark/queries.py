@@ -1708,6 +1708,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming REPLAY dedup — the at-least-once ingestion reality: the
+    same events file is delivered twice (two links in the source dir);
+    ``dropDuplicatesWithinWatermark`` on the event key inside the
+    watermark horizon emits each event exactly once.  The surviving set
+    is exactly the distinct input, so the check is a full value-hash
+    oracle."""
+    import uuid
+
+    name = "q" + uuid.uuid4().hex[:10]
+    src_file = f"{sf_dir}/events.parquet"
+    d = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir)}_events_dup"
+    os.makedirs(d, exist_ok=True)
+    for i in (0, 1):  # the same data delivered twice = replay
+        link = os.path.join(d, f"part-{i}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(src_file), link)
+    schema = spark.read.parquet(src_file).schema
+    src = spark.readStream.schema(schema).parquet(d)
+    deduped = (src.select("event_id", "event_type",
+                          F.col("ts").cast("timestamp").alias("ts"))
+               .withWatermark("ts", "2 hours")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    q = (deduped.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select("event_id", "event_type")
+            .orderBy("event_id"))
+
+
+O_STREAM_DEDUP = """
+SELECT event_id, event_type FROM events ORDER BY event_id
+"""
+
+
 def q_multimodal_audio(spark, sf_dir):
     """REAL codec round-trip (not a stub): synthesize a mono 16-bit PCM
     WAV per document (stdlib wave), then parse it back — two Arrow-batched
@@ -1852,6 +1888,7 @@ QUERIES = {
     "multimodal_image": q_multimodal_image,
     "stream_sessionize": q_stream_sessionize,
     "stream_window": q_stream_window,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLES = {
@@ -1909,5 +1946,6 @@ ORACLES = {
     "multimodal_stub": O_MULTIMODAL,
     "multimodal_audio": O_MULTIMODAL_AUDIO,
     "stream_window": O_STREAM_WINDOW,
+    "stream_dedup": O_STREAM_DEDUP,
     "multimodal_image": O_MULTIMODAL_IMAGE,
 }
