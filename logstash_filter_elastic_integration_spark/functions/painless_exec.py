@@ -272,6 +272,14 @@ def validate(tree: ast.AST) -> None:
             raise UnsupportedScriptError(f"name {node.id!r} blocked")
 
 
+# Java Collection/Map methods that mutate the receiver IN PLACE.  A call
+# like ctx.tags.add('x') is a WRITE of ctx.tags even though no '=' appears
+# — the reference mutates the live ctx map, so these paths must be shipped
+# back out of the UDF like any assignment.
+_MUTATOR_METHODS = {"add", "addAll", "remove", "removeAll", "clear",
+                    "put", "putAll", "sort"}
+
+
 def collect_ctx_paths(tree: ast.AST):
     """-> (reads, writes): dotted ctx field paths referenced/assigned."""
     reads: set[str] = set()
@@ -292,6 +300,24 @@ def collect_ctx_paths(tree: ast.AST):
             return ".".join(reversed(parts))
         return None
 
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute):
+            recv = node.func.value
+            base = path_of(recv)  # "" when the receiver is ctx itself
+            if base is None:
+                continue
+            # ctx.containsKey('f') / ctx.a.containsKey('b'): the field is
+            # named only by a string literal, never as an attribute path —
+            # without this the column is not shipped into the UDF and the
+            # guard always sees "missing".
+            if (node.func.attr == "containsKey" and node.args
+                    and isinstance(node.args[0], ast.Constant)
+                    and isinstance(node.args[0].value, str)):
+                key = node.args[0].value
+                reads.add(f"{base}.{key}" if base else key)
+            elif node.func.attr in _MUTATOR_METHODS and base:
+                reads.add(base)
+                writes.add(base)
     for node in ast.walk(tree):
         if isinstance(node, ast.Attribute):
             target = node.value if id(node) in method_attrs else node
@@ -354,11 +380,34 @@ class JList(list):
     def add(self, x):
         self.append(x)
 
+    def addAll(self, xs):          # noqa: N802
+        self.extend(xs)
+        return True
+
     def get(self, i):
         return self[i]
 
     def contains(self, x):
         return x in self
+
+    def indexOf(self, x):          # noqa: N802
+        try:
+            return self.index(x)
+        except ValueError:
+            return -1
+
+    def remove(self, x):
+        # Java List.remove is overloaded: remove(int) is BY INDEX,
+        # remove(Object) by value.  Python's list.remove is by value only.
+        if isinstance(x, int) and not isinstance(x, bool):
+            v = self[x]
+            del self[x]
+            return v
+        try:
+            list.remove(self, x)
+            return True
+        except ValueError:
+            return False
 
     def isEmpty(self):             # noqa: N802
         return not self
@@ -373,11 +422,17 @@ def _wrap(v):
 
 
 class _CtxNode:
-    """Attribute bridge for dotted flat fields: ctx.a.b <-> row['a.b']."""
+    """Attribute bridge for dotted flat fields: ctx.a.b <-> row['a.b'].
 
-    def __init__(self, row, writes, prefix=""):
+    Mutable values (lists) are wrapped ONCE and the same object is handed
+    back on every access — so in-place idioms like ``ctx.tags.add('x')``
+    mutate a live object, exactly like the reference's ctx map.  run_row
+    folds mutated cache entries into the writes dict afterwards."""
+
+    def __init__(self, row, writes, cache, prefix=""):
         object.__setattr__(self, "_row", row)
         object.__setattr__(self, "_writes", writes)
+        object.__setattr__(self, "_cache", cache)
         object.__setattr__(self, "_prefix", prefix)
 
     def _key(self, name):
@@ -388,20 +443,34 @@ class _CtxNode:
             raise AttributeError(name)
         k = self._key(name)
         if k in self._writes:
-            return _wrap(self._writes[k])
+            v = self._writes[k]
+            if isinstance(v, JList):
+                return v
+            w = _wrap(v)
+            if isinstance(w, JList):  # keep identity for later mutation
+                self._writes[k] = w
+            return w
+        if k in self._cache:
+            return self._cache[k]
         if k in self._row:
-            return _wrap(self._row[k])
+            w = _wrap(self._row[k])
+            if isinstance(w, JList):
+                self._cache[k] = w
+            return w
         pref = k + "."
         if any(x.startswith(pref) for x in self._row):
-            return _CtxNode(self._row, self._writes, k)
+            return _CtxNode(self._row, self._writes, self._cache, k)
         return None
 
     def __setattr__(self, name, value):
         self._writes[self._key(name)] = value
 
     def containsKey(self, name):   # noqa: N802
+        # NOTE: static columns conflate missing with null — a present-but-
+        # null field reports False (documented divergence of the flat model)
         k = self._key(name)
         return (self._writes.get(k) is not None
+                or self._cache.get(k) is not None
                 or self._row.get(k) is not None)
 
 
@@ -535,8 +604,18 @@ class CompiledScript:
         self.__init__(state["source"], state["params"])
 
     def run_row(self, row: dict) -> dict:
-        """-> {path: new_value} for the fields the script assigned."""
+        """-> {path: new_value} for the fields the script assigned.  Paths
+        the script did NOT touch on this row are absent from the result —
+        callers must keep the prior value for them (the reference leaves
+        untouched ctx fields intact)."""
         writes: dict = {}
-        env = {"ctx": _CtxNode(row, writes), "params": dict(self.params)}
+        cache: dict = {}
+        env = {"ctx": _CtxNode(row, writes, cache),
+               "params": dict(self.params)}
         exec(self._code, dict(_GLOBALS), env)  # noqa: S102 (validated AST)
+        for k, v in cache.items():
+            # fold in-place list mutations (ctx.tags.add(..)) into writes;
+            # _wrap copied, so row[k] still holds the original to diff against
+            if k not in writes and v != row.get(k):
+                writes[k] = v
         return writes

@@ -326,6 +326,20 @@ _PY_TO_SPARK = [
 ]
 
 
+def _co_of(dt):
+    """Python-side converter for an existing Spark column type."""
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return lambda x: int(x)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return lambda x: float(x)
+    if isinstance(dt, T.BooleanType):
+        return lambda x: bool(x)
+    if isinstance(dt, T.ArrayType):
+        inner = _co_of(dt.elementType)
+        return lambda x: None if x is None else [inner(i) for i in x]
+    return lambda x: None if x is None else str(x)
+
+
 def _zero_of(dt):
     if isinstance(dt, T.StringType):
         # "1" not "": numeric-parse calls (Integer.parseInt) must succeed
@@ -361,6 +375,13 @@ def _script_interpreted(df, spec, ctx, active):
         probe = {}
     out_types = {}
     for w in sorted(cs.writes):
+        if w not in probe and w in df.columns:
+            # conditionally-assigned existing field the dry run didn't hit:
+            # keep the COLUMN's type so untaken-branch rows don't force a
+            # column-wide coercion to string
+            dt = field_type(df, w)
+            out_types[w] = (dt.simpleString(), _co_of(dt))
+            continue
         v = probe.get(w)
         if isinstance(v, (list, tuple)):
             out_types[w] = ("array<string>",
@@ -377,16 +398,23 @@ def _script_interpreted(df, spec, ctx, active):
     schema = T.StructType(
         [T.StructField(w, T._parse_datatype_string(out_types[w][0]))
          for w in writes]
-        + [T.StructField("__perr", T.StringType())])
+        + [T.StructField("__perr", T.StringType()),
+           T.StructField("__asg", T.ArrayType(T.BooleanType()))])
 
     def kernel(struct_s):
+        import numpy as np
         import pandas as pd
         rows = struct_s.to_dict("records")
         out = {w: [] for w in writes}
         errs = []
+        asgs = []
+        noasg = [False] * len(writes)
+
         def norm(v):
             if v is None or (isinstance(v, float) and v != v):
                 return None
+            if isinstance(v, np.ndarray):  # Arrow array columns
+                return v.tolist()
             return v
 
         for row in rows:
@@ -396,6 +424,7 @@ def _script_interpreted(df, spec, ctx, active):
                 for w in writes:
                     out[w].append(None)
                 errs.append(None)
+                asgs.append(noasg)
                 continue
             try:
                 res = cs.run_row(clean)
@@ -403,13 +432,18 @@ def _script_interpreted(df, spec, ctx, active):
                     co = out_types[w][1]
                     v = res.get(w)
                     out[w].append(None if v is None else co(v))
+                # 'not assigned on this row' != 'assigned null': unassigned
+                # paths must keep their prior column value downstream
+                asgs.append([w in res for w in writes])
                 errs.append(None)
             except Exception as e:  # script runtime error -> row failure
                 for w in writes:
                     out[w].append(None)
                 errs.append(f"{type(e).__name__}: {e}")
+                asgs.append(noasg)
         out["__perr"] = errs
-        return pd.DataFrame(out, columns=writes + ["__perr"])
+        out["__asg"] = asgs
+        return pd.DataFrame(out, columns=writes + ["__perr", "__asg"])
 
     udf = F.pandas_udf(kernel, schema)
     in_struct = F.struct(
@@ -417,8 +451,11 @@ def _script_interpreted(df, spec, ctx, active):
         F.coalesce(active, F.lit(False)).alias("__active"))
     df = df.withColumn("__script", udf(in_struct))
     err = fcol("__script")["__perr"]
-    for w in writes:
-        df = guarded(df, active & err.isNull(),
+    asg = fcol("__script")["__asg"]
+    for i, w in enumerate(writes):
+        df = guarded(df,
+                     active & err.isNull()
+                     & F.coalesce(F.element_at(asg, i + 1), F.lit(False)),
                      {w: fcol("__script")[w]})
     df = ctx.fail(df, active & err.isNotNull(), spec, err)
     return df.drop("__script")

@@ -202,13 +202,16 @@ def q_pipe_append(spark, sf_dir):
                     "allow_duplicates": False}},
         {"append": {"field": "event_type", "value": ["extra"]}},
     ])
-    return out.select("event_id", "arr",
-                      F.col("event_type").alias("etype_arr"))
+    # scalar renderings, not array<string>: the driver's canonicalizer
+    # sorts a pandas frame and list cells are unhashable (r2 red row)
+    return out.select("event_id",
+                      F.array_join("arr", "|").alias("arr"),
+                      F.array_join("event_type", "|").alias("etype_arr"))
 
 
 O_APPEND = """
-SELECT event_id, [event_type, 'x1', 'x2'] AS arr,
-       [event_type, 'extra'] AS etype_arr
+SELECT event_id, array_to_string([event_type, 'x1', 'x2'], '|') AS arr,
+       array_to_string([event_type, 'extra'], '|') AS etype_arr
 FROM events
 """
 
@@ -1070,6 +1073,7 @@ def q_dedup_clusters(spark, sf_dir):
                                       F.coalesce("m", F.col("node")))
                       .alias("lab"))
               .localCheckpoint(eager=True))
+    changed = 1
     for _ in range(20):
         nbr = (edges.join(labels.select(F.col("node").alias("b"), "lab"), "b")
                .groupBy("a").agg(F.min("lab").alias("nlab")))
@@ -1082,6 +1086,14 @@ def q_dedup_clusters(spark, sf_dir):
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # a silent fall-through would emit WRONG cluster ids for any
+        # component whose min-label eccentricity exceeds the round budget
+        # (e.g. a 21-link chain) — fail loud instead
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge in 20 "
+            "rounds (component diameter too large); raise the round budget "
+            "or switch to pointer-jumping")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"),
         (F.col("node") == F.col("lab")).alias("is_canonical"))
@@ -1115,7 +1127,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # BOTH join sides, so checkpoint them too or the shingle computation
     # runs twice
     pairs = pairs.localCheckpoint(eager=True)
-    reps = reps.localCheckpoint(eager=True)
+    # reps carry corpus-sized shingle ARRAYS: single-compute guarantee via
+    # DISK_ONLY persist (localCheckpoint would pin the blow-up in executor
+    # memory — wrong storage tier at 100 TB)
+    from pyspark import StorageLevel
+    reps = reps.persist(StorageLevel.DISK_ONLY)
     sa = reps.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
     sb = reps.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
     j = pairs.join(sa, "a").join(sb, "b")
@@ -1247,7 +1263,7 @@ def q_doc_quality(spark, sf_dir):
         score.cast("long").alias("quality_score"))
 
 
-O_DOC_QUALITY = """
+O_DOC_QUALITY = r"""
 WITH q AS (
   SELECT doc_id, text,
          len(str_split(text, ' ')) AS tokens,
@@ -1482,27 +1498,24 @@ O_ANN_RECALL = (
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-style ANN scale path: coarse quantizer (16 deterministic
-    centroids) -> inverted-list assignment via broadcast argmin -> probe
-    only the query's cell -> exact cosine rerank inside the cell.  At
-    100 TB the assignment is a narrow broadcast pass and the probe join
-    shuffles one cell, not the corpus.  double-cast vectors + fold-order
-    parity give it a full DuckDB oracle."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    cents = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-    scored = (emb.join(F.broadcast(cents))
-              .withColumn("sim_c", _fold_dot("e", "ce")
-                          / (_fold_norm(F.col("e")) * _fold_norm(F.col("ce")))))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_c"), F.asc("cid"))
-    assigned = (scored.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "e", F.col("cid").alias("cell")))
+    """IVF ANN, end to end (folds r2's separate trainer + probe entries
+    into ONE driver query): TRAIN the coarse quantizer (2 Lloyd
+    iterations, _train_ivf_centroids), assign every vector to its
+    inverted list via the shuffle-free literal-centroid argmin, probe
+    only each query's cell, exact cosine rerank inside the cell.
+
+    100 TB shape: training touches the corpus with projections + k-group
+    partial aggs only; the probe join BROADCASTS the 5-row query side
+    (BuildLeft — the corpus streams); the rerank window shuffles one
+    cell's worth of candidates, never the corpus.  Integer-quantized
+    training + double-cast cosine + fold-order parity give the whole
+    thing a bit-exact DuckDB oracle."""
+    emb, cents = _train_ivf_centroids(spark, sf_dir)
+    assigned = _assign_cell_expr(emb, cents)
     q = assigned.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "cell")
+        F.col("vec_id").alias("qid"), F.col("v").alias("qe"), "cell")
     cand = assigned.select(F.col("vec_id").alias("nid"),
-                           F.col("e").alias("ne"), "cell")
+                           F.col("v").alias("ne"), "cell")
     probed = (F.broadcast(q).join(cand, ["cell"])
               .filter(F.col("qid") != F.col("nid"))
               .withColumn("sim", _fold_dot("qe", "ne")
@@ -1510,28 +1523,6 @@ def q_ann_ivf(spark, sf_dir):
     w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (probed.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= 3).select("qid", "nid", "rank"))
-
-
-O_ANN_IVF = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-scored AS (SELECT e.vec_id, e.v, c.cid,
-        ({_o_dot('e.v', 'c.cv')}) / ({_o_norm('e.v')} * {_o_norm('c.cv')}) AS sim_c
-      FROM e, c),
-assigned AS (SELECT vec_id, v, cid AS cell FROM (
-   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY sim_c DESC, cid ASC) AS rn
-   FROM scored) WHERE rn = 1),
-q AS (SELECT vec_id AS qid, v AS qe, cell FROM assigned WHERE vec_id < 5),
-cand AS (SELECT vec_id AS nid, v AS ne, cell FROM assigned),
-probed AS (SELECT qid, nid,
-        ({_o_dot('qe', 'ne')}) / ({_o_norm('qe')} * {_o_norm('ne')}) AS sim
-      FROM q JOIN cand USING (cell) WHERE qid <> nid)
-SELECT qid, nid, rank FROM (
-  SELECT qid, nid,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
-  FROM probed) WHERE rank <= 3
-"""
 
 
 _KM_K, _KM_Q = 8, 1000  # clusters; fixed-point quantization scale
@@ -1551,49 +1542,82 @@ def _q_sqdist(a, b):
         F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-def q_ann_ivf_kmeans(spark, sf_dir):
-    """Trained coarse quantizer for IVF: 2 Lloyd iterations of k-means
-    (k=_KM_K) over integer-quantized embeddings, deterministic seeds
-    (vec_id < k), then the final cell assignment.
+def _lit_ivec(v):
+    return F.array(*[F.lit(int(x)) for x in v])
 
-    Scale shape per iteration — the canonical distributed Lloyd step:
-    - centroids are k×64 ints: BROADCAST into a narrow argmin pass over
-      the corpus (BroadcastNestedLoopJoin + per-row window-free min via
-      row_number over vec_id partitions, no corpus shuffle);
+
+def _assign_cell_expr(points, cents, qv="qv"):
+    """Expression-level argmin over LITERAL centroids — a pure projection.
+
+    The r2 shape joined corpus ⋈ broadcast(centroids) (row explosion ×k)
+    then window-argmin'd over vec_id: Sort + Exchange(vec_id) per pass,
+    i.e. the corpus shuffled once per Lloyd iteration — the scale-killer
+    VERDICT r2 flagged.  Centroids are metadata (k × dim ints), so the
+    argmin needs no join at all: an F.array of k squared-distance
+    expressions, array_min, array_position.  Zero shuffle, zero row
+    explosion, whole-stage codegen, bit-identical result.  Ties break to
+    the smallest cid because ``cents`` is sorted by cid and
+    array_position returns the FIRST match of the min."""
+    cents = sorted(cents, key=lambda t: t[0])
+    darr = F.array(*[_q_sqdist(F.col(qv), _lit_ivec(cv)) for _, cv in cents])
+    idx = F.array_position(darr, F.array_min(darr)).cast("int")
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    return points.withColumn("cell", F.element_at(cid_arr, idx))
+
+
+def _train_ivf_centroids(spark, sf_dir):
+    """2 Lloyd iterations of k-means (k=_KM_K) over integer-quantized
+    embeddings, deterministic seeds (vec_id < k).
+
+    Scale shape per iteration — the canonical distributed Lloyd step with
+    DRIVER-side centroid state (k × dim ints = metadata, the legitimate
+    collect):
+    - assignment is a shuffle-free PROJECTION over literal centroids
+      (_assign_cell_expr);
     - centroid update is ONE partial+final groupBy(cell) over k groups —
-      the only shuffle, k rows wide;
+      map-side combine reduces each partition to ≤k rows, so the only
+      shuffle moves k rows per partition, never the corpus;
     - floor-average (integer division) keeps the update exact, so the
-      whole 2-iteration computation has a bit-exact DuckDB oracle
-      (float k-means cannot be hash-compared across engines: AVG fold
-      order differs).
-    """
+      whole 2-iteration computation has a bit-exact DuckDB oracle (float
+      k-means cannot be hash-compared across engines: AVG fold order
+      differs).
+    The corpus frame (id, raw double vector, quantized vector) is
+    persisted DISK_ONLY — scanned by 2 training passes + the final
+    assignment, and too large for executor memory at 100 TB."""
+    from pyspark import StorageLevel
+
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _q_quant(F.col("embedding").cast("array<double>")).alias("qv"))
-    emb = _spread(emb, "vec_id").localCheckpoint(eager=True)
-    cents = emb.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
-
-    def assign(points, centroids):
-        scored = (points.join(F.broadcast(centroids))
-                  .withColumn("d", _q_sqdist("qv", "cv")))
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
-        return (scored.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "qv", F.col("cid").alias("cell")))
-
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("qv", _q_quant(F.col("v")))
+    emb = _spread(emb, "vec_id").persist(StorageLevel.DISK_ONLY)
+    cents = [(int(r["vec_id"]), list(r["qv"]))
+             for r in emb.filter(F.col("vec_id") < _KM_K)
+             .select("vec_id", "qv").collect()]
     for _ in range(2):  # fixed iteration count = oracle-expressible
-        assigned = assign(emb, cents)
-        dim = _ANN_DIM
-        cents = (assigned.groupBy("cell")
-                 .agg(*[F.floor(F.sum(F.element_at("qv", i + 1))
-                                / F.count("*")).cast("long").alias(f"c{i}")
-                        for i in range(dim)])
-                 .select(F.col("cell").alias("cid"),
-                         F.array(*[f"c{i}" for i in range(dim)]).alias("cv")))
-    return assign(emb, cents).select("vec_id", "cell").orderBy("vec_id")
+        rows = (_assign_cell_expr(emb, cents)
+                .groupBy("cell")
+                .agg(*[F.floor(F.sum(F.element_at("qv", i + 1))
+                               / F.count("*")).cast("long").alias(f"c{i}")
+                       for i in range(_ANN_DIM)])
+                .collect())
+        cents = [(int(r["cell"]), [int(r[f"c{i}"]) for i in range(_ANN_DIM)])
+                 for r in rows]
+    return emb, cents
 
 
-def _kmeans_oracle() -> str:
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """Trained coarse quantizer for IVF: the 2-Lloyd-iteration k-means of
+    _train_ivf_centroids, then the final cell assignment — a shuffle-free
+    projection (``.explain()`` shows zero Exchange in the assignment
+    pass, pinned by tests/test_dedup_clusters.py)."""
+    emb, cents = _train_ivf_centroids(spark, sf_dir)
+    return _assign_cell_expr(emb, cents).select("vec_id", "cell")
+
+
+def _km_prefix() -> str:
+    """Shared DuckDB CTE chain for the 2-Lloyd-iteration trainer: ends at
+    ``a3`` = the final (vec_id, cell) assignment (plus ``e`` carrying both
+    the raw DOUBLE vector and the quantized one for downstream rerank)."""
     d = _ANN_DIM
     cent_cols = ", ".join(
         f"CAST(floor(SUM(qv[{i + 1}]) / COUNT(*)) AS BIGINT) AS c{i}"
@@ -1603,11 +1627,12 @@ def _kmeans_oracle() -> str:
            "list_transform(range(1, {d}+1), "
            "i -> (qv[i]-cv[i])*(qv[i]-cv[i]))), (x,y) -> x+y)").format(d=d)
     return f"""
-WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
-             x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS qv FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS qv FROM embeddings),
 c0 AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < {_KM_K}),
 a1 AS (SELECT vec_id, qv, cid AS cell FROM (
-     SELECT e.vec_id, e.qv, c0.cid, {sqd.replace('cv[i]', 'cv[i]')} AS d,
+     SELECT e.vec_id, e.qv, c0.cid,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                ORDER BY {sqd} ASC, c0.cid ASC) AS rn
      FROM e, c0) WHERE rn = 1),
@@ -1619,17 +1644,30 @@ a2 AS (SELECT vec_id, qv, cid AS cell FROM (
                                ORDER BY {sqd} ASC, c1.cid ASC) AS rn
      FROM e, c1) WHERE rn = 1),
 c2 AS (SELECT cell AS cid, [{cent_arr}] AS cv FROM (
-     SELECT cell, {cent_cols} FROM a2 GROUP BY cell))
-SELECT vec_id, cid AS cell FROM (
+     SELECT cell, {cent_cols} FROM a2 GROUP BY cell)),
+a3 AS (SELECT vec_id, cid AS cell FROM (
      SELECT e.vec_id, c2.cid,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                ORDER BY {sqd} ASC, c2.cid ASC) AS rn
-     FROM e, c2) WHERE rn = 1
-ORDER BY vec_id
-"""
+     FROM e, c2) WHERE rn = 1)"""
 
 
-O_ANN_IVF_KMEANS = _kmeans_oracle()
+O_ANN_IVF_KMEANS = (
+    _km_prefix() + "\nSELECT vec_id, cell FROM a3 ORDER BY vec_id\n")
+
+O_ANN_IVF = (_km_prefix() + f""",
+q AS (SELECT a3.vec_id AS qid, e.v AS qe, a3.cell
+      FROM a3 JOIN e USING (vec_id) WHERE a3.vec_id < 5),
+cand AS (SELECT a3.vec_id AS nid, e.v AS ne, a3.cell
+         FROM a3 JOIN e USING (vec_id)),
+probed AS (SELECT qid, nid,
+        ({_o_dot('qe', 'ne')}) / ({_o_norm('qe')} * {_o_norm('ne')}) AS sim
+      FROM q JOIN cand USING (cell) WHERE qid <> nid)
+SELECT qid, nid, rank FROM (
+  SELECT qid, nid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+  FROM probed) WHERE rank <= 3
+""")
 
 
 def q_stream_sessionize(spark, sf_dir):
@@ -1641,16 +1679,7 @@ def q_stream_sessionize(spark, sf_dir):
 
     from .streaming.stream import sessionize_stream
     name = "q" + uuid.uuid4().hex[:10]
-    path = f"{sf_dir}/events.parquet"
-    if os.path.isfile(path):
-        # file streams need a directory source: expose the single-file
-        # table through a symlink dir (testdata ships bare files)
-        d = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir)}_events"
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, "part-0.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.abspath(path), link)
-        path = d
+    path = _events_stream_dir(sf_dir)
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(path)
     out = sessionize_stream(
@@ -1662,16 +1691,28 @@ def q_stream_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
-def _events_stream_dir(sf_dir: str) -> str:
-    path = f"{sf_dir}/events.parquet"
-    if os.path.isfile(path):
-        d = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir)}_events"
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, "part-0.parquet")
+def _events_stream_dir(sf_dir: str, copies: int = 1) -> str:
+    """File-stream source dir for the events table (file streams need a
+    DIRECTORY source; testdata ships bare files).  Keyed by a hash of the
+    ABSOLUTE source path — basenames collide across parent dirs — and each
+    link is verified via readlink so a stale dir from a prior run can never
+    silently point at the wrong data.  ``copies=2`` delivers the same file
+    twice (the at-least-once replay scenario)."""
+    import hashlib
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    if copies == 1 and not os.path.isfile(src):
+        return src  # already a directory source
+    key = hashlib.sha1(src.encode()).hexdigest()[:12]
+    d = f"/tmp/spark_graft_stream/{key}_x{copies}"
+    os.makedirs(d, exist_ok=True)
+    for i in range(copies):
+        link = os.path.join(d, f"part-{i}.parquet")
+        if os.path.islink(link) and os.readlink(link) != src:
+            os.unlink(link)
         if not os.path.exists(link):
-            os.symlink(os.path.abspath(path), link)
-        return d
-    return path
+            os.symlink(src, link)
+    return d
 
 
 def q_stream_window(spark, sf_dir):
@@ -1718,14 +1759,8 @@ def q_stream_dedup(spark, sf_dir):
     import uuid
 
     name = "q" + uuid.uuid4().hex[:10]
-    src_file = f"{sf_dir}/events.parquet"
-    d = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir)}_events_dup"
-    os.makedirs(d, exist_ok=True)
-    for i in (0, 1):  # the same data delivered twice = replay
-        link = os.path.join(d, f"part-{i}.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.abspath(src_file), link)
-    schema = spark.read.parquet(src_file).schema
+    d = _events_stream_dir(sf_dir, copies=2)  # same data delivered twice
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = spark.readStream.schema(schema).parquet(d)
     deduped = (src.select("event_id", "event_type",
                           F.col("ts").cast("timestamp").alias("ts"))
@@ -1779,7 +1814,11 @@ def q_multimodal_image(spark, sf_dir):
     from .operators.multimodal import decode_image_features, encode_png
     doc = _spread(load(spark, sf_dir, "documents").select("doc_id"),
                   "doc_id")
-    return decode_image_features(encode_png(doc, side=16), blocks=4)
+    feats = decode_image_features(encode_png(doc, side=16), blocks=4)
+    # scalar rendering (driver canonicalizer can't sort list cells)
+    return feats.withColumn(
+        "block_sums",
+        F.array_join(F.col("block_sums").cast("array<string>"), "|"))
 
 
 def _image_oracle() -> str:
@@ -1796,7 +1835,8 @@ SELECT doc_id, 16 AS width, 16 AS height,
             (x,y) -> x+y) AS BIGINT) AS pix_sum,
        CAST(list_min({allpix}) AS INT) AS pix_min,
        CAST(list_max({allpix}) AS INT) AS pix_max,
-       {blk} AS block_sums
+       array_to_string(list_transform({blk}, x -> CAST(x AS VARCHAR)), '|')
+         AS block_sums
 FROM documents
 """
 

@@ -69,11 +69,17 @@ def test_kmeans_matches_duckdb_two_lloyd_iterations(spark):
     assert got == want
 
 
-def test_kmeans_centroid_broadcast_plan(spark):
-    """The argmin pass must be a broadcast join (no corpus shuffle for
-    assignment); the only exchange keyed on data size is the k-group
-    centroid update."""
+def test_kmeans_assignment_is_shuffle_free_projection(spark):
+    """The argmin pass must be a pure PROJECTION over literal centroids —
+    no join (the r2 BNLJ exploded rows ×k), no Exchange, no Sort/Window
+    above the cached corpus scan.  Centroids are driver-side metadata, so
+    the corpus is never shuffled for assignment."""
     from logstash_filter_elastic_integration_spark import queries as Q
     plan = Q.QUERIES["ann_ivf_kmeans"](spark, SF)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
+    assignment = plan.split("InMemoryTableScan")[0]
+    assert "Join" not in assignment
+    assert "Exchange" not in assignment
+    assert "Sort" not in assignment
+    assert "Window" not in assignment
+    assert "element_at" in assignment  # the literal-centroid argmin

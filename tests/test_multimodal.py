@@ -74,5 +74,6 @@ def test_multimodal_image_features_exact(spark):
         px = ((r.doc_id * 31 + np.arange(256) * 7) % 256).reshape(16, 16)
         assert r.width == 16 and r.height == 16
         assert r.pix_sum == int(px.sum())
-        assert list(r.block_sums) == [
+        # block_sums is pipe-joined (driver canonicalizer can't sort lists)
+        assert [int(x) for x in r.block_sums.split("|")] == [
             int(x) for x in px.reshape(4, 4, 4, 4).sum(axis=(1, 3)).ravel()]

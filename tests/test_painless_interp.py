@@ -89,3 +89,85 @@ def test_column_compiler_still_wins_for_straight_line(spark, registry):
     plan = run_pipeline(df, "fast", registry)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_conditional_assign_keeps_untouched_value():
+    """run_row must NOT report paths the script didn't assign on this row
+    (the reference leaves untouched ctx fields intact)."""
+    cs = CompiledScript("""
+        for (int i = 0; i < 1; i++) { }
+        if (ctx.flag > 0) { ctx.status = 'hot'; }
+    """)
+    assert cs.run_row({"flag": 1, "status": "cold"}) == {"status": "hot"}
+    assert cs.run_row({"flag": 0, "status": "cold"}) == {}
+
+
+def test_conditional_assign_processor_keeps_prior_column(spark, registry):
+    """Interpreter engine: rows where the script's branch did not assign a
+    field must keep the existing column value, not get nulled."""
+    rows = run_one(spark, registry, [
+        {"script": {"source": """
+            int n = 0;
+            for (int i = 0; i < ctx.reps; i++) { n += 1; }
+            if (n >= 2) { ctx.status = 'hot'; }
+        """}}],
+        [(1, 3, "cold"), (2, 1, "cold")], "id long, reps long, status string")
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["status"] == "hot"
+    assert by_id[2]["status"] == "cold"   # untouched, NOT null
+
+
+def test_contains_key_ships_literal_named_field(spark, registry):
+    """A field referenced ONLY via containsKey must still be shipped into
+    the UDF so the guard sees it."""
+    rows = run_one(spark, registry, [
+        {"script": {"source": """
+            for (int i = 0; i < 1; i++) { }
+            if (ctx.containsKey('maybe')) { ctx.seen = true; }
+            else { ctx.seen = false; }
+        """}}],
+        [(1, "yes"), (2, None)], "id long, maybe string")
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["seen"] is True
+    assert by_id[2]["seen"] is False  # null conflates with missing (flat model)
+
+
+def test_inplace_list_mutation_persists():
+    """ctx.tags.add('x') mutates a live object and surfaces as a write."""
+    cs = CompiledScript("for (int i = 0; i < 2; i++) { ctx.tags.add('x'); }")
+    assert "tags" in cs.writes
+    assert cs.run_row({"tags": ["a"]}) == {"tags": ["a", "x", "x"]}
+    # unchanged list -> no write reported
+    cs2 = CompiledScript("""
+        for (int i = 0; i < 1; i++) { }
+        if (ctx.n > 5) { ctx.tags.add('big'); }
+    """)
+    assert cs2.run_row({"n": 1, "tags": ["a"]}) == {}
+
+
+def test_inplace_mutation_processor_roundtrip(spark, registry):
+    rows = run_one(spark, registry, [
+        {"script": {"source": """
+            for (int i = 0; i < 1; i++) { }
+            if (ctx.keep == false) {
+                ctx.tags.remove(ctx.tags.indexOf('drop-me'));
+            }
+        """}}],
+        [(1, False, ["a", "drop-me", "b"]), (2, True, ["a", "b"])],
+        "id long, keep boolean, tags array<string>")
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["tags"] == ["a", "b"]
+    assert by_id[2]["tags"] == ["a", "b"]
+
+
+def test_jlist_java_remove_semantics():
+    from logstash_filter_elastic_integration_spark.functions.painless_exec import (
+        JList)
+    xs = JList(["a", "b", "c"])
+    assert xs.remove(1) == "b"          # by index (Java overload)
+    assert xs == ["a", "c"]
+    assert xs.remove("a") is True       # by value
+    assert xs == ["c"]
+    assert xs.indexOf("zz") == -1
+    xs.addAll(["d", "e"])
+    assert xs == ["c", "d", "e"]
