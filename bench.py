@@ -91,8 +91,8 @@ def main() -> None:
                 "agg_sink_counts", "dedup_exact", "dedup_minhash_lsh",
                 "dedup_simhash", "dedup_ngram_jaccard", "lang_id_trigram",
                 "doc_quality", "ann_cosine_topk", "ann_ivf",
-                "ann_ivf_kmeans", "dedup_clusters", "multimodal_audio",
-                "multimodal_image", "text_stats", "window_turn_order"]
+                "dedup_clusters", "multimodal_audio", "multimodal_image",
+                "token_rolling_hash", "sessionize", "window_turn_order"]
     for name in headline:
         # min-of-2 per query too: pass 1 pays whole-stage-codegen compile
         # + JIT for that query's generated classes (and eats any host-noise

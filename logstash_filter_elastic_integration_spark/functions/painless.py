@@ -78,12 +78,89 @@ def _restore_literals(src: str, lits: list[str]) -> str:
     return src
 
 
+# Painless regex operators (run AFTER string protection, BEFORE token
+# rewrites): `expr =~ /pat/` is Matcher.find, `expr ==~ /pat/` is
+# Matcher.matches (entire string).  The regex literal becomes a placeholder
+# NAME on the right of a plain `==` so the stdlib ast can parse it; both
+# engines special-case `_rx[mf]<N>` names back into regex semantics.
+_RX_OP = re.compile(r"(==~|=~)\s*/((?:\\.|[^/\n])*)/")
+
+
+def _protect_regexes(src: str) -> tuple[str, list[tuple[str, str]]]:
+    pats: list[tuple[str, str]] = []
+
+    def sub(m):
+        kind = "m" if m.group(1) == "==~" else "f"
+        pats.append((kind, m.group(2)))
+        return f" == _rx{kind}{len(pats) - 1} "
+
+    return _RX_OP.sub(sub, src), pats
+
+
+_RX_NAME = re.compile(r"^_rx([mf])(\d+)$")
+
+
+def _rewrite_collection_literals(src: str, wrap: bool = False) -> str:
+    """Painless collection literals -> Python: map ``['a': 1]`` -> ``{'a':
+    1}`` (empty map ``[:]`` -> ``{}``), list ``[1, 2]`` stays a list.
+    Only brackets in LITERAL position (after an operator/opener/start) are
+    touched — ``x[0]`` subscripts are untouched.  With ``wrap`` (the
+    interpreter engine) results are passed through ``_jmap(..)`` /
+    ``_jlist(..)`` so Java method names (put/add/size/...) work on them.
+    Runs after string protection, so quoted ``:``/brackets are inert."""
+    out: list[str] = []
+    i, n = 0, len(src)
+
+    def literal_pos(j: int) -> bool:
+        k = j - 1
+        while k >= 0 and src[k] in " \t\r\n":
+            k -= 1
+        return k < 0 or src[k] in "=(,+-*/%<>!&|?:;{["
+
+    while i < n:
+        ch = src[i]
+        if ch == "[" and literal_pos(i):
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if src[j] == "[":
+                    depth += 1
+                elif src[j] == "]":
+                    depth -= 1
+                j += 1
+            if depth:  # unbalanced — leave untouched, parser will complain
+                out.append(ch)
+                i += 1
+                continue
+            inner = _rewrite_collection_literals(src[i + 1:j - 1], wrap)
+            d2, has_colon = 0, False
+            for c2 in inner:
+                if c2 in "([{":
+                    d2 += 1
+                elif c2 in ")]}":
+                    d2 -= 1
+                elif c2 == ":" and d2 == 0:
+                    has_colon = True
+            if inner.strip() == ":" or has_colon:
+                body = "" if inner.strip() == ":" else inner
+                rep = "{" + body + "}"
+                out.append(f"_jmap({rep})" if wrap else rep)
+            else:
+                rep = "[" + inner + "]"
+                out.append(f"_jlist({rep})" if wrap else rep)
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _to_python(src: str, lits: list[str] | None = None) -> str:
     if lits is None:
         src, lits = _protect_literals(src)
     src = src.strip().rstrip(";")
     for rx, rep in _REWRITES:
         src = rx.sub(rep, src)
+    src = _rewrite_collection_literals(src)
     # painless ternary -> python conditional (single, non-nested)
     m = _TERNARY.match(src)
     if m and "==" not in src.split("?")[0][-2:]:
@@ -94,9 +171,11 @@ def _to_python(src: str, lits: list[str] | None = None) -> str:
 class _Ctx:
     """Compilation context: resolves ctx.* field paths to (Column, DataType)."""
 
-    def __init__(self, resolve, params: dict | None = None):
+    def __init__(self, resolve, params: dict | None = None,
+                 regexes: list[tuple[str, str]] | None = None):
         self.resolve = resolve          # path:str -> (Column, DataType|None)
         self.params = params or {}
+        self.regexes = regexes or []    # [(kind 'f'|'m', pattern), ...]
 
 
 def _field_path(node: ast.AST) -> str | None:
@@ -162,6 +241,20 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
             raise UnsupportedScriptError("chained comparisons unsupported")
         op = node.ops[0]
         right_node = node.comparators[0]
+        # `expr =~ /pat/` (find) / `expr ==~ /pat/` (entire-string match)
+        # arrive as `expr == _rx[mf]<N>` after _protect_regexes — lower to
+        # JVM rlike (never drops to Python)
+        if isinstance(right_node, ast.Name):
+            rm = _RX_NAME.match(right_node.id)
+            if rm:
+                if not isinstance(op, ast.Eq):
+                    raise UnsupportedScriptError(
+                        "regex literal only valid after =~ / ==~")
+                kind, idx = rm.group(1), int(rm.group(2))
+                pat = c.regexes[idx][1]
+                col = (left.rlike(pat) if kind == "f"
+                       else left.rlike(f"^(?:{pat})$"))
+                return F.coalesce(col, F.lit(False)), T.BooleanType()
         if isinstance(right_node, ast.Constant) and right_node.value is None:
             if isinstance(op, ast.Eq):
                 return left.isNull(), T.BooleanType()
@@ -212,6 +305,23 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
         a, adt = _eval(node.body, c)
         b, bdt = _eval(node.orelse, c)
         return F.when(cond, a).otherwise(b), adt or bdt
+
+    if isinstance(node, ast.List):  # painless list literal [1, 2, 3]
+        if not node.elts:
+            return F.array(), T.ArrayType(T.StringType())
+        vals = [_eval(e, c) for e in node.elts]
+        edt = next((dt for _, dt in vals if dt is not None), None)
+        return (F.array(*[v for v, _ in vals]),
+                T.ArrayType(edt) if edt else None)
+
+    if isinstance(node, ast.Dict):  # painless map literal ['a': 1]
+        cols: list[Column] = []
+        for k, v in zip(node.keys, node.values):
+            if k is None:
+                raise UnsupportedScriptError("map unpacking unsupported")
+            cols.append(_eval(k, c)[0])
+            cols.append(_eval(v, c)[0])
+        return F.create_map(*cols), None
 
     if isinstance(node, ast.Call):
         fn = node.func
@@ -312,17 +422,19 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
 def compile_condition(source: str, resolve, params: dict | None = None) -> Column:
     """Painless ``if`` condition -> boolean Column (null-safe: null -> false)."""
     src, lits = _protect_literals(source)
-    return _compile_condition_p(src, lits, resolve, params)
+    src, regexes = _protect_regexes(src)
+    return _compile_condition_p(src, lits, resolve, params, regexes)
 
 
 def _compile_condition_p(source: str, lits: list[str], resolve,
-                         params: dict | None = None) -> Column:
+                         params: dict | None = None,
+                         regexes: list[tuple[str, str]] | None = None) -> Column:
     py = _to_python(source, lits)
     try:
         tree = ast.parse(py, mode="eval")
     except SyntaxError as e:
         raise UnsupportedScriptError(f"cannot parse condition {source!r}: {e}") from e
-    col, _ = _eval(tree.body, _Ctx(resolve, params))
+    col, _ = _eval(tree.body, _Ctx(resolve, params, regexes))
     return F.coalesce(col.cast("boolean"), F.lit(False))
 
 
@@ -344,23 +456,29 @@ def compile_script(source: str, resolve, params: dict | None = None) -> list[tup
     quoted strings never affect statement splitting or token rewrites.
     """
     src, lits = _protect_literals(source)
-    return _compile_script_p(src, lits, resolve, params)
+    src, regexes = _protect_regexes(src)
+    return _compile_script_p(src, lits, resolve, params, regexes)
 
 
 def _compile_script_p(source: str, lits: list[str], resolve,
-                      params: dict | None = None) -> list[tuple[str, Column]]:
+                      params: dict | None = None,
+                      regexes: list[tuple[str, str]] | None = None
+                      ) -> list[tuple[str, Column]]:
     m = _IF_BLOCK.match(source.strip())
     if m:
-        cond = _compile_condition_p(m.group("cond"), lits, resolve, params)
-        body = dict(_compile_script_p(m.group("body"), lits, resolve, params))
-        els = dict(_compile_script_p(m.group("els") or "", lits, resolve, params))
+        cond = _compile_condition_p(m.group("cond"), lits, resolve, params,
+                                    regexes)
+        body = dict(_compile_script_p(m.group("body"), lits, resolve, params,
+                                      regexes))
+        els = dict(_compile_script_p(m.group("els") or "", lits, resolve,
+                                     params, regexes))
         out: list[tuple[str, Column]] = []
         for path in {**body, **els}:
             cur, _ = resolve(path)
             out.append((path, F.when(cond, body.get(path, cur))
                         .otherwise(els.get(path, cur))))
         return out
-    ctx = _Ctx(resolve, params)
+    ctx = _Ctx(resolve, params, regexes)
     out: list[tuple[str, Column]] = []
     for stmt in [s.strip() for s in source.split(";") if s.strip()]:
         lhs, rhs = _split_assignment(stmt)

@@ -37,7 +37,8 @@ import ast
 import re
 
 from .painless import (UnsupportedScriptError, _protect_literals,
-                       _restore_literals)
+                       _protect_regexes, _restore_literals,
+                       _rewrite_collection_literals)
 
 _TOKEN_REWRITES = [
     (re.compile(r"&&"), " and "),
@@ -47,8 +48,10 @@ _TOKEN_REWRITES = [
     (re.compile(r"\btrue\b"), "True"),
     (re.compile(r"\bfalse\b"), "False"),
     (re.compile(r"\?\."), "."),
-    (re.compile(r"\bnew\s+ArrayList\s*\(\s*\)"), "[]"),
-    (re.compile(r"\bnew\s+HashMap\s*\(\s*\)"), "dict()"),
+    # Java-method-capable wrappers, not bare []/{}: scripts call
+    # .add/.put/.size on these
+    (re.compile(r"\bnew\s+ArrayList\s*\(\s*\)"), "_jlist([])"),
+    (re.compile(r"\bnew\s+HashMap\s*\(\s*\)"), "_jmap({})"),
 ]
 _DECL = re.compile(
     r"^(?:def|var|int|long|short|byte|double|float|boolean|char|String|"
@@ -122,6 +125,16 @@ def _split_stmts(src: str):
 _HDR = re.compile(r"^\s*(if|for|while|else\s+if|else)\b\s*", re.S)
 
 
+def _sub_block(body, indent, lines, counter):
+    """Transpile a nested block; an EMPTY painless block (`{ }`) must still
+    emit `pass` (the shared-lines recursion otherwise emits nothing and
+    the next statement lands unindented)."""
+    before = len(lines)
+    _transpile_block(body, indent, lines, counter)
+    if len(lines) == before:
+        lines.append("    " * indent + "pass")
+
+
 def _transpile_block(src: str, indent: int, lines: list[str],
                      counter: list[int]) -> None:
     pad = "    " * indent
@@ -158,13 +171,13 @@ def _transpile_block(src: str, indent: int, lines: list[str],
             body = src[j + 1:k - 1]
             if kw == "if":
                 lines.append(f"{pad}if {_rw_expr(cond)}:")
-                _transpile_block(body, indent + 1, lines, counter)
+                _sub_block(body, indent + 1, lines, counter)
             elif kw == "else if":
                 lines.append(f"{pad}elif {_rw_expr(cond)}:")
-                _transpile_block(body, indent + 1, lines, counter)
+                _sub_block(body, indent + 1, lines, counter)
             elif kw == "else":
                 lines.append(f"{pad}else:")
-                _transpile_block(body, indent + 1, lines, counter)
+                _sub_block(body, indent + 1, lines, counter)
             elif kw == "while":
                 cap = f"__wcap{counter[0]}"
                 counter[0] += 1
@@ -194,7 +207,7 @@ def _transpile_block(src: str, indent: int, lines: list[str],
                     var, _, it = parts[0].partition(":")
                     var = _DECL.sub("", var.strip())
                     lines.append(f"{pad}for {var} in ({_rw_expr(it)}):")
-                    _transpile_block(body, indent + 1, lines, counter)
+                    _sub_block(body, indent + 1, lines, counter)
                 else:
                     raise UnsupportedScriptError(
                         f"unsupported for(...) header: {cond!r}")
@@ -236,15 +249,20 @@ def _transpile_block(src: str, indent: int, lines: list[str],
         lines.append(f"{pad}pass")
 
 
-def transpile(source: str) -> str:
-    """Painless statements -> Python source (literals protected during the
-    whole structural pass, restored at the end)."""
+def transpile(source: str) -> tuple[str, list[tuple[str, str]]]:
+    """Painless statements -> (Python source, regex literals).  Literals
+    are protected during the whole structural pass and restored at the
+    end; ``=~``/``==~`` regex literals become ``== _rx[mf]<N>`` reflected
+    comparisons (see _RxFind/_RxMatch); map/list literals become
+    _jmap/_jlist-wrapped Python literals."""
     src, lits = _protect_literals(source)
+    src, regexes = _protect_regexes(src)
     for rx, rep in _TOKEN_REWRITES:
         src = rx.sub(rep, src)
+    src = _rewrite_collection_literals(src, wrap=True)
     lines: list[str] = []
     _transpile_block(src, 0, lines, [0])
-    return _restore_literals("\n".join(lines), lits)
+    return _restore_literals("\n".join(lines), lits), regexes
 
 
 # --------------------------------------------------------------- validate --
@@ -413,11 +431,67 @@ class JList(list):
         return not self
 
 
+class JMap(dict):
+    """dict with Painless/Java Map method names."""
+
+    def put(self, k, v):
+        prev = dict.get(self, k)
+        self[k] = v
+        return prev
+
+    def putAll(self, other):       # noqa: N802
+        self.update(other)
+
+    def containsKey(self, k):      # noqa: N802
+        return k in self
+
+    def containsValue(self, v):    # noqa: N802
+        return v in self.values()
+
+    def remove(self, k):
+        return self.pop(k, None)
+
+    def size(self):
+        return len(self)
+
+    def isEmpty(self):             # noqa: N802
+        return not self
+
+    def getOrDefault(self, k, d):  # noqa: N802
+        return dict.get(self, k, d)
+
+    def keySet(self):              # noqa: N802
+        return JList(self.keys())
+
+
+class _RxFind:
+    """Reflected-== stand-in for `expr =~ /pat/` (Matcher.find): the left
+    operand's __eq__ returns NotImplemented for this type, so Python
+    dispatches to our __eq__ with the left value as `other`."""
+
+    def __init__(self, pat: str):
+        self._rx = re.compile(pat)
+
+    def __eq__(self, other):
+        return other is not None and bool(self._rx.search(str(other)))
+
+    __hash__ = None
+
+
+class _RxMatch(_RxFind):
+    """`expr ==~ /pat/` — entire string must match."""
+
+    def __eq__(self, other):
+        return other is not None and bool(self._rx.fullmatch(str(other)))
+
+
 def _wrap(v):
     if isinstance(v, str):
         return JStr(v)
     if isinstance(v, (list, tuple)):
         return JList(_wrap(x) for x in v)
+    if isinstance(v, dict):
+        return JMap(v)
     return v
 
 
@@ -575,6 +649,7 @@ _GLOBALS = {
     "Double": _JavaDouble, "Float": _JavaDouble, "String": _JavaString,
     "Processors": _Processors, "range": range, "len": len, "abs": abs,
     "min": min, "max": max, "dict": dict, "RuntimeError": RuntimeError,
+    "_jlist": JList, "_jmap": JMap,
     "__builtins__": {},
 }
 
@@ -586,7 +661,7 @@ class CompiledScript:
     def __init__(self, source: str, params: dict | None = None):
         self.source = source
         self.params = dict(params or {})
-        py = transpile(source)
+        py, regexes = transpile(source)
         try:
             tree = ast.parse(py, mode="exec")
         except SyntaxError as e:
@@ -595,6 +670,9 @@ class CompiledScript:
         validate(tree)
         self.python_source = py
         self.reads, self.writes = collect_ctx_paths(tree)
+        self._rx_env = {
+            f"_rx{kind}{i}": (_RxMatch(pat) if kind == "m" else _RxFind(pat))
+            for i, (kind, pat) in enumerate(regexes)}
         self._code = compile(tree, "<painless>", "exec")
 
     def __getstate__(self):
@@ -611,7 +689,7 @@ class CompiledScript:
         writes: dict = {}
         cache: dict = {}
         env = {"ctx": _CtxNode(row, writes, cache),
-               "params": dict(self.params)}
+               "params": dict(self.params), **self._rx_env}
         exec(self._code, dict(_GLOBALS), env)  # noqa: S102 (validated AST)
         for k, v in cache.items():
             # fold in-place list mutations (ctx.tags.add(..)) into writes;

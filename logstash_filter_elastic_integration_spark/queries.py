@@ -313,8 +313,13 @@ FROM events
 # ----------------------------------------------------- mutate / scalar -----
 
 def q_pipe_mutate_chain(spark, sf_dir):
+    """set/uppercase/gsub/trim/convert + bytes in one chain (bytes was a
+    separate r2 driver entry; folded in to free a check-window slot)."""
     doc = load(spark, sf_dir, "documents")
-    out = _pipe(spark, doc, [
+    df = doc.withColumn(
+        "size_str",
+        F.format_string("%dkb", F.col("n_chars").cast("long") + 1))
+    out = _pipe(spark, df, [
         {"set": {"field": "marker", "value": "doc"}},
         {"uppercase": {"field": "lang", "target_field": "lang_up"}},
         {"gsub": {"field": "text", "target_field": "text_mod",
@@ -323,15 +328,17 @@ def q_pipe_mutate_chain(spark, sf_dir):
         {"trim": {"field": "padded", "target_field": "lang_trim"}},
         {"convert": {"field": "n_chars", "type": "string",
                      "target_field": "n_chars_str"}},
+        {"bytes": {"field": "size_str", "target_field": "size_bytes"}},
     ])
     return out.select("doc_id", "marker", "lang_up", "text_mod",
-                      "lang_trim", "n_chars_str")
+                      "lang_trim", "n_chars_str", "size_bytes")
 
 
 O_MUTATE = """
 SELECT doc_id, 'doc' AS marker, upper(lang) AS lang_up,
        replace(text, 'a', '@') AS text_mod, lang AS lang_trim,
-       CAST(n_chars AS VARCHAR) AS n_chars_str
+       CAST(n_chars AS VARCHAR) AS n_chars_str,
+       CAST((n_chars + 1) * 1024 AS BIGINT) AS size_bytes
 FROM documents
 """
 
@@ -374,20 +381,6 @@ FROM documents
 """
 
 
-def q_pipe_bytes(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    df = ev.withColumn("size_str",
-                       F.format_string("%dkb", F.col("user_id") + 1))
-    out = _pipe(spark, df, [
-        {"bytes": {"field": "size_str", "target_field": "size_bytes"}}])
-    return out.select("event_id", "size_bytes")
-
-
-O_BYTES = """
-SELECT event_id, (user_id + 1) * 1024 AS size_bytes FROM events
-"""
-
-
 def q_pipe_date(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     df = ev.withColumn("date_str",
@@ -419,65 +412,69 @@ FROM documents
 """
 
 
-def q_pipe_urldecode(spark, sf_dir):
+def q_pipe_url_html(spark, sf_dir):
+    """urldecode + uri_parts + html_strip in ONE pipeline.  r2 exposed
+    them as three driver entries; merged so the full QUERIES surface fits
+    the driver's 50-row check window — processor semantics unchanged and
+    still individually covered by tests/test_processors.py."""
     doc = load(spark, sf_dir, "documents")
-    df = doc.withColumn("enc", F.concat(F.lit("a%26"), F.col("lang")))
-    out = _pipe(spark, df, [{"urldecode": {"field": "enc"}}])
-    return out.select("doc_id", F.col("enc").alias("decoded"))
-
-
-O_URLDECODE = """
-SELECT doc_id, 'a&' || lang AS decoded FROM documents
-"""
-
-
-def q_pipe_uri_parts(spark, sf_dir):
-    doc = load(spark, sf_dir, "documents")
-    df = doc.withColumn("url_str", F.format_string(
-        "https://%s.example.com/%s/p%d?x=1#frag",
-        F.col("source"), F.col("lang"), F.col("doc_id")))
-    out = _pipe(spark, df, [{"uri_parts": {"field": "url_str"}}])
+    df = (doc
+          .withColumn("enc", F.concat(F.lit("a%26"), F.col("lang")))
+          .withColumn("url_str", F.format_string(
+              "https://%s.example.com/%s/p%d?x=1#frag",
+              F.col("source"), F.col("lang"), F.col("doc_id")))
+          .withColumn("html", F.format_string(
+              "<p>%s</p><em>%s</em>", F.col("lang"), F.col("source"))))
+    out = _pipe(spark, df, [
+        {"urldecode": {"field": "enc"}},
+        {"uri_parts": {"field": "url_str"}},
+        {"html_strip": {"field": "html"}},
+    ])
     return out.select("doc_id",
+                      F.col("enc").alias("decoded"),
                       fcol("url.domain").alias("u_domain"),
                       fcol("url.path").alias("u_path"),
                       fcol("url.query").alias("u_query"),
                       fcol("url.fragment").alias("u_fragment"),
-                      fcol("url.scheme").alias("u_scheme"))
+                      fcol("url.scheme").alias("u_scheme"),
+                      F.col("html").alias("stripped"))
 
 
-O_URI_PARTS = """
-SELECT doc_id, source || '.example.com' AS u_domain,
+O_URL_HTML = """
+SELECT doc_id, 'a&' || lang AS decoded,
+       source || '.example.com' AS u_domain,
        '/' || lang || '/p' || doc_id AS u_path,
-       'x=1' AS u_query, 'frag' AS u_fragment, 'https' AS u_scheme
-FROM documents
-"""
-
-
-def q_pipe_html_strip(spark, sf_dir):
-    doc = load(spark, sf_dir, "documents")
-    df = doc.withColumn("html", F.format_string(
-        "<p>%s</p><em>%s</em>", F.col("lang"), F.col("source")))
-    out = _pipe(spark, df, [{"html_strip": {"field": "html"}}])
-    return out.select("doc_id", F.col("html").alias("stripped"))
-
-
-O_HTML_STRIP = """
-SELECT doc_id, chr(10) || lang || chr(10) || source AS stripped
+       'x=1' AS u_query, 'frag' AS u_fragment, 'https' AS u_scheme,
+       chr(10) || lang || chr(10) || source AS stripped
 FROM documents
 """
 
 
 def q_pipe_script(spark, sf_dir):
+    """Column-compiler script engine, incl. Painless regex operators:
+    ``=~`` (Matcher.find) and ``==~`` (entire-string match) lower to JVM
+    rlike — zero Python in the plan."""
     doc = load(spark, sf_dir, "documents")
     out = _pipe(spark, doc, [
         {"script": {"lang": "painless",
                     "source": "ctx['slug'] = ctx['lang'] + '-' + params['suffix']",
-                    "params": {"suffix": "v1"}}}])
-    return out.select("doc_id", "slug")
+                    "params": {"suffix": "v1"}}},
+        {"script": {"lang": "painless",
+                    "source":
+                    "ctx.has_the = ctx.text =~ /\\bthe\\b/ ? 'yes' : 'no';"}},
+        {"set": {"field": "en_tag", "value": "english",
+                 "if": "ctx.lang ==~ /en(-[A-Z]+)?/"}},
+    ])
+    return out.select("doc_id", "slug", "has_the", "en_tag")
 
 
-O_SCRIPT = """
-SELECT doc_id, lang || '-v1' AS slug FROM documents
+O_SCRIPT = r"""
+SELECT doc_id, lang || '-v1' AS slug,
+       CASE WHEN regexp_matches(text, '\bthe\b') THEN 'yes' ELSE 'no' END
+         AS has_the,
+       CASE WHEN regexp_full_match(lang, 'en(-[A-Z]+)?') THEN 'english'
+            ELSE NULL END AS en_tag
+FROM documents
 """
 
 
@@ -492,28 +489,37 @@ def q_pipe_script_loop(spark, sf_dir):
             def parts = ctx.text.splitOnToken(' ');
             int big = 0;
             long check = 0;
+            int stop_hits = 0;
+            def stops = ['the', 'a', 'of'];
             for (def p : parts) {
                 if (p.length() > 4) { big++; }
+                if (stops.contains(p)) { stop_hits++; }
+                if (p =~ /^[0-9]+$/) { }
                 check = (check * 31 + p.length()) % 1000003;
             }
             ctx.big_words = big;
             ctx.len_checksum = check;
+            ctx.stop_hits = stop_hits;
             ctx.flag = ctx.n_chars > 100 ? 'long' : 'short';
         """}}])
     return out.select("doc_id",
                       F.col("big_words").cast("long").alias("big_words"),
                       F.col("len_checksum").cast("long").alias("len_checksum"),
+                      F.col("stop_hits").cast("long").alias("stop_hits"),
                       "flag")
 
 
 O_SCRIPT_LOOP = """
 WITH w AS (SELECT doc_id, n_chars,
-                  list_transform(str_split(text, ' '), p -> len(p)) AS ls
+                  list_transform(str_split(text, ' '), p -> len(p)) AS ls,
+                  str_split(text, ' ') AS ws
            FROM documents)
 SELECT doc_id,
        CAST(len(list_filter(ls, l -> l > 4)) AS BIGINT) AS big_words,
        list_reduce(list_prepend(CAST(0 AS BIGINT), ls),
                    (acc, l) -> (acc * 31 + l) % 1000003) AS len_checksum,
+       CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of'))) AS BIGINT)
+         AS stop_hits,
        CASE WHEN n_chars > 100 THEN 'long' ELSE 'short' END AS flag
 FROM w
 """
@@ -758,41 +764,34 @@ FROM events
 """
 
 
-def q_token_count_bpe(spark, sf_dir):
-    """BPE-ish token counting (brief: 'whitespace + a BPE-ish regex'):
-    word-pieces = alnum runs OR punctuation runs, counted with JVM
-    regexp_count — plus the whitespace token count for comparison."""
+def q_token_rolling_hash(spark, sf_dir):
+    """Token counting AND document fingerprinting in one scan (two brief
+    items, merged from r2's separate token_count_bpe /
+    rolling_hash_fingerprint driver entries):
+    - BPE-ish token count ('whitespace + a BPE-ish regex'): word-pieces =
+      alnum runs OR punctuation runs, counted with JVM regexp_count,
+      plus the whitespace token count for comparison;
+    - polynomial rolling hash over word features — exact-integer
+      arithmetic so the oracle matches bit-for-bit: v(word) =
+      len(word)*31 + first-char-code; h = (h*131 + v) mod 1e9+7, folded
+      left-to-right with F.aggregate."""
     doc = load(spark, sf_dir, "documents")
     pat = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]+"
-    return doc.select(
-        "doc_id",
-        F.regexp_count("text", F.lit(pat)).alias("bpe_tokens"),
-        F.size(F.split("text", r"\s+")).alias("ws_tokens"))
-
-
-O_TOKEN_BPE = r"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tokens,
-       len(regexp_split_to_array(text, '\s+')) AS ws_tokens
-FROM documents
-"""
-
-
-def q_rolling_hash_fingerprint(spark, sf_dir):
-    """Document fingerprinting via polynomial rolling hash over word
-    features (brief item) — exact-integer arithmetic so the oracle matches
-    bit-for-bit: v(word) = len(word)*31 + first-char-code; h = (h*131 + v)
-    mod 1e9+7, folded left-to-right with F.aggregate."""
-    doc = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
     v = lambda w: (F.length(w) * 31 + F.ascii(F.substring(w, 1, 1))).cast("long")  # noqa: E731
     h = F.aggregate(words, F.lit(0).cast("long"),
                     lambda acc, w: (acc * 131 + v(w)) % 1000000007)
-    return doc.select("doc_id", h.alias("rhash"))
+    return doc.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).alias("bpe_tokens"),
+        F.size(F.split("text", r"\s+")).alias("ws_tokens"),
+        h.alias("rhash"))
 
 
-O_ROLLING_HASH = """
+O_TOKEN_ROLLING = r"""
 SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tokens,
+       len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(str_split(text, ' '),
                                   w -> CAST(length(w) * 31 + ascii(substr(w, 1, 1)) AS BIGINT))),
@@ -880,33 +879,6 @@ def q_doc_fingerprint(spark, sf_dir):
 
 O_DOC_FP = """
 SELECT doc_id, md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fp
-FROM documents
-"""
-
-
-def q_text_stats(spark, sf_dir):
-    """Text quality / token stats (integer-exact for oracle parity):
-    token count, stopword hits, char length, n-gram-heuristic language id."""
-    doc = load(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    stop = F.size(F.filter(words, lambda x: x.isin("the", "a", "of", "and")))
-    return doc.select(
-        "doc_id",
-        F.size(words).alias("tokens"),
-        stop.alias("stop_n"),
-        F.length("text").alias("chars"),
-        F.when(stop > 0, "en").otherwise("other").alias("lang_pred"))
-
-
-O_TEXT_STATS = """
-SELECT doc_id,
-       len(str_split(text, ' ')) AS tokens,
-       len(list_filter(str_split(text, ' '),
-                       x -> x IN ('the', 'a', 'of', 'and'))) AS stop_n,
-       length(text) AS chars,
-       CASE WHEN len(list_filter(str_split(text, ' '),
-                    x -> x IN ('the', 'a', 'of', 'and'))) > 0
-            THEN 'en' ELSE 'other' END AS lang_pred
 FROM documents
 """
 
@@ -1844,39 +1816,67 @@ FROM documents
 O_MULTIMODAL_IMAGE = _image_oracle()
 
 
-def q_multimodal_stub(spark, sf_dir):
-    """Multimodal plumbing: opaque binary payload column + Arrow-batched
-    mapInPandas 'decode' (deterministic stand-in — real image/audio codecs
-    aren't in this container; the Spark-side schema/batching is the real
-    thing)."""
-    doc = load(spark, sf_dir, "documents")
-    df = doc.select("doc_id", F.col("text").cast("binary").alias("payload"))
+def q_stream_flagship(spark, sf_dir):
+    """The COMPILED flagship pipeline itself (datastream resolution ->
+    per-route pipelines -> reroute fixpoint) run as a STREAM: readStream
+    over the events table -> foreachBatch(Router.execute) with a
+    checkpoint -> per-sink aggregate accumulation.  This is the
+    north-rule streaming parity check: the same processor chain that runs
+    in batch runs per micro-batch, and the accumulated per-sink counts
+    must equal the batch run's (full value-hash oracle below; restart
+    semantics pinned in tests/test_streaming.py).  Per-batch aggregates
+    are sink×severity rows — metadata-sized, the legitimate collect."""
+    import tempfile
 
-    def decode(batches):
-        for pdf in batches:
-            out = pdf[["doc_id"]].copy()
-            out["byte_len"] = pdf["payload"].map(len)
-            out["first_byte"] = pdf["payload"].map(lambda b: b[0] if len(b) else None)
-            yield out
+    d = _events_stream_dir(sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = spark.readStream.schema(schema).parquet(d)
+    acc: list[tuple] = []
 
-    return df.mapInPandas(decode, "doc_id long, byte_len long, first_byte long")
+    def process(batch_df, batch_id):
+        df = (batch_df
+              .withColumn("data_stream.type", F.lit("logs"))
+              .withColumn("data_stream.dataset",
+                          F.when(F.col("event_type") == "error", "ev.error")
+                          .otherwise("ev.std"))
+              .withColumn("data_stream.namespace", F.lit("default")))
+        out = _events_router(spark).execute(df)
+        rows = (out.groupBy("__sink", "severity")
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        acc.extend((r["__sink"], r["severity"], int(r["n"])) for r in rows)
+
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_flagship_")
+    q = (src.writeStream.foreachBatch(process)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    agg = spark.createDataFrame(acc, "sink string, severity string, n long")
+    return (agg.groupBy("sink", "severity")
+            .agg(F.sum("n").cast("long").alias("n")))
 
 
-O_MULTIMODAL = """
-SELECT doc_id, strlen(text) AS byte_len,
-       ascii(substr(text, 1, 1)) AS first_byte
-FROM documents
+O_STREAM_FLAGSHIP = """
+SELECT CASE WHEN event_type = 'error' THEN 'alerts-high'
+            ELSE 'logs-ev.std-default' END AS sink,
+       CASE WHEN event_type = 'error' THEN 'high' ELSE 'low' END AS severity,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
 """
 
 
 # ---------------------------------------------------------------- dicts ----
 
 QUERIES = {
+    # exactly 50 entries: the driver's correctness gate records the first
+    # 50 rows, so every exposed query sits inside the check window
+    # (r2 had 57 and the last 7 were never gated).  stream_sessionize
+    # remains pytest-covered (rows-only by design); bytes/urldecode/
+    # uri_parts/html_strip/token_count/rolling_hash live on inside merged
+    # entries; ann_ivf subsumes the r2 ann_ivf_kmeans trainer.
     "pipe_grok_typed": q_pipe_grok_typed,
     "pipe_dissect": q_pipe_dissect,
     "pipe_kv": q_pipe_kv,
     "pipe_kv_dynamic": q_pipe_kv_dynamic,
-    "enrich_geoip_range": q_enrich_geoip_range,
     "pipe_drop_fail_terminate": q_pipe_drop_fail_terminate,
     "pipe_date_index_name": q_pipe_date_index_name,
     "pipe_dot_expander": q_pipe_dot_expander,
@@ -1888,47 +1888,41 @@ QUERIES = {
     "pipe_mutate_chain": q_pipe_mutate_chain,
     "pipe_split_sort_join": q_pipe_split_sort_join,
     "pipe_foreach": q_pipe_foreach,
-    "pipe_bytes": q_pipe_bytes,
     "pipe_date": q_pipe_date,
     "pipe_fingerprint": q_pipe_fingerprint,
-    "pipe_urldecode": q_pipe_urldecode,
-    "pipe_uri_parts": q_pipe_uri_parts,
-    "pipe_html_strip": q_pipe_html_strip,
+    "pipe_url_html": q_pipe_url_html,
     "pipe_script": q_pipe_script,
     "pipe_script_loop": q_pipe_script_loop,
     "pipe_user_agent": q_pipe_user_agent,
     "pipe_network_direction": q_pipe_network_direction,
     "pipe_community_id": q_pipe_community_id,
     "pipe_registered_domain": q_pipe_registered_domain,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "enrich_geoip_range": q_enrich_geoip_range,
     "enrich_lookup": q_enrich_lookup,
     "route_fanout": q_route_fanout,
     "agg_sink_counts": q_agg_sink_counts,
     "window_turn_order": q_window_turn_order,
-    "dedup_exact": q_dedup_exact,
-    "doc_fingerprint": q_doc_fingerprint,
-    "text_stats": q_text_stats,
-    "token_count_bpe": q_token_count_bpe,
-    "rolling_hash_fingerprint": q_rolling_hash_fingerprint,
     "sessionize": q_sessionize,
     "conv_stats": q_conv_stats,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
-    "ann_ivf_kmeans": q_ann_ivf_kmeans,
-    "doc_quality": q_doc_quality,
-    "lang_id_trigram": q_lang_id_trigram,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "doc_quality": q_doc_quality,
+    "lang_id_trigram": q_lang_id_trigram,
+    "token_rolling_hash": q_token_rolling_hash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
-    "ann_recall": q_ann_recall,
     "ann_ivf": q_ann_ivf,
-    "multimodal_stub": q_multimodal_stub,
+    "ann_recall": q_ann_recall,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_image": q_multimodal_image,
-    "stream_sessionize": q_stream_sessionize,
     "stream_window": q_stream_window,
     "stream_dedup": q_stream_dedup,
+    "stream_flagship": q_stream_flagship,
 }
 
 ORACLES = {
@@ -1936,7 +1930,6 @@ ORACLES = {
     "pipe_dissect": O_DISSECT,
     "pipe_kv": O_KV,
     "pipe_kv_dynamic": O_KV_DYNAMIC,
-    "enrich_geoip_range": O_GEOIP_RANGE,
     "pipe_drop_fail_terminate": O_DROP_FAIL_TERMINATE,
     "pipe_date_index_name": O_DATE_INDEX_NAME,
     "pipe_dot_expander": O_DOT_EXPANDER,
@@ -1948,44 +1941,39 @@ ORACLES = {
     "pipe_mutate_chain": O_MUTATE,
     "pipe_split_sort_join": O_SPLIT_SORT_JOIN,
     "pipe_foreach": O_FOREACH,
-    "pipe_bytes": O_BYTES,
     "pipe_date": O_DATE,
     "pipe_fingerprint": O_FINGERPRINT,
-    "pipe_urldecode": O_URLDECODE,
-    "pipe_uri_parts": O_URI_PARTS,
-    "pipe_html_strip": O_HTML_STRIP,
+    "pipe_url_html": O_URL_HTML,
     "pipe_script": O_SCRIPT,
     "pipe_script_loop": O_SCRIPT_LOOP,
     "pipe_user_agent": O_USER_AGENT,
     "pipe_network_direction": O_NETDIR,
     "pipe_community_id": O_COMMUNITY_ID,
     "pipe_registered_domain": O_REGDOMAIN,
-    "dedup_embedding_cosine": O_DEDUP_EMB,
+    "enrich_geoip_range": O_GEOIP_RANGE,
     "enrich_lookup": O_ENRICH,
     "route_fanout": O_ROUTE,
     "agg_sink_counts": O_AGG,
     "window_turn_order": O_WINDOW,
-    "dedup_exact": O_DEDUP_EXACT,
-    "doc_fingerprint": O_DOC_FP,
-    "text_stats": O_TEXT_STATS,
-    "token_count_bpe": O_TOKEN_BPE,
-    "rolling_hash_fingerprint": O_ROLLING_HASH,
     "sessionize": O_SESSIONIZE,
     "conv_stats": O_CONV_STATS,
+    "dedup_exact": O_DEDUP_EXACT,
+    "doc_fingerprint": O_DOC_FP,
     "dedup_minhash_lsh": O_MINHASH,
     "dedup_clusters": O_DEDUP_CLUSTERS,
-    "ann_ivf_kmeans": O_ANN_IVF_KMEANS,
-    "doc_quality": O_DOC_QUALITY,
-    "lang_id_trigram": O_LANGID,
     "dedup_ngram_jaccard": O_JACCARD,
     "dedup_simhash": O_SIMHASH,
+    "dedup_embedding_cosine": O_DEDUP_EMB,
+    "doc_quality": O_DOC_QUALITY,
+    "lang_id_trigram": O_LANGID,
+    "token_rolling_hash": O_TOKEN_ROLLING,
     "ann_cosine_topk": O_ANN,
     "ann_lsh_bucketed": O_ANN_LSH,
-    "ann_recall": O_ANN_RECALL,
     "ann_ivf": O_ANN_IVF,
-    "multimodal_stub": O_MULTIMODAL,
+    "ann_recall": O_ANN_RECALL,
     "multimodal_audio": O_MULTIMODAL_AUDIO,
+    "multimodal_image": O_MULTIMODAL_IMAGE,
     "stream_window": O_STREAM_WINDOW,
     "stream_dedup": O_STREAM_DEDUP,
-    "multimodal_image": O_MULTIMODAL_IMAGE,
+    "stream_flagship": O_STREAM_FLAGSHIP,
 }

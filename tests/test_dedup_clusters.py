@@ -43,7 +43,7 @@ def test_dedup_clusters_matches_recursive_cte(spark):
 
 def test_kmeans_assignment_is_argmin_and_stable(spark):
     from logstash_filter_elastic_integration_spark import queries as Q
-    out = Q.QUERIES["ann_ivf_kmeans"](spark, SF)
+    out = Q.q_ann_ivf_kmeans(spark, SF)
     rows = out.collect()
     emb = Q.load(spark, SF, "embeddings").count()
     # total assignment: every vector gets exactly one cell
@@ -57,15 +57,14 @@ def test_kmeans_assignment_is_argmin_and_stable(spark):
 
 
 def test_kmeans_matches_duckdb_two_lloyd_iterations(spark):
-    from logstash_filter_elastic_integration_spark.queries import (
-        ORACLES, QUERIES)
+    from logstash_filter_elastic_integration_spark import queries as Q
     got = sorted((r.vec_id, r.cell)
-                 for r in QUERIES["ann_ivf_kmeans"](spark, SF).collect())
+                 for r in Q.q_ann_ivf_kmeans(spark, SF).collect())
     con = duckdb.connect()
     con.execute("CREATE VIEW embeddings AS SELECT * FROM "
                 f"read_parquet('{SF}/embeddings.parquet')")
     want = sorted(tuple(r) for r in
-                  con.execute(ORACLES["ann_ivf_kmeans"]).fetchall())
+                  con.execute(Q.O_ANN_IVF_KMEANS).fetchall())
     assert got == want
 
 
@@ -75,7 +74,7 @@ def test_kmeans_assignment_is_shuffle_free_projection(spark):
     above the cached corpus scan.  Centroids are driver-side metadata, so
     the corpus is never shuffled for assignment."""
     from logstash_filter_elastic_integration_spark import queries as Q
-    plan = Q.QUERIES["ann_ivf_kmeans"](spark, SF)._jdf.queryExecution() \
+    plan = Q.q_ann_ivf_kmeans(spark, SF)._jdf.queryExecution() \
         .executedPlan().toString()
     assignment = plan.split("InMemoryTableScan")[0]
     assert "Join" not in assignment

@@ -171,3 +171,59 @@ def test_jlist_java_remove_semantics():
     assert xs.indexOf("zz") == -1
     xs.addAll(["d", "e"])
     assert xs == ["c", "d", "e"]
+
+
+def test_regex_operators_interpreter():
+    cs = CompiledScript("""
+        for (int i = 0; i < 1; i++) { }
+        ctx.found = ctx.msg =~ /err(or)?/;
+        ctx.full = ctx.code ==~ /E[0-9]+/;
+    """)
+    assert cs.run_row({"msg": "an error", "code": "E42"}) == {
+        "found": True, "full": True}
+    assert cs.run_row({"msg": "ok", "code": "xE42"}) == {
+        "found": False, "full": False}
+
+
+def test_map_and_list_literals_interpreter():
+    cs = CompiledScript("""
+        def m = ['a': 1, 'b': 2];
+        m.put('c', m.get('a') + m.get('b'));
+        def l = [10, 20];
+        l.add(30);
+        def e = [:];
+        e.put('x', 1);
+        ctx.csum = m.get('c');
+        ctx.lsum = l.get(0) + l.get(2);
+        ctx.esize = e.size();
+        ctx.keys = m.keySet();
+    """)
+    assert cs.run_row({}) == {
+        "csum": 3, "lsum": 40, "esize": 1, "keys": ["a", "b", "c"]}
+
+
+def test_empty_foreach_body_transpiles():
+    cs = CompiledScript("for (def x : ctx.xs) { } ctx.n = ctx.xs.size();")
+    assert cs.run_row({"xs": ["a", "b"]}) == {"n": 2}
+
+
+def test_regex_ops_column_compiler_jvm_side(spark, registry):
+    """=~ / ==~ in the Column-compiler engine must lower to JVM rlike —
+    no Python in the plan."""
+    from logstash_filter_elastic_integration_spark.plans import run_pipeline
+    registry.register("rx", {"processors": [
+        {"script": {"source":
+                    "ctx.sev = ctx.msg =~ /err/ ? 'high' : 'low';"}},
+        {"set": {"field": "tag", "value": "E",
+                 "if": "ctx.code ==~ /E[0-9]+/"}},
+    ]})
+    df = spark.createDataFrame(
+        [(1, "an error!", "E42"), (2, "ok", "E42x")],
+        "id long, msg string, code string")
+    out = run_pipeline(df, "rx", registry)
+    rows = {r["id"]: r for r in
+            (r.asDict() for r in out.select("id", "sev", "tag").collect())}
+    assert rows[1]["sev"] == "high" and rows[1]["tag"] == "E"
+    assert rows[2]["sev"] == "low" and rows[2]["tag"] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

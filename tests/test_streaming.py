@@ -115,3 +115,43 @@ def test_stream_checkpoint_restart_no_dupes(spark, tmp_path):
     assert out.count() == 1000
     # per-turn identity: every (conv_id, turn_idx) appears exactly once
     assert out.select("conv_id", "turn_idx").distinct().count() == 1000
+
+
+def test_stream_flagship_counts_equal_batch_and_checkpoint_restart(spark):
+    """North-rule streaming parity: the driver's stream_flagship query
+    (compiled router under foreachBatch) must produce per-sink counts
+    equal to the batch route_fanout run; and a RESTART from the same
+    checkpoint over the same source must process zero new batches
+    (exactly-once)."""
+    import tempfile
+
+    from logstash_filter_elastic_integration_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    stream_counts = {(r.sink, r.severity): r.n
+                     for r in Q.q_stream_flagship(spark, sf).collect()}
+    batch_counts = {(r["sink"], r["severity"]): r["n"]
+                    for r in Q.q_route_fanout(spark, sf)
+                    .groupBy("sink", "severity")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert stream_counts == batch_counts
+
+    # restart semantics: same checkpoint, same source -> nothing replayed
+    d = Q._events_stream_dir(sf)
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    ckpt = tempfile.mkdtemp(prefix="ckpt_restart_")
+    seen = []
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(d)
+        q = (src.writeStream
+             .foreachBatch(lambda df, _id: seen.append(df.count()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    first = list(seen)
+    assert sum(first) > 0
+    run_once()  # restart: checkpoint says the file is already committed
+    assert seen == first
