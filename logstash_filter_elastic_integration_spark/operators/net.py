@@ -666,22 +666,84 @@ _FP_METHODS = {"MD5": F.md5, "SHA-1": F.sha1,
                "SHA-512": lambda c: F.sha2(c, 512)}
 
 
-def p_fingerprint(df, spec, ctx):
-    """Stable hash of selected fields (reference golden :393-414).
+def _fp_d() -> Column:
+    return F.lit(b"\x00")  # ES FingerprintProcessor DELIMITER
 
-    KNOWN GAP: ES's exact canonical byte serialization of nested values is
-    not reproduced (its byte format isn't observable from the reference
-    repo); we define an explicit canonical form instead — fields sorted,
-    each contributing ``name|value`` with struct/map/array values rendered
-    via to_json — and hash that.  Deterministic, collision-safe, documented.
-    """
+
+def _fp_empty() -> Column:
+    return F.lit(b"")
+
+
+def _le8(col: Column) -> Column:
+    """long -> 8-byte LITTLE-endian binary (ES ByteUtils.writeLongLE),
+    built JVM-side: per-byte %02x hex then unhex — stays in codegen."""
+    col = col.cast("long")
+    hx = F.concat(*[
+        F.format_string("%02x", F.shiftright(col, 8 * i).bitwiseAND(F.lit(255)))
+        for i in range(8)])
+    return F.unhex(hx)
+
+
+def _es_fp_enc(col: Column, dt) -> Column:
+    """ES-exact fingerprint byte encoding of one value (binary Column).
+
+    Reconstructed from the reference golden "XqSwreW5FVPwjCF9pB7tzX6fQBs="
+    (spec/integration/elastic_integration_spec.rb:393-414): the only byte
+    serialization whose SHA-1 matches is — map: per SORTED key,
+    0x00 + key_utf8 + 0x00 + enc(value), null entries skipped, no field
+    name at the top level and no trailing delimiter; string: UTF-8;
+    integer: 8-byte little-endian long (logstash events box Ruby Integer
+    as Java Long; ES writeLongLE).  Booleans as one byte 0/1 and list
+    elements as 0x00 + enc(elem) follow the same scheme (not pinned by a
+    published golden — documented assumption)."""
+    if isinstance(dt, T.StringType):
+        return col.cast("binary")
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return _le8(col)
+    if isinstance(dt, T.BooleanType):
+        return F.when(col, F.lit(b"\x01")).otherwise(F.lit(b"\x00"))
+    if isinstance(dt, T.StructType):
+        parts = []
+        for sf in sorted(dt.fields, key=lambda f: f.name):
+            sub = col[sf.name]
+            parts.append(F.when(
+                sub.isNotNull(),
+                F.concat(_fp_d(), F.lit(sf.name.encode()), _fp_d(),
+                         _es_fp_enc(sub, sf.dataType))).otherwise(_fp_empty()))
+        return F.concat(*parts) if parts else _fp_empty()
+    if isinstance(dt, T.MapType):
+        entries = F.array_sort(F.map_entries(col))  # sorts by key
+        return F.aggregate(
+            entries, _fp_empty(),
+            lambda acc, e: F.when(
+                e["value"].isNotNull(),
+                F.concat(acc, _fp_d(), e["key"].cast("binary"), _fp_d(),
+                         _es_fp_enc(e["value"], dt.valueType)))
+            .otherwise(acc))
+    if isinstance(dt, T.ArrayType):
+        return F.aggregate(
+            col, _fp_empty(),
+            lambda acc, e: F.concat(acc, _fp_d(),
+                                    _es_fp_enc(e, dt.elementType)))
+    raise ValueError(
+        f"fingerprint: unsupported field type {dt.simpleString()} "
+        "(ES byte serialization not defined here — fail-loud)")
+
+
+def p_fingerprint(df, spec, ctx):
+    """Stable hash of selected fields — ES-EXACT byte serialization
+    (reference golden :393-414 reproduced bit-for-bit; see _es_fp_enc and
+    tests/test_processors.py::test_fingerprint_es_golden).  Fields are
+    hashed in sorted order, each contributing enc(value) only (ES hashes
+    the VALUE, not the top-level field name — empirically pinned by the
+    golden), digest base64-encoded."""
     cfg = spec.config
     fields = sorted(cfg["fields"])
     target = cfg.get("target_field", "fingerprint")
     method = cfg.get("method", "SHA-1")
     salt = cfg.get("salt", "")
     active = ctx.active(df, spec)
-    parts: list[Column] = [F.lit(salt)] if salt else []
+    parts: list[Column] = [F.lit(salt.encode())] if salt else []
     present = F.lit(False)
     for f_name in fields:
         dt = field_type(df, f_name)
@@ -689,16 +751,13 @@ def p_fingerprint(df, spec, ctx):
             continue
         col = fcol(f_name)
         present = present | col.isNotNull()
-        if isinstance(dt, (T.StructType, T.MapType, T.ArrayType)):
-            rendered = F.to_json(col)
-        else:
-            rendered = col.cast("string")
-        parts.append(F.concat_ws("|", F.lit(f_name), F.coalesce(rendered, F.lit(""))))
+        parts.append(F.when(col.isNotNull(), _es_fp_enc(col, dt))
+                     .otherwise(_fp_empty()))
     if not parts:
         if not cfg.get("ignore_missing", False):
             return ctx.fail(df, active, spec, "no fields to fingerprint")
         return df
-    canonical = F.concat_ws("\x00", *parts)
+    canonical = F.concat(*parts) if len(parts) > 1 else parts[0]
     hex_hash = _FP_METHODS[method](canonical)
     value = F.base64(F.unhex(hex_hash))
     return guarded(df, active & present, {target: value})

@@ -407,7 +407,7 @@ def q_pipe_fingerprint(spark, sf_dir):
 
 O_FINGERPRINT = """
 SELECT doc_id,
-       to_base64(from_hex(md5('lang|' || lang || chr(0) || 'source|' || source))) AS fp
+       to_base64(from_hex(md5(lang || source))) AS fp
 FROM documents
 """
 

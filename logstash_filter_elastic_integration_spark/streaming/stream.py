@@ -99,11 +99,19 @@ def sessionize_stream(stream_df: DataFrame, gap_s: int = 1800,
                 state.update((start, end, n))
                 state.setTimeoutTimestamp((end + gap_s) * 1000)
         if closed:
-            yield pd.DataFrame(
-                [{"user_id": u,
-                  "session_start": pd.Timestamp(s, unit="s"),
-                  "session_end": pd.Timestamp(e, unit="s"),
-                  "n_events": c} for u, s, e, c in closed])
+            # dtypes pinned explicitly: per-dict construction lets pandas
+            # infer object columns and spams FutureWarnings through the
+            # Arrow serializer on some batch shapes
+            yield pd.DataFrame({
+                "user_id": pd.Series([u for u, _, _, _ in closed],
+                                     dtype="int64"),
+                "session_start": pd.to_datetime(
+                    [s for _, s, _, _ in closed], unit="s"),
+                "session_end": pd.to_datetime(
+                    [e for _, _, e, _ in closed], unit="s"),
+                "n_events": pd.Series([c for _, _, _, c in closed],
+                                      dtype="int64"),
+            })
 
     return (stream_df.withWatermark("ts", watermark)
             .groupBy("user_id")

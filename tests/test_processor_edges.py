@@ -402,6 +402,12 @@ def test_user_agent_expanded_families(spark, registry):
         "ie11": "Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko",
         "fx_mobile": "Mozilla/5.0 (Android 14; Mobile; rv:123.0) Gecko/123.0"
                      " Firefox/123.0",
+        "yandex": "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/"
+                  "537.36 (KHTML, like Gecko) Chrome/122.0.0.0 YaBrowser/"
+                  "24.4.1.951 Yowser/2.5 Safari/537.36",
+        "vivaldi": "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36"
+                   " (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36"
+                   " Vivaldi/6.7",
     }
     out = run_one(
         spark, registry,
@@ -419,6 +425,10 @@ def test_user_agent_expanded_families(spark, registry):
     assert by["ie11"]["user_agent.version"].startswith("11")
     assert by["ie11"]["user_agent.os.version"] == "7"
     assert by["fx_mobile"]["user_agent.name"] == "Firefox Mobile"
+    assert by["yandex"]["user_agent.name"] == "Yandex Browser"
+    assert by["yandex"]["user_agent.version"].startswith("24.4")
+    assert by["vivaldi"]["user_agent.name"] == "Vivaldi"
+    assert by["vivaldi"]["user_agent.os.name"] == "Linux"
 
 
 def _community_id_model(seed, saddr, daddr, proto, sport, dport, one_way=False):

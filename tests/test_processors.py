@@ -429,3 +429,33 @@ def test_remove_and_dot_expander_on_extras(spark, registry):
     assert "secret" not in r["_extras"]
     assert r["_extras"]["keep"] == "yes"
     assert "geo.city" not in r["_extras"]
+
+
+def test_fingerprint_es_golden(spark, registry):
+    """ES-EXACT byte serialization: the reference golden
+    (spec/integration/elastic_integration_spec.rb:393-414) — fingerprint
+    of {"animal": {"name":"piggy","age":2,"color":"pink"}} with default
+    SHA-1 must be bit-identical to the bundled ES processor's output."""
+    rows = run_one(
+        spark, registry, [{"fingerprint": {"fields": ["animal"]}}],
+        [(1, ("piggy", 2, "pink"))],
+        "id long, animal struct<name:string,age:long,color:string>")
+    assert rows[0]["fingerprint"] == "XqSwreW5FVPwjCF9pB7tzX6fQBs="
+
+
+def test_fingerprint_es_scalar_and_bool_longs(spark, registry):
+    """Scalar fields follow the same encoding (string=utf8, long=8B LE,
+    bool=1 byte); cross-checked against a pure-Python reimplementation."""
+    import base64
+    import hashlib
+    import struct
+
+    rows = run_one(
+        spark, registry,
+        [{"fingerprint": {"fields": ["name", "n", "ok"]}}],
+        [(1, "piggy", 2, True)],
+        "id long, name string, n long, ok boolean")
+    want = base64.b64encode(hashlib.sha1(
+        # fields sorted: n, name, ok; values only (no top-level names)
+        struct.pack("<q", 2) + b"piggy" + b"\x01").digest()).decode()
+    assert rows[0]["fingerprint"] == want
