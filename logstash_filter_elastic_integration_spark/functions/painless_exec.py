@@ -123,6 +123,11 @@ def _split_stmts(src: str):
 
 
 _HDR = re.compile(r"^\s*(if|for|while|else\s+if|else)\b\s*", re.S)
+# painless user-defined function header: `returnType name(typed params)`
+_FUNC_HDR = re.compile(
+    r"^\s*(?:def|void|int|long|short|byte|double|float|boolean|char|String|"
+    r"Object|List|Map|ArrayList|HashMap)\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"\((?P<params>[^)]*)\)\s*$", re.S)
 
 
 def _sub_block(body, indent, lines, counter):
@@ -235,6 +240,26 @@ def _transpile_block(src: str, indent: int, lines: list[str],
                         re.S):
                     hm = hmatch
                 if hm is None:
+                    # user-defined FUNCTION?  painless: `type name(type a,
+                    # type b) { body }` — declared before statements
+                    fm = _FUNC_HDR.match(chunk[chunk.rfind(";") + 1:])
+                    if fm:
+                        head = chunk[:chunk.rfind(";") + 1]
+                        for s in _split_stmts(head):
+                            lines.append(pad + _stmt_py(s))
+                        params = ", ".join(
+                            p.strip().split()[-1]
+                            for p in fm.group("params").split(",")
+                            if p.strip())
+                        depth, k = 1, j + 1
+                        while k < n and depth:
+                            depth += {"{": 1, "}": -1}.get(src[k], 0)
+                            k += 1
+                        lines.append(f"{pad}def {fm.group('name')}({params}):")
+                        _sub_block(src[j + 1:k - 1], indent + 1, lines,
+                                   counter)
+                        i = k
+                        continue
                     raise UnsupportedScriptError(
                         f"unexpected '{{' after: {chunk[-40:]!r}")
                 head = chunk[:hm.start(1)]
@@ -269,7 +294,8 @@ def transpile(source: str) -> tuple[str, list[tuple[str, str]]]:
 
 _OK_STMT = (ast.Module, ast.Assign, ast.AugAssign, ast.Expr, ast.If,
             ast.For, ast.While, ast.Break, ast.Continue, ast.Pass,
-            ast.Raise)
+            ast.Raise, ast.Return, ast.FunctionDef)
+_OK_AUX = (ast.arguments, ast.arg)
 _OK_EXPR = (ast.BoolOp, ast.BinOp, ast.UnaryOp, ast.IfExp, ast.Compare,
             ast.Call, ast.Attribute, ast.Subscript, ast.Name, ast.Constant,
             ast.List, ast.Dict, ast.Tuple, ast.Slice, ast.And, ast.Or,
@@ -280,7 +306,7 @@ _OK_EXPR = (ast.BoolOp, ast.BinOp, ast.UnaryOp, ast.IfExp, ast.Compare,
 
 def validate(tree: ast.AST) -> None:
     for node in ast.walk(tree):
-        if not isinstance(node, _OK_STMT + _OK_EXPR):
+        if not isinstance(node, _OK_STMT + _OK_EXPR + _OK_AUX):
             raise UnsupportedScriptError(
                 f"painless construct unsupported: {type(node).__name__}")
         if isinstance(node, ast.Attribute) and node.attr.startswith("_"):
@@ -688,9 +714,13 @@ class CompiledScript:
         untouched ctx fields intact)."""
         writes: dict = {}
         cache: dict = {}
-        env = {"ctx": _CtxNode(row, writes, cache),
-               "params": dict(self.params), **self._rx_env}
-        exec(self._code, dict(_GLOBALS), env)  # noqa: S102 (validated AST)
+        # ONE namespace (globals == locals): user-defined functions resolve
+        # names through their defining globals, so recursion and
+        # helper-calls-helper need everything in the same dict
+        env = dict(_GLOBALS)
+        env.update({"ctx": _CtxNode(row, writes, cache),
+                    "params": dict(self.params), **self._rx_env})
+        exec(self._code, env)  # noqa: S102 (validated AST)
         for k, v in cache.items():
             # fold in-place list mutations (ctx.tags.add(..)) into writes;
             # _wrap copied, so row[k] still holds the original to diff against

@@ -227,3 +227,25 @@ def test_regex_ops_column_compiler_jvm_side(spark, registry):
     assert rows[2]["sev"] == "low" and rows[2]["tag"] is None
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_user_defined_functions():
+    cs = CompiledScript("""
+        long fib(int n) {
+            if (n < 2) { return n; }
+            long a = 0; long b = 1;
+            for (int i = 2; i <= n; i++) { long t = a + b; a = b; b = t; }
+            return b;
+        }
+        String shout(String s) { return s.toUpperCase() + '!'; }
+        ctx.f10 = fib(10);
+        ctx.loud = shout(ctx.word);
+    """)
+    assert cs.run_row({"word": "hey"}) == {"f10": 55, "loud": "HEY!"}
+
+
+def test_user_defined_function_runaway_recursion_fails_row():
+    cs = CompiledScript("int f(int n) { return f(n); } ctx.x = f(1);")
+    import pytest as _pytest
+    with _pytest.raises(RecursionError):
+        cs.run_row({})
