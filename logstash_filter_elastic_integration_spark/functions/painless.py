@@ -85,6 +85,18 @@ def _restore_literals(src: str, lits: list[str]) -> str:
 # engines special-case `_rx[mf]<N>` names back into regex semantics.
 _RX_OP = re.compile(r"(==~|=~)\s*/((?:\\.|[^/\n])*)/")
 
+# Elvis operator `a ?: b` (null-coalesce).  Rewritten to `a |_EV| b`:
+# after `||` -> `or`, the single `|` is unused in Painless, and `_EV`
+# resolves to a reflected-or sentinel in the interpreter / a coalesce
+# lowering in the Column compiler.  Must run BEFORE ternary handling
+# (`?` would otherwise split it) — both engines apply it right after
+# regex protection.
+_ELVIS_RX = re.compile(r"\?\s*:")
+
+
+def _rewrite_elvis(src: str) -> str:
+    return _ELVIS_RX.sub(" |_EV| ", src)
+
 
 def _protect_regexes(src: str) -> tuple[str, list[tuple[str, str]]]:
     pats: list[tuple[str, str]] = []
@@ -160,6 +172,7 @@ def _to_python(src: str, lits: list[str] | None = None) -> str:
     src = src.strip().rstrip(";")
     for rx, rep in _REWRITES:
         src = rx.sub(rep, src)
+    src = _rewrite_elvis(src)
     src = _rewrite_collection_literals(src)
     # painless ternary -> python conditional (single, non-nested)
     m = _TERNARY.match(src)
@@ -282,6 +295,16 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
         if isinstance(node.op, ast.USub):
             return -v, dt
         raise UnsupportedScriptError("unsupported unary op")
+
+    if isinstance(node, ast.BinOp) and isinstance(node.op, ast.BitOr):
+        # Elvis `a ?: b` arrives as (a | _EV) | b -> null-coalesce
+        li = node.left
+        if (isinstance(li, ast.BinOp) and isinstance(li.op, ast.BitOr)
+                and isinstance(li.right, ast.Name) and li.right.id == "_EV"):
+            a, adt = _eval(li.left, c)
+            b, bdt = _eval(node.right, c)
+            return F.coalesce(a, b), adt or bdt
+        raise UnsupportedScriptError("bitwise | unsupported")
 
     if isinstance(node, ast.BinOp):
         lv, ldt = _eval(node.left, c)

@@ -38,7 +38,7 @@ import re
 
 from .painless import (UnsupportedScriptError, _protect_literals,
                        _protect_regexes, _restore_literals,
-                       _rewrite_collection_literals)
+                       _rewrite_collection_literals, _rewrite_elvis)
 
 _TOKEN_REWRITES = [
     (re.compile(r"&&"), " and "),
@@ -284,6 +284,7 @@ def transpile(source: str) -> tuple[str, list[tuple[str, str]]]:
     src, regexes = _protect_regexes(src)
     for rx, rep in _TOKEN_REWRITES:
         src = rx.sub(rep, src)
+    src = _rewrite_elvis(src)
     src = _rewrite_collection_literals(src, wrap=True)
     lines: list[str] = []
     _transpile_block(src, 0, lines, [0])
@@ -490,6 +491,26 @@ class JMap(dict):
         return JList(self.keys())
 
 
+class _ElvisSentinel:
+    """`a ?: b` transpiles to `a |_EV| b`: the left operand's __or__
+    returns NotImplemented for this type, so __ror__ captures it; the
+    partial then resolves against the right operand with NULL-coalesce
+    (not Python truthiness — 0/''/[] are kept)."""
+
+    def __ror__(self, left):
+        return _ElvisPartial(left)
+
+
+class _ElvisPartial:
+    __slots__ = ("left",)
+
+    def __init__(self, left):
+        self.left = left
+
+    def __or__(self, right):
+        return self.left if self.left is not None else right
+
+
 class _RxFind:
     """Reflected-== stand-in for `expr =~ /pat/` (Matcher.find): the left
     operand's __eq__ returns NotImplemented for this type, so Python
@@ -675,7 +696,7 @@ _GLOBALS = {
     "Double": _JavaDouble, "Float": _JavaDouble, "String": _JavaString,
     "Processors": _Processors, "range": range, "len": len, "abs": abs,
     "min": min, "max": max, "dict": dict, "RuntimeError": RuntimeError,
-    "_jlist": JList, "_jmap": JMap,
+    "_jlist": JList, "_jmap": JMap, "_EV": _ElvisSentinel(),
     "__builtins__": {},
 }
 

@@ -249,3 +249,23 @@ def test_user_defined_function_runaway_recursion_fails_row():
     import pytest as _pytest
     with _pytest.raises(RecursionError):
         cs.run_row({})
+
+
+def test_elvis_operator_both_engines(spark, registry):
+    """`a ?: b` is NULL-coalesce (0/''/[] are kept, unlike Python or)."""
+    cs = CompiledScript("""
+        for (int i = 0; i < 1; i++) { }
+        ctx.kept_zero = ctx.n ?: 99;
+        ctx.chain = ctx.x ?: ctx.y ?: 'last';
+    """)
+    assert cs.run_row({"n": 0, "x": None, "y": None}) == {
+        "kept_zero": 0, "chain": "last"}
+    # Column compiler: lowers to coalesce, no Python in the plan
+    rows = run_one(spark, registry, [
+        {"script": {"source": "ctx.lvl = ctx.level ?: 'info';"}},
+        {"set": {"field": "flag", "value": "Y",
+                 "if": "(ctx.level ?: 'info') == 'error'"}},
+    ], [(1, "error"), (2, None)], "id long, level string")
+    by = {r["id"]: r for r in rows}
+    assert by[1]["lvl"] == "error" and by[1]["flag"] == "Y"
+    assert by[2]["lvl"] == "info" and by[2]["flag"] is None
