@@ -138,3 +138,59 @@ def test_grok_backtracking_risk_detector():
     assert c.compile(["%{URIPATHPARAM:p}"]).risky == [False]  # '/'-anchored
     # QUOTEDSTRING's stripped (\\.|[^\\"]+)+ IS exponential -> watchdog
     assert c.compile(["%{QS:q}"]).risky == [True]
+
+
+# -------------------------- painless interpreter surface (r3 additions) ----
+
+painless_idents = st.text(alphabet=string.ascii_lowercase, min_size=1,
+                          max_size=6).filter(
+    lambda s: s not in {"if", "for", "def", "int", "var", "new", "in",
+                        "else", "while", "null", "true", "false", "not",
+                        "and", "or", "char", "long", "byte", "ctx"})
+
+
+@given(keys=st.lists(painless_idents, min_size=1, max_size=4, unique=True),
+       vals=st.lists(st.integers(-1000, 1000), min_size=4, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_map_literal_roundtrip(keys, vals):
+    """A painless map literal built from arbitrary keys/ints reads back
+    every entry through Java Map methods."""
+    from logstash_filter_elastic_integration_spark.functions.painless_exec import (
+        CompiledScript)
+    entries = ", ".join(f"'{k}': {v}" for k, v in zip(keys, vals))
+    reads = " + ".join(f"m.get('{k}')" for k in keys)
+    cs = CompiledScript(
+        f"def m = [{entries}]; for (int i = 0; i < 1; i++) {{ }} "
+        f"ctx.total = {reads}; ctx.n = m.size();")
+    out = cs.run_row({})
+    assert out["n"] == len(keys)
+    assert out["total"] == sum(vals[:len(keys)])
+
+
+@given(s=st.text(alphabet=string.ascii_letters + string.digits + " .,-",
+                 max_size=40),
+       needle=st.text(alphabet=string.ascii_lowercase, min_size=1,
+                      max_size=5))
+@settings(max_examples=150, deadline=None)
+def test_regex_find_matches_python_semantics(s, needle):
+    """ctx.s =~ /<literal needle>/ agrees with python re.search on any
+    input string (the needle is alphabetic — no metacharacters)."""
+    from logstash_filter_elastic_integration_spark.functions.painless_exec import (
+        CompiledScript)
+    cs = CompiledScript(
+        "for (int i = 0; i < 1; i++) { } "
+        f"ctx.hit = ctx.s =~ /{needle}/;")
+    assert cs.run_row({"s": s})["hit"] == bool(re.search(needle, s))
+
+
+@given(a=st.one_of(st.none(), st.integers(-5, 5),
+                   st.text(alphabet="ab", max_size=2)),
+       b=st.integers(-5, 5))
+@settings(max_examples=100, deadline=None)
+def test_elvis_is_null_coalesce_not_truthiness(a, b):
+    from logstash_filter_elastic_integration_spark.functions.painless_exec import (
+        CompiledScript)
+    cs = CompiledScript(
+        "for (int i = 0; i < 1; i++) { } ctx.r = ctx.a ?: ctx.b;")
+    out = cs.run_row({"a": a, "b": b})
+    assert out["r"] == (b if a is None else a)
