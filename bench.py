@@ -91,7 +91,7 @@ def main() -> None:
                 "agg_sink_counts", "dedup_exact", "dedup_minhash_lsh",
                 "dedup_simhash", "dedup_ngram_jaccard", "lang_id_trigram",
                 "doc_quality", "ann_cosine_topk", "ann_ivf",
-                "dedup_clusters", "multimodal_audio", "multimodal_image",
+                "dedup_clusters", "multimodal_av", "multimodal_video",
                 "token_rolling_hash", "sessionize", "decontaminate_ngram"]
     for name in headline:
         # min-of-2 per query too: pass 1 pays whole-stage-codegen compile

@@ -130,6 +130,15 @@ _UA_BROWSERS = [
     ("Yandex Browser", r"YaBrowser/(\d+)\.(\d+)\.(\d+)"),
     ("QQ Browser", r"M?QQBrowser/(\d+)\.(\d+)"),
     ("Vivaldi", r"Vivaldi/(\d+)\.(\d+)"),
+    # vendor + in-app browsers (embed Chrome/Safari tokens -> must precede
+    # the generic engine rules)
+    ("Huawei Browser", r"HuaweiBrowser/(\d+)\.(\d+)"),
+    ("MiuiBrowser", r"MiuiBrowser/(\d+)\.(\d+)"),
+    ("Amazon Silk", r"Silk/(\d+)\.(\d+)"),
+    ("Whale", r"Whale/(\d+)\.(\d+)"),
+    ("Facebook", r"FBAV/(\d+)\.(\d+)"),
+    ("Instagram", r"Instagram[ /](\d+)\.(\d+)"),
+    ("WeChat", r"MicroMessenger/(\d+)\.(\d+)"),
     ("Edge", r"Edg(?:e|A|iOS)?/(\d+)\.(\d+)\.?(\d+)?"),
     ("Electron", r"Electron/(\d+)\.(\d+)\.(\d+)"),
     ("HeadlessChrome", r"HeadlessChrome/(\d+)\.(\d+)\.(\d+)"),

@@ -1806,49 +1806,29 @@ SELECT event_id, event_type FROM events ORDER BY event_id
 """
 
 
-def q_multimodal_audio(spark, sf_dir):
-    """REAL codec round-trip (not a stub): synthesize a mono 16-bit PCM
-    WAV per document (stdlib wave), then parse it back — two Arrow-batched
-    mapInPandas stages.  The oracle recomputes sample-rate/frames/duration
-    and the peak amplitude of the deterministic ramp signal in closed
-    form."""
-    from .operators.multimodal import decode_audio, encode_wav
+def q_multimodal_av(spark, sf_dir):
+    """REAL multimodal ROW (merges r2's separate audio/image driver
+    entries): each document carries TWO media payload columns — a genuine
+    mono 16-bit PCM WAV (stdlib wave) and a genuine 16x16 grayscale PNG
+    (stdlib zlib/struct/crc32: CRC-verified chunk walk, IDAT inflate,
+    filter-0 defilter) — synthesized and then parsed back in single
+    Arrow-batched mapInPandas stages.  No per-medium join: the realistic
+    multi-column multimodal shape, zero shuffle.  Both codecs are
+    lossless and the inputs deterministic, so the oracle recomputes every
+    feature in exact integer closed form."""
+    from .operators.multimodal import decode_av_features, encode_av
     doc = _spread(load(spark, sf_dir, "documents")
                   .select("doc_id",
                           F.col("n_chars").cast("long").alias("n_samples")),
                   "doc_id")
-    return decode_audio(encode_wav(doc))
-
-
-O_MULTIMODAL_AUDIO = """
-SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
-       CAST(n_chars AS BIGINT) AS n_frames,
-       CAST(n_chars AS BIGINT) * 1000 // 16000 AS duration_ms,
-       CAST(list_max(list_transform(range(0, n_chars),
-            i -> abs((i * (doc_id % 97 + 1)) % 20000 - 10000))) AS INT) AS peak
-FROM documents
-"""
-
-
-def q_multimodal_image(spark, sf_dir):
-    """REAL image codec round-trip: a genuine 16x16 grayscale PNG per
-    document (stdlib zlib/struct/crc32 — signature, CRC-verified chunk
-    walk, IHDR, IDAT inflate, filter-0 defilter), then a decode +
-    pooled-resize feature stage.  Two Arrow-batched mapInPandas stages;
-    pixel(i) = (doc_id*31 + i*7) % 256 is deterministic and the PNG
-    round-trip lossless, so the oracle recomputes every feature in exact
-    integer closed form."""
-    from .operators.multimodal import decode_image_features, encode_png
-    doc = _spread(load(spark, sf_dir, "documents").select("doc_id"),
-                  "doc_id")
-    feats = decode_image_features(encode_png(doc, side=16), blocks=4)
+    feats = decode_av_features(encode_av(doc, side=16), blocks=4)
     # scalar rendering (driver canonicalizer can't sort list cells)
     return feats.withColumn(
         "block_sums",
         F.array_join(F.col("block_sums").cast("array<string>"), "|"))
 
 
-def _image_oracle() -> str:
+def _av_oracle() -> str:
     # pixel index for block b, offset k (4x4 blocks over a 16x16 image):
     # row = (b//4)*4 + k//4, col = (b%4)*4 + k%4, i = row*16 + col
     pix = "((doc_id*31 + (((b//4)*4 + k//4)*16 + (b%4)*4 + k%4)*7) % 256)"
@@ -1857,7 +1837,12 @@ def _image_oracle() -> str:
            "(x,y) -> x+y))")
     allpix = "list_transform(range(0, 256), i -> (doc_id*31 + i*7) % 256)"
     return f"""
-SELECT doc_id, 16 AS width, 16 AS height,
+SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
+       CAST(n_chars AS BIGINT) AS n_frames,
+       CAST(n_chars AS BIGINT) * 1000 // 16000 AS duration_ms,
+       CAST(list_max(list_transform(range(0, n_chars),
+            i -> abs((i * (doc_id % 97 + 1)) % 20000 - 10000))) AS INT) AS peak,
+       16 AS width, 16 AS height,
        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), {allpix}),
             (x,y) -> x+y) AS BIGINT) AS pix_sum,
        CAST(list_min({allpix}) AS INT) AS pix_min,
@@ -1868,7 +1853,37 @@ FROM documents
 """
 
 
-O_MULTIMODAL_IMAGE = _image_oracle()
+O_MULTIMODAL_AV = _av_oracle()
+
+
+def q_multimodal_video(spark, sf_dir):
+    """REAL video codec: a genuine animated GIF89a per document (6
+    grayscale 8x8 frames, stdlib-only GIF-variant LZW with clear/EOI
+    codes), then the FRAME-SAMPLE stage — parse the container, LZW-decode
+    every frame, keep every 2nd — emitting one row per sampled frame
+    (the mapInPandas row-explosion shape a video pipeline uses; decode
+    stays embarrassingly parallel, zero shuffle).  pixel(f, i) =
+    (doc_id*31 + f*17 + i*7) % 256 round-trips losslessly, so the oracle
+    recomputes each sampled frame's features exactly."""
+    from .operators.multimodal import encode_gif, sample_gif_frames
+    doc = _spread(load(spark, sf_dir, "documents").select("doc_id"),
+                  "doc_id")
+    return sample_gif_frames(encode_gif(doc, side=8, frames=6), every=2)
+
+
+O_MULTIMODAL_VIDEO = """
+WITH fr AS (SELECT unnest([0, 2, 4]) AS frame_idx),
+px AS (SELECT d.doc_id, fr.frame_idx,
+         list_transform(range(0, 64),
+           i -> (d.doc_id*31 + fr.frame_idx*17 + i*7) % 256) AS p
+       FROM documents d, fr)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, CAST(6 AS INT) AS n_frames,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), p),
+            (x,y) -> x+y) AS BIGINT) AS f_sum,
+       CAST(list_min(p) AS INT) AS f_min,
+       CAST(list_max(p) AS INT) AS f_max
+FROM px
+"""
 
 
 def q_stream_flagship(spark, sf_dir):
@@ -1973,8 +1988,8 @@ QUERIES = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_recall": q_ann_recall,
-    "multimodal_audio": q_multimodal_audio,
-    "multimodal_image": q_multimodal_image,
+    "multimodal_av": q_multimodal_av,
+    "multimodal_video": q_multimodal_video,
     "stream_window": q_stream_window,
     "stream_dedup": q_stream_dedup,
     "stream_flagship": q_stream_flagship,
@@ -2026,8 +2041,8 @@ ORACLES = {
     "ann_lsh_bucketed": O_ANN_LSH,
     "ann_ivf": O_ANN_IVF,
     "ann_recall": O_ANN_RECALL,
-    "multimodal_audio": O_MULTIMODAL_AUDIO,
-    "multimodal_image": O_MULTIMODAL_IMAGE,
+    "multimodal_av": O_MULTIMODAL_AV,
+    "multimodal_video": O_MULTIMODAL_VIDEO,
     "stream_window": O_STREAM_WINDOW,
     "stream_dedup": O_STREAM_DEDUP,
     "stream_flagship": O_STREAM_FLAGSHIP,

@@ -67,7 +67,7 @@ def test_png_codec_roundtrip_and_integrity():
 
 def test_multimodal_image_features_exact(spark):
     from logstash_filter_elastic_integration_spark import queries as Q
-    rows = Q.QUERIES["multimodal_image"](spark, "/root/testdata/sf0.001") \
+    rows = Q.QUERIES["multimodal_av"](spark, "/root/testdata/sf0.001") \
         .orderBy("doc_id").limit(3).collect()
     import numpy as np
     for r in rows:
@@ -77,3 +77,53 @@ def test_multimodal_image_features_exact(spark):
         # block_sums is pipe-joined (driver canonicalizer can't sort lists)
         assert [int(x) for x in r.block_sums.split("|")] == [
             int(x) for x in px.reshape(4, 4, 4, 4).sum(axis=(1, 3)).ravel()]
+
+
+def test_gif_lzw_roundtrip_with_dictionary_reset():
+    import random
+
+    import numpy as np
+
+    from logstash_filter_elastic_integration_spark.operators.multimodal import (
+        _gif_lzw_decode, _gif_lzw_encode)
+    random.seed(11)
+    for n in (0, 1, 255, 256, 4096):
+        data = bytes(random.randrange(256) for _ in range(n))
+        assert _gif_lzw_decode(_gif_lzw_encode(data)) == data
+    # repetitive data forces the in-width dictionary reset path
+    rep = bytes(np.tile(np.arange(64, dtype=np.uint8), 200))
+    assert _gif_lzw_decode(_gif_lzw_encode(rep)) == rep
+
+
+def test_gif_structure_corruption_detected():
+    import numpy as np
+    import pytest as _pytest
+
+    from logstash_filter_elastic_integration_spark.operators.multimodal import (
+        gif_decode_gray_frames, gif_encode_gray_frames)
+    fs = [np.full((4, 4), 9, dtype=np.uint8)]
+    buf = gif_encode_gray_frames(fs)
+    with _pytest.raises(ValueError):
+        gif_decode_gray_frames(b"NOTGIF" + buf[6:])
+    with _pytest.raises(ValueError):
+        gif_decode_gray_frames(buf[:-1])  # trailer gone
+
+
+def test_gif_frame_sample_exact(spark):
+    """Real animated-GIF round trip through the Spark stages: every 2nd
+    frame sampled, features match the closed form of the deterministic
+    pixel pattern."""
+    import numpy as np
+
+    from logstash_filter_elastic_integration_spark.operators.multimodal import (
+        encode_gif, sample_gif_frames)
+    doc = spark.range(5).selectExpr("id AS doc_id")
+    out = (sample_gif_frames(encode_gif(doc, side=8, frames=6), every=2)
+           .orderBy("doc_id", "frame_idx").collect())
+    assert len(out) == 5 * 3  # frames 0, 2, 4 per doc
+    idx = np.arange(64, dtype=np.int64)
+    for r in out:
+        assert r.n_frames == 6 and r.frame_idx in (0, 2, 4)
+        px = (r.doc_id * 31 + r.frame_idx * 17 + idx * 7) % 256
+        assert r.f_sum == int(px.sum())
+        assert r.f_min == int(px.min()) and r.f_max == int(px.max())

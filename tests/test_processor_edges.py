@@ -408,6 +408,13 @@ def test_user_agent_expanded_families(spark, registry):
         "vivaldi": "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36"
                    " (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36"
                    " Vivaldi/6.7",
+        "wechat": "Mozilla/5.0 (Linux; Android 13; 22081212C) AppleWebKit/"
+                  "537.36 (KHTML, like Gecko) Version/4.0 Chrome/116.0.0.0"
+                  " Mobile Safari/537.36 XWEB/1160065 MMWEBSDK/20231202"
+                  " MicroMessenger/8.0.47",
+        "silk": "Mozilla/5.0 (Linux; Android 9; KFTRWI) AppleWebKit/537.36"
+                " (KHTML, like Gecko) Silk/112.5.1 like Chrome/112.0.0.0"
+                " Safari/537.36",
     }
     out = run_one(
         spark, registry,
@@ -429,6 +436,10 @@ def test_user_agent_expanded_families(spark, registry):
     assert by["yandex"]["user_agent.version"].startswith("24.4")
     assert by["vivaldi"]["user_agent.name"] == "Vivaldi"
     assert by["vivaldi"]["user_agent.os.name"] == "Linux"
+    assert by["wechat"]["user_agent.name"] == "WeChat"
+    assert by["wechat"]["user_agent.os.name"] == "Android"
+    assert by["silk"]["user_agent.name"] == "Amazon Silk"
+    assert by["silk"]["user_agent.version"].startswith("112.5")
 
 
 def _community_id_model(seed, saddr, daddr, proto, sport, dport, one_way=False):
