@@ -749,16 +749,6 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
-def q_window_turn_order(spark, sf_dir):
-    """Stable per-conversation ordering (north-rule text-equality check
-    shape): row_number over (user, ts, event_id).  Driver-exposed via the
-    merged ``sessionize`` entry (same window spec, same single shuffle);
-    kept callable for tests."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select("event_id", F.row_number().over(w).alias("rn"))
-
-
 def q_token_rolling_hash(spark, sf_dir):
     """Token counting AND document fingerprinting in one scan (two brief
     items, merged from r2's separate token_count_bpe /
@@ -988,30 +978,28 @@ def q_decontaminate_ngram(spark, sf_dir):
     ``doc_id % 97 == 0`` (deterministic, metadata-scale — the realistic
     shape: eval sets are tiny next to the corpus).
 
-    100 TB shape: the benchmark shingle dim is BROADCAST; the corpus
-    explodes its shingles (pure projection, no shuffle) and broadcast
-    LEFT-SEMI joins the dim, so contamination detection never shuffles
-    the corpus; the per-doc hit count aggregates only the matching
-    shingle rows (partial+final), and the final attach is a broadcast
-    left join of that small hit table back onto the corpus."""
+    100 TB shape — ONE corpus pass: the benchmark shingle dim is
+    BROADCAST with a hit marker; the corpus explodes its (distinct)
+    shingles (pure projection, no shuffle), broadcast LEFT joins the
+    dim, and a single partial+final groupBy(doc) counts total and hit
+    shingles together — the only shuffle carries one combined row per
+    (doc, partition).  The corpus is scanned once and never shuffled at
+    shingle grain."""
     doc = load(spark, sf_dir, "documents").select("doc_id", "text")
     is_bench = (F.col("doc_id") % 97) == 0
-    sh = (doc.withColumn("sh", _shingles_expr())
+    sh = (_spread(doc.filter(~is_bench), "doc_id")
+          .withColumn("sh", _shingles_expr())
           .select("doc_id", F.explode("sh").alias("s")))
-    bench_dim = sh.filter(is_bench).select("s").distinct()
-    hits = (sh.filter(~is_bench)
-            .join(F.broadcast(bench_dim), "s", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("hit_shingles")))
-    corpus = (doc.filter(~is_bench)
-              .select("doc_id", F.size(_shingles_expr()).alias("n_shingles")))
-    return (corpus.join(F.broadcast(hits), "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("hit_shingles", F.lit(0)).cast("long")
-                    .alias("hit_shingles"),
-                    F.col("n_shingles").cast("long").alias("n_shingles"),
-                    (F.coalesce("hit_shingles", F.lit(0)) > 0)
-                    .alias("contaminated")))
+    bench_dim = (doc.filter(is_bench).withColumn("sh", _shingles_expr())
+                 .select(F.explode("sh").alias("s")).distinct()
+                 .withColumn("__hit", F.lit(1)))
+    agg = (sh.join(F.broadcast(bench_dim), "s", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                F.sum(F.coalesce("__hit", F.lit(0))).cast("long")
+                .alias("hit_shingles")))
+    return agg.select("doc_id", "hit_shingles", "n_shingles",
+                      (F.col("hit_shingles") > 0).alias("contaminated"))
 
 
 _O_SHINGLES = ("list_distinct(list_transform("
@@ -1695,27 +1683,6 @@ SELECT qid, nid, rank FROM (
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
   FROM probed) WHERE rank <= 3
 """)
-
-
-def q_stream_sessionize(spark, sf_dir):
-    """Custom STATEFUL streaming operator (applyInPandasWithState) run
-    availableNow over the events table: per-user session assembly with a
-    30-min gap and event-time timeouts.  Genuinely non-SQL-expressible
-    (driver records the rows-only check per the brief's escape hatch)."""
-    import uuid
-
-    from .streaming.stream import sessionize_stream
-    name = "q" + uuid.uuid4().hex[:10]
-    path = _events_stream_dir(sf_dir)
-    schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(path)
-    out = sessionize_stream(
-        src.select("user_id", F.col("ts").cast("timestamp").alias("ts")),
-        gap_s=1800, watermark="0 seconds")
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table(name)
 
 
 def _events_stream_dir(sf_dir: str, copies: int = 1) -> str:

@@ -122,19 +122,14 @@ def test_geoip_range_plan_broadcast_only(spark, tmp_path):
 
 
 def test_decontaminate_plan_never_shuffles_corpus(spark):
-    """Decontamination: the corpus-side shingle stream reaches the
-    benchmark dim through a broadcast LEFT-SEMI join (no SortMergeJoin);
-    the only hash exchanges are the metadata-scale bench-dim distinct and
-    the matching-rows hit aggregate, and the hit table attaches back via
-    a broadcast outer join."""
+    """Decontamination: ONE corpus pass — the exploded shingle stream
+    reaches the benchmark dim through a broadcast LEFT join (no
+    SortMergeJoin anywhere), and the only corpus-side exchange is the
+    partial+final per-doc aggregate AFTER the join."""
     from logstash_filter_elastic_integration_spark import queries as Q
     df = Q.QUERIES["decontaminate_ngram"](spark, "/root/testdata/sf0.001")
     plan = _executed_plan(df)
     assert "SortMergeJoin" not in plan
-    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
-    # no exchange keyed on the exploded corpus shingle stream's doc_id
-    # BEFORE the semi join: the first corpus-side exchange is the
-    # post-join hit aggregate
-    semi = plan.index("LeftSemi")
-    assert "Exchange hashpartitioning(s#" not in plan[:semi].replace(
-        "BroadcastExchange", "")
+    assert "BroadcastHashJoin" in plan
+    # single partial+final agg: exactly one doc_id-keyed exchange
+    assert plan.count("Exchange hashpartitioning(doc_id#") == 1
