@@ -122,7 +122,7 @@ def _split_stmts(src: str):
     return [s.strip() for s in out if s.strip()]
 
 
-_HDR = re.compile(r"^\s*(if|for|while|else\s+if|else)\b\s*", re.S)
+_HDR = re.compile(r"^\s*(if|for|while|else\s+if|else|try|catch)\b\s*", re.S)
 # painless user-defined function header: `returnType name(typed params)`
 _FUNC_HDR = re.compile(
     r"^\s*(?:def|void|int|long|short|byte|double|float|boolean|char|String|"
@@ -155,7 +155,19 @@ def _transpile_block(src: str, indent: int, lines: list[str],
             kw = re.sub(r"\s+", " ", m.group(1))
             j = i + m.end()
             cond = None
-            if kw != "else":
+            if kw in ("else", "try"):
+                pass  # no (...) header
+            elif kw == "catch":
+                # catch (ExceptionType e): capture the variable name
+                if j >= n or src[j] != "(":
+                    raise UnsupportedScriptError(
+                        f"expected ( after catch: {src[i:i+40]!r}")
+                depth, k = 1, j + 1
+                while k < n and depth:
+                    depth += {"(": 1, ")": -1}.get(src[k], 0)
+                    k += 1
+                cond, j = src[j + 1:k - 1], k
+            elif kw != "else":
                 if j >= n or src[j] != "(":
                     raise UnsupportedScriptError(
                         f"expected ( after {kw!r}: {src[i:i+40]!r}")
@@ -182,6 +194,18 @@ def _transpile_block(src: str, indent: int, lines: list[str],
                 _sub_block(body, indent + 1, lines, counter)
             elif kw == "else":
                 lines.append(f"{pad}else:")
+                _sub_block(body, indent + 1, lines, counter)
+            elif kw == "try":
+                lines.append(f"{pad}try:")
+                _sub_block(body, indent + 1, lines, counter)
+            elif kw == "catch":
+                # painless `catch (Exception e)` -> `except Exception as e`
+                # (every painless exception type maps to Python Exception;
+                # the watchdog RuntimeError deliberately remains catchable,
+                # matching the reference where scripts can catch anything)
+                var = cond.split()[-1] if cond and cond.split() else "_e"
+                lines.append(f"{pad}except Exception as {var}:")
+                lines.append(f"{pad}    {var} = _jexc({var})")
                 _sub_block(body, indent + 1, lines, counter)
             elif kw == "while":
                 cap = f"__wcap{counter[0]}"
@@ -236,7 +260,7 @@ def _transpile_block(src: str, indent: int, lines: list[str],
             if j < n:  # a '{' follows: split off the trailing header
                 hm = None
                 for hmatch in re.finditer(
-                        r"(?:^|;)\s*((?:if|for|while|else)\b.*)$", chunk,
+                        r"(?:^|;)\s*((?:if|for|while|else|try|catch)\b.*)$", chunk,
                         re.S):
                     hm = hmatch
                 if hm is None:
@@ -295,7 +319,8 @@ def transpile(source: str) -> tuple[str, list[tuple[str, str]]]:
 
 _OK_STMT = (ast.Module, ast.Assign, ast.AugAssign, ast.Expr, ast.If,
             ast.For, ast.While, ast.Break, ast.Continue, ast.Pass,
-            ast.Raise, ast.Return, ast.FunctionDef)
+            ast.Raise, ast.Return, ast.FunctionDef,
+            ast.Try, ast.ExceptHandler)
 _OK_AUX = (ast.arguments, ast.arg)
 _OK_EXPR = (ast.BoolOp, ast.BinOp, ast.UnaryOp, ast.IfExp, ast.Compare,
             ast.Call, ast.Attribute, ast.Subscript, ast.Name, ast.Constant,
@@ -355,11 +380,18 @@ def collect_ctx_paths(tree: ast.AST):
             # named only by a string literal, never as an attribute path —
             # without this the column is not shipped into the UDF and the
             # guard always sees "missing".
-            if (node.func.attr == "containsKey" and node.args
-                    and isinstance(node.args[0], ast.Constant)
-                    and isinstance(node.args[0].value, str)):
-                key = node.args[0].value
-                reads.add(f"{base}.{key}" if base else key)
+            lit_arg = (node.args[0].value
+                       if node.args and isinstance(node.args[0], ast.Constant)
+                       and isinstance(node.args[0].value, str) else None)
+            if node.func.attr == "containsKey" and lit_arg is not None:
+                reads.add(f"{base}.{lit_arg}" if base else lit_arg)
+            elif node.func.attr in ("put", "remove") and not base \
+                    and lit_arg is not None:
+                # ctx.put('f', v) / ctx.remove('f'): writes of field 'f'
+                reads.add(lit_arg)
+                writes.add(lit_arg)
+            elif node.func.attr == "get" and not base and lit_arg is not None:
+                reads.add(lit_arg)
             elif node.func.attr in _MUTATOR_METHODS and base:
                 reads.add(base)
                 writes.add(base)
@@ -491,6 +523,20 @@ class JMap(dict):
         return JList(self.keys())
 
 
+class _JavaException:
+    """Caught-exception bridge: painless `e.getMessage()` works on the
+    Python exception bound by a transpiled catch block."""
+
+    def __init__(self, e):
+        self.message = f"{type(e).__name__}: {e}"
+
+    def getMessage(self):          # noqa: N802
+        return JStr(self.message)
+
+    def toString(self):            # noqa: N802
+        return JStr(self.message)
+
+
 class _ElvisSentinel:
     """`a ?: b` transpiles to `a |_EV| b`: the left operand's __or__
     returns NotImplemented for this type, so __ror__ captures it; the
@@ -594,6 +640,21 @@ class _CtxNode:
                 or self._cache.get(k) is not None
                 or self._row.get(k) is not None)
 
+    def get(self, name):
+        return getattr(self, name) if not name.startswith("_") else None
+
+    def put(self, name, value):
+        prev = self.get(name)
+        self._writes[self._key(name)] = value
+        return prev
+
+    def remove(self, name):
+        # flat-column model: removal = null-out (same as the remove
+        # processor on static columns; README-documented divergence)
+        prev = self.get(name)
+        self._writes[self._key(name)] = None
+        return prev
+
 
 class _JavaMath:
     import math as _m
@@ -696,7 +757,9 @@ _GLOBALS = {
     "Double": _JavaDouble, "Float": _JavaDouble, "String": _JavaString,
     "Processors": _Processors, "range": range, "len": len, "abs": abs,
     "min": min, "max": max, "dict": dict, "RuntimeError": RuntimeError,
+    "Exception": Exception,
     "_jlist": JList, "_jmap": JMap, "_EV": _ElvisSentinel(),
+    "_jexc": _JavaException,
     "__builtins__": {},
 }
 

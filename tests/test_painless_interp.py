@@ -269,3 +269,47 @@ def test_elvis_operator_both_engines(spark, registry):
     by = {r["id"]: r for r in rows}
     assert by[1]["lvl"] == "error" and by[1]["flag"] == "Y"
     assert by[2]["lvl"] == "info" and by[2]["flag"] is None
+
+
+def test_try_catch_and_exception_message():
+    cs = CompiledScript("""
+        try {
+            ctx.v = Integer.parseInt(ctx.raw);
+            ctx.ok = true;
+        } catch (NumberFormatException e) {
+            ctx.ok = false;
+            ctx.err = e.getMessage();
+        }
+        for (int i = 0; i < 1; i++) { }
+    """)
+    assert cs.run_row({"raw": "42"}) == {"v": 42, "ok": True}
+    out = cs.run_row({"raw": "zz"})
+    assert out["ok"] is False and "zz" in out["err"]
+
+
+def test_ctx_put_get_remove():
+    cs = CompiledScript("""
+        for (int i = 0; i < 1; i++) { }
+        ctx.put('copied', ctx.get('src'));
+        ctx.old = ctx.remove('tmp');
+    """)
+    assert {"src", "tmp"} <= cs.reads
+    assert {"copied", "tmp"} <= cs.writes
+    assert cs.run_row({"src": "hello", "tmp": "bye"}) == {
+        "copied": "hello", "tmp": None, "old": "bye"}
+
+
+def test_try_catch_processor_row_isolation(spark, registry):
+    """try/catch INSIDE the script means the row does NOT go through the
+    failure channel — the script handled it."""
+    rows = run_one(spark, registry, [
+        {"script": {"source": """
+            for (int i = 0; i < 1; i++) { }
+            try { ctx.n = Integer.parseInt(ctx.raw); }
+            catch (Exception e) { ctx.n = -1; }
+        """}}],
+        [(1, "7"), (2, "bad")], "id long, raw string")
+    by = {r["id"]: r for r in rows}
+    assert by[1]["n"] == 7
+    assert by[2]["n"] == -1
+    assert by[2].get("_ingest_pipeline_failure") is None
