@@ -436,6 +436,14 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                 return (F.instr(recv, args[0]) - 1).cast("int"), T.IntegerType()
             if meth == "replace":
                 return F.replace(recv, args[0], args[1]), T.StringType()
+            if meth == "equalsIgnoreCase":
+                return (F.lower(recv) == F.lower(args[0])), T.BooleanType()
+            if meth == "matches" and isinstance(
+                    node.args[0], ast.Constant):
+                # Java String.matches = entire-string regex
+                return (F.coalesce(
+                    recv.rlike(f"^(?:{node.args[0].value})$"),
+                    F.lit(False)), T.BooleanType())
             raise UnsupportedScriptError(f"method .{meth}() unsupported")
         raise UnsupportedScriptError(f"call unsupported: {ast.dump(node)}")
 

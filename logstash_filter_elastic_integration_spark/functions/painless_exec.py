@@ -447,6 +447,30 @@ class JStr(str):
     def replace(self, a, b):
         return JStr(str.replace(self, a, b))
 
+    def charAt(self, i):           # noqa: N802
+        return JStr(self[i])
+
+    def isEmpty(self):             # noqa: N802
+        return len(self) == 0
+
+    def equalsIgnoreCase(self, o): # noqa: N802
+        return o is not None and self.lower() == str(o).lower()
+
+    def matches(self, p):
+        return re.fullmatch(p, self) is not None
+
+    def replaceAll(self, p, r):    # noqa: N802
+        return JStr(re.sub(p, r, self))
+
+    def replaceFirst(self, p, r):  # noqa: N802
+        return JStr(re.sub(p, r, self, count=1))
+
+    def lastIndexOf(self, sub):    # noqa: N802
+        return self.rfind(sub)
+
+    def concat(self, o):
+        return JStr(self + str(o))
+
 
 class JList(list):
     """list with Painless/Java method names."""

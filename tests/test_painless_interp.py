@@ -313,3 +313,19 @@ def test_try_catch_processor_row_isolation(spark, registry):
     assert by[1]["n"] == 7
     assert by[2]["n"] == -1
     assert by[2].get("_ingest_pipeline_failure") is None
+
+
+def test_java_string_method_surface():
+    cs = CompiledScript("""
+        for (int i = 0; i < 1; i++) { }
+        ctx.eq = ctx.a.equalsIgnoreCase('HELLO');
+        ctx.m = ctx.a.matches('[a-z]+');
+        ctx.rep = ctx.a.replaceAll('l+', 'L');
+        ctx.first = ctx.a.replaceFirst('l', 'L');
+        ctx.c0 = ctx.a.charAt(0);
+        ctx.last = ctx.a.lastIndexOf('l');
+        ctx.cat = ctx.a.concat('!');
+    """)
+    assert cs.run_row({"a": "hello"}) == {
+        "eq": True, "m": True, "rep": "heLo", "first": "heLlo",
+        "c0": "h", "last": 3, "cat": "hello!"}
