@@ -411,8 +411,27 @@ def collect_ctx_paths(tree: ast.AST):
 
 # ---------------------------------------------------------------- runtime --
 
+def _jrender(v) -> str:
+    """Java String-concat rendering of a non-string operand."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 class JStr(str):
-    """str with Painless/Java method names."""
+    """str with Painless/Java method names.  ``+`` follows Java string
+    concatenation: any operand type coerces (s + 3 -> 's3', s + null ->
+    'snull'), unlike Python's TypeError."""
+
+    def __add__(self, o):
+        return JStr(str.__add__(self, o if isinstance(o, str)
+                                else _jrender(o)))
+
+    def __radd__(self, o):
+        return JStr((o if isinstance(o, str) else _jrender(o))
+                    + str(self))
 
     def substring(self, a, b=None):
         return JStr(self[a:] if b is None else self[a:b])

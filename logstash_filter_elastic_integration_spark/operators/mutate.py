@@ -367,8 +367,15 @@ def _script_interpreted(df, spec, ctx, active):
     cfg = spec.config
     cs = CompiledScript(cfg.get("source", ""), cfg.get("params"))
     in_paths = [p for p in sorted(cs.reads | cs.writes) if p in df.columns]
+    # dynamic keys (kv/json -> _extras) read by the script: ship them into
+    # the UDF through the same lift-on-read the Column compiler uses
+    dyn_reads = []
+    if "_extras" in df.columns:
+        dyn_reads = [p for p in sorted(cs.reads)
+                     if p not in df.columns and not p.startswith("_")]
     # compile-time dry run on a synthetic row infers output types
     sample = {p: _zero_of(field_type(df, p)) for p in in_paths}
+    sample.update({p: "1" for p in dyn_reads})
     try:
         probe = cs.run_row(dict(sample))
     except Exception:
@@ -448,6 +455,8 @@ def _script_interpreted(df, spec, ctx, active):
     udf = F.pandas_udf(kernel, schema)
     in_struct = F.struct(
         *[fcol(p).alias(p) for p in in_paths],
+        *[F.try_element_at(fcol("_extras"), F.lit(p)).alias(p)
+          for p in dyn_reads],
         F.coalesce(active, F.lit(False)).alias("__active"))
     df = df.withColumn("__script", udf(in_struct))
     err = fcol("__script")["__perr"]

@@ -329,3 +329,21 @@ def test_java_string_method_surface():
     assert cs.run_row({"a": "hello"}) == {
         "eq": True, "m": True, "rep": "heLo", "first": "heLlo",
         "c0": "h", "last": 3, "cat": "hello!"}
+
+
+def test_interpreter_reads_dynamic_extras_keys(spark, registry):
+    """A field that exists only as a kv dynamic key (_extras map) must be
+    readable by the interpreter engine via the same lift-on-read the
+    Column compiler uses."""
+    rows = run_one(spark, registry, [
+        {"kv": {"field": "msg", "field_split": " ", "value_split": "="}},
+        {"script": {"source": """
+            int n = 0;
+            for (int i = 0; i < 3; i++) { n += 1; }
+            ctx.combo = ctx.dynkey + '-' + n;
+        """}}],
+        [(1, "dynkey=abc other=x"), (2, "dynkey=def other=y")],
+        "id long, msg string")
+    by = {r["id"]: r for r in rows}
+    assert by[1]["combo"] == "abc-3"
+    assert by[2]["combo"] == "def-3"
