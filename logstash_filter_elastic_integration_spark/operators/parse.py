@@ -266,6 +266,22 @@ def p_kv(df, spec, ctx):
         return df
     src = fcol(f_name).cast("string")
     m = F.str_to_map(src, F.lit(fs), F.lit(vs))
+    # ES option parity (KeyValueProcessor): trim_key/trim_value are
+    # char-SETS trimmed from both ends; strip_brackets removes surrounding
+    # ()<>[] and quotes; exclude_keys drops keys after trimming.  All stay
+    # JVM-side (btrim/map_filter/transform_*).
+    if cfg.get("trim_key"):
+        m = F.transform_keys(
+            m, lambda k, _: F.btrim(k, F.lit(cfg["trim_key"])))
+    if cfg.get("trim_value"):
+        m = F.transform_values(
+            m, lambda _, v: F.btrim(v, F.lit(cfg["trim_value"])))
+    if cfg.get("strip_brackets", False):
+        m = F.transform_values(
+            m, lambda _, v: F.btrim(v, F.lit("()<>[]\"'")))
+    if cfg.get("exclude_keys"):
+        m = F.map_filter(
+            m, lambda k, _: ~k.isin(*cfg["exclude_keys"]))
     if include_keys:
         updates = {f"{target + '.' if target else ''}{prefix}{k}":
                    F.element_at(m, k) for k in include_keys}

@@ -584,3 +584,30 @@ def test_foreach_bytes_elementwise(spark, registry):
                      "processor": {"bytes": {}}}}],
         [(1, ["1kb", "2mb", "10b"])], "id long, sizes array<string>")
     assert rows[0]["sizes"] == [1024, 2 * 1024 * 1024, 10]
+
+
+def test_kv_trim_strip_exclude_options(spark, registry):
+    """ES KeyValueProcessor option parity: trim_key/trim_value char sets,
+    strip_brackets, exclude_keys (all JVM-side)."""
+    out = run_one(
+        spark, registry,
+        [{"kv": {"field": "msg", "field_split": " ", "value_split": "=",
+                 "trim_key": "_", "trim_value": " ",
+                 "strip_brackets": True,
+                 "exclude_keys": ["secret"],
+                 "include_keys": ["a", "b", "c"]}}],
+        [(1, "_a_=[x] b=<y> secret=s c='z'")], "id long, msg string")
+    r = out[0]
+    assert r["a"] == "x" and r["b"] == "y" and r["c"] == "z"
+    assert "secret" not in r or r.get("secret") is None
+
+
+def test_kv_exclude_on_dynamic_extras(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"kv": {"field": "msg", "field_split": " ", "value_split": "=",
+                 "exclude_keys": ["drop_me"]}}],
+        [(1, "keep=1 drop_me=2")], "id long, msg string")
+    extras = out[0]["_extras"]
+    assert extras.get("keep") == "1"
+    assert "drop_me" not in extras
