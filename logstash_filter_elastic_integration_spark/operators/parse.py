@@ -324,7 +324,16 @@ def p_csv(df, spec, ctx):
     parsed = F.from_csv(src, F.lit(ddl), {"sep": sep, "quote": quote,
                                           "ignoreLeadingWhiteSpace": str(trim).lower(),
                                           "ignoreTrailingWhiteSpace": str(trim).lower()})
-    updates = {t: parsed[f"c{i}"] for i, t in enumerate(targets)}
+    empty_value = cfg.get("empty_value")
+
+    def cell(i):
+        c = parsed[f"c{i}"]
+        if empty_value is not None:  # ES: fill empty fields when provided
+            return F.when(c.isNull() | (c == ""), F.lit(empty_value)) \
+                .otherwise(c)
+        return c
+
+    updates = {t: cell(i) for i, t in enumerate(targets)}
     df = guarded(df, active & src.isNotNull(), updates)
     if not ignore_missing:
         df = ctx.fail(df, active & src.isNull(), spec,

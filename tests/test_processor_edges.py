@@ -611,3 +611,13 @@ def test_kv_exclude_on_dynamic_extras(spark, registry):
     extras = out[0]["_extras"]
     assert extras.get("keep") == "1"
     assert "drop_me" not in extras
+
+
+def test_csv_empty_value_fill(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"csv": {"field": "line", "target_fields": ["a", "b", "c"],
+                  "empty_value": "N/A"}}],
+        [(1, "x,,z")], "id long, line string")
+    r = out[0]
+    assert r["a"] == "x" and r["b"] == "N/A" and r["c"] == "z"
