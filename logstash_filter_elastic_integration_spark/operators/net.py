@@ -752,6 +752,13 @@ def p_fingerprint(df, spec, ctx):
     method = cfg.get("method", "SHA-1")
     salt = cfg.get("salt", "")
     active = ctx.active(df, spec)
+    missing = [f for f in fields if field_type(df, f) is None]
+    if missing and not cfg.get("ignore_missing", False):
+        # ES parity: ANY missing field fails the document unless
+        # ignore_missing (getFieldValue throws -> failure channel)
+        return ctx.fail(df, active, spec,
+                        f"field [{missing[0]}] not present as part of "
+                        f"path [{missing[0]}]")
     parts: list[Column] = [F.lit(salt.encode())] if salt else []
     present = F.lit(False)
     for f_name in fields:

@@ -459,3 +459,16 @@ def test_fingerprint_es_scalar_and_bool_longs(spark, registry):
         # fields sorted: n, name, ok; values only (no top-level names)
         struct.pack("<q", 2) + b"piggy" + b"\x01").digest()).decode()
     assert rows[0]["fingerprint"] == want
+
+
+def test_fingerprint_missing_field_fails_unless_ignored(spark, registry):
+    out = run_one(spark, registry,
+                  [{"fingerprint": {"fields": ["name", "absent"]}}],
+                  [(1, "x")], "id long, name string")
+    assert "_ingest_pipeline_failure" in (out[0]["tags"] or [])
+    out2 = run_one(spark, registry,
+                   [{"fingerprint": {"fields": ["name", "absent"],
+                                     "ignore_missing": True}}],
+                   [(1, "x")], "id long, name string")
+    assert (out2[0]["tags"] or []) == []
+    assert out2[0]["fingerprint"]  # hashed the present field only
