@@ -301,9 +301,58 @@ _NAMED_RANGES_V6 = {
 }
 
 
+def _dyn_in_nets(ip: Column, nets: Column) -> Column:
+    """Per-ROW network membership: ``nets`` is an array<string> column of
+    CIDRs / IPs / named ranges (the ES ``internal_networks_field``
+    option).  Stays pure Column expressions — the dynamic prefix length
+    is applied via exact power-of-two division for IPv4 and dynamic-length
+    nibble-prefix compare for (nibble-aligned) IPv6; named ranges fold to
+    the same static tables the literal path uses."""
+    ip4 = _ip4_to_long(ip)
+    hx = _ip6_hex(ip)
+    is4 = ip.rlike(_IPV4_RX)
+
+    def one(e):
+        parts = F.split(e, "/")
+        addr = F.try_element_at(parts, F.lit(1))
+        plen = F.coalesce(
+            F.try_element_at(parts, F.lit(2)).cast("int"),
+            F.when(addr.contains(":"), F.lit(128)).otherwise(F.lit(32)))
+        # v4: compare the network part via exact 2^k division (floats are
+        # exact below 2^53; avoids shiftright's literal-only shift amount)
+        p2 = F.pow(F.lit(2.0), (F.lit(32) - plen).cast("double"))
+        m4 = (F.floor(ip4 / p2) == F.floor(_ip4_to_long(addr) / p2))
+        # v6: nibble-aligned prefix compare with dynamic length
+        nib = F.floor(plen / 4).cast("int")
+        m6 = (F.substr(hx, F.lit(1), nib) == F.substr(_ip6_hex(addr),
+                                                      F.lit(1), nib))
+        named = F.lit(None).cast("boolean")
+        for name, cl in _NAMED_RANGES.items():
+            nv6 = F.lit(False)
+            for pfx in _NAMED_RANGES_V6.get(name, []):
+                nv6 = nv6 | hx.startswith(pfx)
+            named = F.when(e == name,
+                           F.when(is4, _in_cidrs(ip4, cl))
+                           .otherwise(F.coalesce(nv6, F.lit(False)))) \
+                .otherwise(named)
+        generic = (F.when(is4 & ~addr.contains(":"), m4)
+                   .when(~is4 & addr.contains(":"), m6)
+                   .otherwise(F.lit(False)))
+        return F.coalesce(named, generic, F.lit(False))
+
+    return F.coalesce(F.exists(nets, one), F.lit(False))
+
+
 def p_network_direction(df, spec, ctx):
     cfg = spec.config
     networks = cfg.get("internal_networks", [])
+    networks_field = cfg.get("internal_networks_field")
+    if networks_field and networks:
+        raise ValueError("network_direction: internal_networks and "
+                         "internal_networks_field are mutually exclusive")
+    if not networks_field and not networks:
+        raise ValueError("network_direction: one of internal_networks / "
+                         "internal_networks_field is required")
     src_f = cfg.get("source_ip", "source.ip")
     dst_f = cfg.get("destination_ip", "destination.ip")
     target = cfg.get("target_field", "network.direction")
@@ -330,6 +379,10 @@ def p_network_direction(df, spec, ctx):
     dst = fcol(dst_f).cast("string") if dst_f in df.columns else F.lit(None).cast("string")
 
     def _in_nets(ip):
+        if networks_field:
+            if networks_field not in df.columns:
+                return F.lit(False)
+            return _dyn_in_nets(ip, fcol(networks_field))
         v4 = _in_cidrs(_ip4_to_long(ip), cidrs)
         if not v6_prefixes:
             return F.when(ip.rlike(_IPV4_RX), v4).otherwise(F.lit(False))

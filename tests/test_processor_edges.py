@@ -621,3 +621,27 @@ def test_csv_empty_value_fill(spark, registry):
         [(1, "x,,z")], "id long, line string")
     r = out[0]
     assert r["a"] == "x" and r["b"] == "N/A" and r["c"] == "z"
+
+
+def test_network_direction_dynamic_networks_field(spark, registry):
+    """internal_networks_field: per-ROW network lists (ES option) — pure
+    Column expressions, no UDF."""
+    out = run_one(
+        spark, registry,
+        [{"network_direction": {
+            "internal_networks_field": "nets"}}],
+        [
+            # row-specific CIDR: 10.x internal here
+            ("10.1.2.3", "8.8.8.8", ["10.0.0.0/8"]),
+            # same src considered EXTERNAL for this row's networks
+            ("10.1.2.3", "192.168.0.9", ["192.168.0.0/16"]),
+            # named range element
+            ("127.0.0.1", "1.2.3.4", ["loopback"]),
+            # bare IP element = /32
+            ("4.4.4.4", "9.9.9.9", ["4.4.4.4"]),
+            # dynamic IPv6 CIDR (nibble-aligned)
+            ("fc12::1", "2001:db8::1", ["fc00::/8"]),
+        ],
+        "`source.ip` string, `destination.ip` string, nets array<string>")
+    dirs = [r["network.direction"] for r in out]
+    assert dirs == ["outbound", "inbound", "outbound", "outbound", "outbound"]
