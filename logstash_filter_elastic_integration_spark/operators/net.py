@@ -259,6 +259,28 @@ def p_user_agent(df, spec, ctx):
         f"{target}.device.name": device,
         f"{target}.original": ua,
     }
+    if cfg.get("extract_device_type", False):
+        # ES 8 beta option: coarse device class from UA hints
+        updates[f"{target}.device.type"] = (
+            F.when(ua.rlike(r"(?i)bot|spider|crawler|slurp|curl|wget|"
+                            r"python-requests|urllib|go-http-client|okhttp"),
+                   "Robot")
+            .when(ua.rlike(r"iPad") | ua.rlike(r"Android(?!.*Mobile)"),
+                  "Tablet")
+            .when(ua.rlike(r"iPhone|Windows Phone")
+                  | ua.rlike(r"Android.*Mobile"), "Phone")
+            .when(ua.rlike(r"Smart-?TV|AppleTV|CrKey"), "Smart TV")
+            .otherwise("Desktop"))
+    props = cfg.get("properties")
+    if props:
+        # ES: restrict the emitted properties (NAME/OS/DEVICE/ORIGINAL/
+        # VERSION); os covers os.name/os.version/os.full
+        allowed = {p.lower() for p in props}
+        def keep(field: str) -> bool:
+            suffix = field[len(target) + 1:]
+            head = suffix.split(".")[0]
+            return head in allowed or suffix in allowed
+        updates = {k: v for k, v in updates.items() if keep(k)}
     return guarded(df, active & ua.isNotNull(), updates)
 
 

@@ -645,3 +645,36 @@ def test_network_direction_dynamic_networks_field(spark, registry):
         "`source.ip` string, `destination.ip` string, nets array<string>")
     dirs = [r["network.direction"] for r in out]
     assert dirs == ["outbound", "inbound", "outbound", "outbound", "outbound"]
+
+
+def test_user_agent_properties_and_device_type(spark, registry):
+    ua_chrome = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/"
+                 "537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36")
+    ua_phone = ("Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36"
+                " (KHTML, like Gecko) Chrome/115.0.0.0 Mobile Safari/537.36")
+    ua_bot = "Googlebot/2.1 (+http://www.google.com/bot.html)"
+    out = run_one(
+        spark, registry,
+        [{"user_agent": {"field": "agent", "properties": ["name", "os"],
+                         "extract_device_type": True}}],
+        [("c", ua_chrome), ("p", ua_phone), ("b", ua_bot)],
+        "k string, agent string")
+    by = {r["k"]: r for r in out}
+    assert by["c"]["user_agent.name"] == "Chrome"
+    assert by["c"]["user_agent.os.name"] == "Windows"
+    # properties filter: version/original/device.name dropped
+    assert "user_agent.version" not in by["c"]
+    assert "user_agent.original" not in by["c"]
+    assert "user_agent.device.name" not in by["c"]
+    # device.type survives via extract_device_type... wait: filtered by properties?
+    # ES keeps requested properties only; device not requested -> dropped too
+    assert "user_agent.device.type" not in by["c"]
+    out2 = run_one(
+        spark, registry,
+        [{"user_agent": {"field": "agent", "extract_device_type": True}}],
+        [("c", ua_chrome), ("p", ua_phone), ("b", ua_bot)],
+        "k string, agent string")
+    by2 = {r["k"]: r for r in out2}
+    assert by2["c"]["user_agent.device.type"] == "Desktop"
+    assert by2["p"]["user_agent.device.type"] == "Phone"
+    assert by2["b"]["user_agent.device.type"] == "Robot"
