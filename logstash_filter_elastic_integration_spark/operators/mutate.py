@@ -79,7 +79,8 @@ def p_rename(df, spec, ctx):
                           f"field [{src_name}] doesn't exist")
         return df
     src = fcol(src_name)
-    if dst in df.columns:
+    if dst in df.columns and not cfg.get("override", False):
+        # ES: override=true renames onto an existing target (8.x option)
         df = ctx.fail(df, active & fcol(dst).isNotNull(), spec,
                       f"field [{dst}] already exists")
     if not ignore_missing:

@@ -678,3 +678,17 @@ def test_user_agent_properties_and_device_type(spark, registry):
     assert by2["c"]["user_agent.device.type"] == "Desktop"
     assert by2["p"]["user_agent.device.type"] == "Phone"
     assert by2["b"]["user_agent.device.type"] == "Robot"
+
+
+def test_rename_override(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"rename": {"field": "a", "target_field": "b", "override": True}}],
+        [("src", "old")], "a string, b string")
+    assert out[0]["b"] == "src"
+    assert (out[0]["tags"] or []) == []
+    out2 = run_one(
+        spark, registry,
+        [{"rename": {"field": "a", "target_field": "b"}}],
+        [("src", "old")], "a string, b string")
+    assert "_ingest_pipeline_failure" in (out2[0]["tags"] or [])
