@@ -5,7 +5,7 @@ pure compile + python regex, fast).  The reference has no property tests
 import re
 import string
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from logstash_filter_elastic_integration_spark.functions.dissect import (
     compile_dissect)
@@ -194,3 +194,54 @@ def test_elvis_is_null_coalesce_not_truthiness(a, b):
         "for (int i = 0; i < 1; i++) { } ctx.r = ctx.a ?: ctx.b;")
     out = cs.run_row({"a": a, "b": b})
     assert out["r"] == (b if a is None else a)
+
+
+# ----------------------- pipeline-DSL compile robustness (fuzz) ------------
+
+_PROC_TEMPLATES = [
+    lambda f, v: {"set": {"field": f, "value": v}},
+    lambda f, v: {"rename": {"field": f, "target_field": f + "_r",
+                             "ignore_missing": True}},
+    lambda f, v: {"convert": {"field": f, "type": "string",
+                              "ignore_missing": True,
+                              "ignore_failure": True}},
+    lambda f, v: {"lowercase": {"field": f, "ignore_missing": True}},
+    lambda f, v: {"trim": {"field": f, "ignore_missing": True}},
+    lambda f, v: {"gsub": {"field": f, "pattern": "a", "replacement": v,
+                           "ignore_missing": True}},
+    lambda f, v: {"append": {"field": f + "_arr", "value": [v]}},
+    lambda f, v: {"kv": {"field": f, "field_split": " ", "value_split": "=",
+                         "ignore_missing": True}},
+    lambda f, v: {"script": {"source": f"ctx.{f}_s = ctx.{f} ?: '{v}';"}},
+    lambda f, v: {"drop": {"if": f"ctx.{f} == '{v}'"}},
+    lambda f, v: {"remove": {"field": f, "ignore_missing": True}},
+]
+
+
+@given(st.data())
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_pipeline_compiles_or_fails_loud(spark, registry, data):
+    """ANY random chain assembled from the processor templates must either
+    compile + run, or raise a clear builder error — never a deep
+    Py4J/analysis crash from inside the plan."""
+    import random as _r
+
+    from logstash_filter_elastic_integration_spark.plans import run_pipeline
+    k = data.draw(st.integers(1, 6))
+    fields = ["fa", "fb", "fc"]
+    procs = []
+    for i in range(k):
+        t = data.draw(st.sampled_from(_PROC_TEMPLATES))
+        f = data.draw(st.sampled_from(fields))
+        v = data.draw(st.text(alphabet=string.ascii_lowercase, min_size=1,
+                              max_size=5))
+        procs.append(t(f, v))
+    name = f"fz{_r.randrange(1 << 30)}"
+    registry.register(name, {"processors": procs})
+    df = spark.createDataFrame(
+        [("x=1 y", "b", "c"), (None, "b2", None)],
+        "fa string, fb string, fc string")
+    out = run_pipeline(df, name, registry)   # must not raise
+    rows = out.collect()                     # must execute
+    assert len(rows) <= 2                    # drop may remove rows
