@@ -163,6 +163,7 @@ class CompiledGrok:
         fields = list(self.fields)
         cols = {f: np.full(n, None, dtype=object) for f in fields}
         matched = np.zeros(n, dtype=bool)
+        match_idx = np.full(n, -1, dtype=np.int64)
         interrupted = np.zeros(n, dtype=bool)
         s = series.astype(object).where(series.notna(), None)
         valid = np.fromiter((isinstance(x, str) for x in s.to_numpy()),
@@ -197,6 +198,7 @@ class CompiledGrok:
                             continue
                         if m is not None:
                             matched[i] = True
+                            match_idx[i] = pi
                             for g, fname in gmap.items():
                                 v = m.group(g)
                                 if v is not None:
@@ -207,6 +209,7 @@ class CompiledGrok:
                     hit = ext["__m"].notna().to_numpy()
                     hit_idx = chunk[hit]
                     matched[hit_idx] = True
+                    match_idx[hit_idx] = pi
                     for g, fname in gmap.items():
                         if g in ext.columns:
                             gv = ext[g].to_numpy(dtype=object)[hit]
@@ -215,7 +218,8 @@ class CompiledGrok:
         out = pd.DataFrame(cols, index=series.index, columns=fields,
                            dtype=object)
         return (out, pd.Series(matched, index=series.index),
-                pd.Series(interrupted, index=series.index))
+                pd.Series(interrupted, index=series.index),
+                pd.Series(match_idx, index=series.index))
 
 
 def has_nested_quantifier(pattern: str) -> bool:

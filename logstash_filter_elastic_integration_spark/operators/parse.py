@@ -142,7 +142,8 @@ def p_grok(df, spec, ctx):
         schema = T.StructType(
             [T.StructField(f, T.StringType()) for f in out_fields]
             + [T.StructField("__matched", T.BooleanType()),
-               T.StructField("__interrupted", T.BooleanType())])
+               T.StructField("__interrupted", T.BooleanType()),
+               T.StructField("__midx", T.LongType())])
         max_exec_ms = int(cfg.get("watchdog_max_exec_ms", 1000))
 
         # capture STRINGS, not the CompiledGrok: pickled Pattern objects
@@ -155,12 +156,13 @@ def p_grok(df, spec, ctx):
         def extract(series):
             import pandas as pd
             from ..functions.grok import cached_compile
-            vals, matched, interrupted = cached_compile(
+            vals, matched, interrupted, midx = cached_compile(
                 patterns_key, extra_items).extract(
                 series, max_exec_ms=max_exec_ms)
             vals = vals.where(pd.notna(vals), None)
             vals["__matched"] = matched
             vals["__interrupted"] = interrupted
+            vals["__midx"] = midx
             return vals
 
         udf = F.pandas_udf(extract, schema)
@@ -185,6 +187,11 @@ def p_grok(df, spec, ctx):
             if gtype != "string":
                 val = val.cast(_SPARK_TYPE[gtype])
             updates[fname] = val
+        if cfg.get("trace_match", False):
+            # ES trace_match: record WHICH pattern matched (string index,
+            # GrokProcessor stores it under _ingest._grok_match_index)
+            updates["_ingest._grok_match_index"] = \
+                fcol("__grok")["__midx"].cast("string")
         df = guarded(df, active & matched, updates).drop("__grok")
         # watchdog parity (EventProcessorBuilder.java:224-225): interrupted
         # rows fail with the reference's MatcherWatchdog message, distinct

@@ -692,3 +692,15 @@ def test_rename_override(spark, registry):
         [{"rename": {"field": "a", "target_field": "b"}}],
         [("src", "old")], "a string, b string")
     assert "_ingest_pipeline_failure" in (out2[0]["tags"] or [])
+
+
+def test_grok_trace_match_index(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"grok": {"field": "msg",
+                   "patterns": ["^num=%{INT:n}$", "^word=%{WORD:w}$"],
+                   "trace_match": True}}],
+        [(1, "num=5"), (2, "word=hey")], "id long, msg string")
+    by = {r["id"]: r for r in out}
+    assert by[1]["_ingest._grok_match_index"] == "0"
+    assert by[2]["_ingest._grok_match_index"] == "1"
