@@ -111,6 +111,31 @@ def _protect_regexes(src: str) -> tuple[str, list[tuple[str, str]]]:
 
 _RX_NAME = re.compile(r"^_rx([mf])(\d+)$")
 
+# `x instanceof String` -> `x == _jtString` (reflected type-check object in
+# the interpreter; static-dtype lowering in the Column compiler)
+_INSTANCEOF_RX = re.compile(r"\binstanceof\s+([A-Za-z_]\w*)")
+
+
+def _rewrite_instanceof(src: str) -> str:
+    return _INSTANCEOF_RX.sub(r" == _jt\1", src)
+
+
+_JT_NAME = re.compile(r"^_jt(\w+)$")
+_JT_SPARK = {
+    "String": (T.StringType,),
+    "Integer": (T.IntegerType, T.ShortType, T.ByteType),
+    "Long": (T.LongType,),
+    "Double": (T.DoubleType,),
+    "Float": (T.FloatType,),
+    "Boolean": (T.BooleanType,),
+    "List": (T.ArrayType,),
+    "ArrayList": (T.ArrayType,),
+    "Map": (T.MapType, T.StructType),
+    "HashMap": (T.MapType,),
+    "Number": (T.IntegerType, T.LongType, T.DoubleType, T.FloatType,
+               T.ShortType, T.ByteType, T.DecimalType),
+}
+
 
 def _rewrite_collection_literals(src: str, wrap: bool = False) -> str:
     """Painless collection literals -> Python: map ``['a': 1]`` -> ``{'a':
@@ -173,6 +198,7 @@ def _to_python(src: str, lits: list[str] | None = None) -> str:
     for rx, rep in _REWRITES:
         src = rx.sub(rep, src)
     src = _rewrite_elvis(src)
+    src = _rewrite_instanceof(src)
     src = _rewrite_collection_literals(src)
     # painless ternary -> python conditional (single, non-nested)
     m = _TERNARY.match(src)
@@ -249,7 +275,7 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
         raise UnsupportedScriptError(f"unsupported attribute: {ast.dump(node)}")
 
     if isinstance(node, ast.Compare):
-        left, _ = _eval(node.left, c)
+        left, _ldt = _eval(node.left, c)
         if len(node.ops) != 1:
             raise UnsupportedScriptError("chained comparisons unsupported")
         op = node.ops[0]
@@ -258,6 +284,19 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
         # arrive as `expr == _rx[mf]<N>` after _protect_regexes — lower to
         # JVM rlike (never drops to Python)
         if isinstance(right_node, ast.Name):
+            jm = _JT_NAME.match(right_node.id)
+            if jm and not _RX_NAME.match(right_node.id):
+                # instanceof: the static column dtype decides; null is
+                # never an instance (Java semantics)
+                if not isinstance(op, ast.Eq):
+                    raise UnsupportedScriptError("instanceof misuse")
+                tname = jm.group(1)
+                if tname not in _JT_SPARK or _ldt is None:
+                    raise UnsupportedScriptError(
+                        f"instanceof {tname} not resolvable statically")
+                hit = isinstance(_ldt, _JT_SPARK[tname])
+                return (left.isNotNull() & F.lit(bool(hit)),
+                        T.BooleanType())
             rm = _RX_NAME.match(right_node.id)
             if rm:
                 if not isinstance(op, ast.Eq):

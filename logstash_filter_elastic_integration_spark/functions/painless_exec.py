@@ -38,7 +38,8 @@ import re
 
 from .painless import (UnsupportedScriptError, _protect_literals,
                        _protect_regexes, _restore_literals,
-                       _rewrite_collection_literals, _rewrite_elvis)
+                       _rewrite_collection_literals, _rewrite_elvis,
+                       _rewrite_instanceof)
 
 _TOKEN_REWRITES = [
     (re.compile(r"&&"), " and "),
@@ -309,6 +310,7 @@ def transpile(source: str) -> tuple[str, list[tuple[str, str]]]:
     for rx, rep in _TOKEN_REWRITES:
         src = rx.sub(rep, src)
     src = _rewrite_elvis(src)
+    src = _rewrite_instanceof(src)
     src = _rewrite_collection_literals(src, wrap=True)
     lines: list[str] = []
     _transpile_block(src, 0, lines, [0])
@@ -580,6 +582,22 @@ class _JavaException:
         return JStr(self.message)
 
 
+class _JType:
+    """Reflected-eq type-check object for `x instanceof T` (transpiled
+    to `x == _jtT`): null is never an instance; bool is excluded from the
+    numeric types (Java booleans are not Numbers)."""
+
+    def __init__(self, *types, excl=()):
+        self._types, self._excl = types, excl
+
+    def __eq__(self, other):
+        if other is None or (self._excl and isinstance(other, self._excl)):
+            return False
+        return isinstance(other, self._types)
+
+    __hash__ = None
+
+
 class _ElvisSentinel:
     """`a ?: b` transpiles to `a |_EV| b`: the left operand's __or__
     returns NotImplemented for this type, so __ror__ captures it; the
@@ -802,6 +820,12 @@ _GLOBALS = {
     "min": min, "max": max, "dict": dict, "RuntimeError": RuntimeError,
     "Exception": Exception,
     "_jlist": JList, "_jmap": JMap, "_EV": _ElvisSentinel(),
+    "_jtString": _JType(str), "_jtInteger": _JType(int, excl=(bool,)),
+    "_jtLong": _JType(int, excl=(bool,)), "_jtDouble": _JType(float),
+    "_jtFloat": _JType(float), "_jtBoolean": _JType(bool),
+    "_jtList": _JType(list), "_jtArrayList": _JType(list),
+    "_jtMap": _JType(dict), "_jtHashMap": _JType(dict),
+    "_jtNumber": _JType(int, float, excl=(bool,)),
     "_jexc": _JavaException,
     "__builtins__": {},
 }

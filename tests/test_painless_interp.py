@@ -347,3 +347,22 @@ def test_interpreter_reads_dynamic_extras_keys(spark, registry):
     by = {r["id"]: r for r in rows}
     assert by[1]["combo"] == "abc-3"
     assert by[2]["combo"] == "def-3"
+
+
+def test_instanceof_both_engines(spark, registry):
+    cs = CompiledScript("""
+        for (int i = 0; i < 1; i++) { }
+        ctx.is_s = ctx.a instanceof String;
+        ctx.is_n = ctx.n instanceof Number;
+        ctx.is_l = ctx.xs instanceof List;
+        ctx.null_never = ctx.missing instanceof String;
+    """)
+    assert cs.run_row({"a": "x", "n": 5, "xs": [1], "missing": None}) == {
+        "is_s": True, "is_n": True, "is_l": True, "null_never": False}
+    # Column compiler: static dtype + null-is-never-an-instance
+    rows = run_one(spark, registry, [
+        {"set": {"field": "t", "value": "Y",
+                 "if": "ctx.a instanceof String"}}],
+        [(1, "x"), (2, None)], "id long, a string")
+    by = {r["id"]: r for r in rows}
+    assert by[1]["t"] == "Y" and by[2]["t"] is None
