@@ -15,6 +15,9 @@ Supported modifiers (the set exercised by the reference's fixtures):
   %{?name}   named skip
   %{+name}   append to previous capture of name (joined with append_separator)
   %{name->}  right-padding trim
+  %{*name} / %{&name}  reference keys: the FIELD NAME comes from the data
+             (*) and its value from the paired capture (&) — per-row
+             dynamic names land in the ``_extras`` map side-channel
 """
 
 from __future__ import annotations
@@ -30,6 +33,8 @@ class CompiledDissect:
     regex: str                      # full anchored pattern, mangled groups
     group_map: dict[str, str] = field(default_factory=dict)  # gN -> field
     appends: dict[str, list[str]] = field(default_factory=dict)  # field -> [gN,...]
+    ref_keys: dict[str, str] = field(default_factory=dict)   # name -> gN (*)
+    ref_vals: dict[str, str] = field(default_factory=dict)   # name -> gN (&)
     append_separator: str = ""
 
     @property
@@ -62,20 +67,38 @@ def compile_dissect(pattern: str, append_separator: str = "") -> CompiledDissect
             key = key[:-2]
         last = i == len(keys) - 1 and pos >= len(pattern)
         body = "(?s:.*)" if last else "(?s:.*?)"
+        def next_g():
+            return "g" + str(len(out.group_map)
+                             + sum(len(v) for v in out.appends.values())
+                             + len(out.ref_keys) + len(out.ref_vals))
+
         if key == "" or key.startswith("?"):
             parts.append(body)
         elif key.startswith("+"):
             fname = key[1:]
-            g = f"g{len(out.group_map) + sum(len(v) for v in out.appends.values())}"
+            g = next_g()
             out.appends.setdefault(fname, []).append(g)
             parts.append(f"(?P<{g}>{body})")
+        elif key.startswith("*"):
+            g = next_g()
+            out.ref_keys[key[1:]] = g
+            parts.append(f"(?P<{g}>{body})")
+        elif key.startswith("&"):
+            g = next_g()
+            out.ref_vals[key[1:]] = g
+            parts.append(f"(?P<{g}>{body})")
         else:
-            g = f"g{len(out.group_map) + sum(len(v) for v in out.appends.values())}"
+            g = next_g()
             out.group_map[g] = key
             parts.append(f"(?P<{g}>{body})")
         if pad:
             parts.append(" *")
     parts.append(re.escape(pattern[pos:]))
+    if set(out.ref_keys) != set(out.ref_vals):
+        raise ValueError(
+            "dissect: every %{*name} reference key needs a matching "
+            f"%{{&name}} value (keys={sorted(out.ref_keys)}, "
+            f"values={sorted(out.ref_vals)})")
     out.regex = "^" + "".join(parts) + "$"
     re.compile(out.regex)  # validate at compile time
     return out

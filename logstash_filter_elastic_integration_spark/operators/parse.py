@@ -239,6 +239,24 @@ def p_dissect(df, spec, ctx):
     for fname, groups in compiled.appends.items():
         parts = [F.regexp_extract(src, java_rx, gidx[g]) for g in groups]
         updates[fname] = F.concat_ws(compiled.append_separator, *parts)
+    refs = sorted(set(compiled.ref_keys) & set(compiled.ref_vals))
+    if refs:
+        # %{*k}/%{&k}: data-driven field names -> the _extras map
+        # side-channel (same lift-on-read contract as kv dynamic keys)
+        keys = F.array(*[F.regexp_extract(src, java_rx,
+                                          gidx[compiled.ref_keys[n]])
+                         for n in refs])
+        vals = F.array(*[F.regexp_extract(src, java_rx,
+                                          gidx[compiled.ref_vals[n]])
+                         for n in refs])
+        new_map = F.map_from_arrays(keys, vals)
+        if "_extras" in df.columns:
+            old = fcol("_extras")
+            merged = F.map_concat(
+                F.map_filter(old, lambda k, _:
+                             ~F.map_contains_key(new_map, k)), new_map)
+            new_map = F.when(old.isNotNull(), merged).otherwise(new_map)
+        updates["_extras"] = new_map
     df = guarded(df, active & matched, updates)
     if not ignore_missing:
         df = ctx.fail(df, active & src.isNull(), spec,

@@ -704,3 +704,27 @@ def test_grok_trace_match_index(spark, registry):
     by = {r["id"]: r for r in out}
     assert by[1]["_ingest._grok_match_index"] == "0"
     assert by[2]["_ingest._grok_match_index"] == "1"
+
+
+def test_dissect_reference_keys(spark, registry):
+    """%{*k}/%{&k}: field NAME from the data; lands in _extras and reads
+    back through lift-on-read (set copy_from / painless)."""
+    out = run_one(
+        spark, registry,
+        [{"dissect": {"field": "line", "pattern": "%{*k1}=%{&k1} %{rest}"}},
+         {"set": {"field": "copied", "copy_from": "color"}}],
+        [(1, "color=red tail"), (2, "size=XL tail")], "id long, line string")
+    by = {r["id"]: r for r in out}
+    assert by[1]["_extras"].get("color") == "red"
+    assert by[1]["copied"] == "red"
+    assert by[2]["_extras"].get("size") == "XL"
+    assert by[1]["rest"] == "tail"
+
+
+def test_dissect_unpaired_reference_key_fails_compile(spark, registry):
+    import pytest as _pytest
+
+    from logstash_filter_elastic_integration_spark.functions.dissect import (
+        compile_dissect)
+    with _pytest.raises(ValueError, match="reference key"):
+        compile_dissect("%{*a}=%{b}")
