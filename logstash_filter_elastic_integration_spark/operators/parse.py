@@ -381,6 +381,7 @@ def p_json(df, spec, ctx):
                           f"field [{f_name}] not present as part of path [{f_name}]")
         return df
     src = fcol(f_name).cast("string")
+    add_to_root = cfg.get("add_to_root", False)
     if "schema" in cfg:
         parsed = F.from_json(src, cfg["schema"])
         ok = parsed.isNotNull()
@@ -389,7 +390,30 @@ def p_json(df, spec, ctx):
         ok = parsed.isNotNull()
     df = ctx.fail(df, active & src.isNotNull() & ~ok, spec,
                   f"Unable to parse field [{f_name}] as JSON")
-    df = guarded(df, active & ok, {target: parsed})
+    if add_to_root:
+        # ES add_to_root: merge the object's top-level keys into the doc
+        # root (default replace strategy — new keys win).  With a declared
+        # schema each struct field becomes a root column; without one the
+        # dynamic keys land in _extras (same contract as kv dynamic keys).
+        if "schema" in cfg:
+            from pyspark.sql import types as T
+            sch = T._parse_datatype_string(cfg["schema"])
+            if not isinstance(sch, T.StructType):
+                raise ValueError("json add_to_root needs an object schema")
+            updates = {sf.name: parsed[sf.name] for sf in sch.fields}
+            df = guarded(df, active & ok, updates)
+        else:
+            new_map = F.from_json(src, "map<string,string>")
+            root_ok = ok & new_map.isNotNull()
+            if "_extras" in df.columns:
+                old = fcol("_extras")
+                merged = F.map_concat(
+                    F.map_filter(old, lambda k, _:
+                                 ~F.map_contains_key(new_map, k)), new_map)
+                new_map = F.when(old.isNotNull(), merged).otherwise(new_map)
+            df = guarded(df, active & root_ok, {"_extras": new_map})
+    else:
+        df = guarded(df, active & ok, {target: parsed})
     if not ignore_missing:
         df = ctx.fail(df, active & src.isNull(), spec,
                       f"field [{f_name}] is null, cannot parse JSON.")

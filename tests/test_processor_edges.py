@@ -728,3 +728,21 @@ def test_dissect_unpaired_reference_key_fails_compile(spark, registry):
         compile_dissect)
     with _pytest.raises(ValueError, match="reference key"):
         compile_dissect("%{*a}=%{b}")
+
+
+def test_json_add_to_root(spark, registry):
+    # schema path: fields become root columns
+    out = run_one(
+        spark, registry,
+        [{"json": {"field": "payload", "add_to_root": True,
+                   "schema": "a string, n long"}}],
+        [(1, '{"a": "x", "n": 7}')], "id long, payload string")
+    assert out[0]["a"] == "x" and out[0]["n"] == 7
+    # dynamic path: keys land in _extras and read back via lift-on-read
+    out2 = run_one(
+        spark, registry,
+        [{"json": {"field": "payload", "add_to_root": True}},
+         {"set": {"field": "copied", "copy_from": "color"}}],
+        [(1, '{"color": "red", "size": "XL"}')], "id long, payload string")
+    assert out2[0]["_extras"].get("color") == "red"
+    assert out2[0]["copied"] == "red"
