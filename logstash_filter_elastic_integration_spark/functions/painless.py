@@ -93,9 +93,67 @@ _RX_OP = re.compile(r"(==~|=~)\s*/((?:\\.|[^/\n])*)/")
 # regex protection.
 _ELVIS_RX = re.compile(r"\?\s*:")
 
+_LHS_KEYWORD_RX = re.compile(r"^\s*(return|throw)\b")
+
 
 def _rewrite_elvis(src: str) -> str:
-    return _ELVIS_RX.sub(" |_EV| ", src)
+    """``a ?: b`` -> ``(a) |_EV| (b)``.  Painless ?: binds LOOSER than
+    comparisons (`a ?: b == c` is `a ?: (b == c)`), while Python's `|`
+    binds tighter — so both operands are explicitly parenthesized out to
+    the enclosing expression boundary.  Chains (`a ?: b ?: c`) need no
+    special casing: left-assoc `|` coalescing is value-equivalent."""
+    while True:
+        m = _ELVIS_RX.search(src)
+        if not m:
+            return src
+        # left boundary: scan back at bracket-depth 0 for a statement /
+        # argument / ternary delimiter or an assignment `=`
+        i = m.start() - 1
+        depth = 0
+        lhs_start = 0
+        while i >= 0:
+            c = src[i]
+            if c in ")]":
+                depth += 1
+            elif c in "([":
+                if depth == 0:
+                    lhs_start = i + 1
+                    break
+                depth -= 1
+            elif depth == 0:
+                if c in ";{},?:":
+                    lhs_start = i + 1
+                    break
+                if c == "=":
+                    if i > 0 and src[i - 1] in "=!<>":
+                        i -= 1  # comparison ==/!=/<=/>= — inside the LHS
+                    else:
+                        lhs_start = i + 1  # (compound) assignment
+                        break
+            i -= 1
+        # right boundary: forward scan, same delimiter set
+        j = m.end()
+        depth = 0
+        rhs_end = len(src)
+        while j < len(src):
+            c = src[j]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    rhs_end = j
+                    break
+                depth -= 1
+            elif depth == 0 and c in ";}{,?:":
+                rhs_end = j
+                break
+            j += 1
+        lhs = src[lhs_start:m.start()]
+        kw = _LHS_KEYWORD_RX.match(lhs)
+        pre = lhs[:kw.end()] if kw else ""
+        lhs = lhs[kw.end():] if kw else lhs
+        src = (src[:lhs_start] + pre + " (" + lhs + ") |_EV| ("
+               + src[m.end():rhs_end] + ") " + src[rhs_end:])
 
 
 def _protect_regexes(src: str) -> tuple[str, list[tuple[str, str]]]:

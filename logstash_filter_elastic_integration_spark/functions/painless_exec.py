@@ -672,17 +672,17 @@ class _CtxNode:
         k = self._key(name)
         if k in self._writes:
             v = self._writes[k]
-            if isinstance(v, JList):
+            if isinstance(v, (JList, JMap)):
                 return v
             w = _wrap(v)
-            if isinstance(w, JList):  # keep identity for later mutation
+            if isinstance(w, (JList, JMap)):  # keep identity for mutation
                 self._writes[k] = w
             return w
         if k in self._cache:
             return self._cache[k]
         if k in self._row:
             w = _wrap(self._row[k])
-            if isinstance(w, JList):
+            if isinstance(w, (JList, JMap)):
                 self._cache[k] = w
             return w
         pref = k + "."
@@ -819,7 +819,7 @@ _GLOBALS = {
     "Processors": _Processors, "range": range, "len": len, "abs": abs,
     "min": min, "max": max, "dict": dict, "RuntimeError": RuntimeError,
     "Exception": Exception,
-    "_jlist": JList, "_jmap": JMap, "_EV": _ElvisSentinel(),
+    "_jlist": JList, "_jmap": JMap, "_JS": JStr, "_EV": _ElvisSentinel(),
     "_jtString": _JType(str), "_jtInteger": _JType(int, excl=(bool,)),
     "_jtLong": _JType(int, excl=(bool,)), "_jtDouble": _JType(float),
     "_jtFloat": _JType(float), "_jtBoolean": _JType(bool),
@@ -829,6 +829,18 @@ _GLOBALS = {
     "_jexc": _JavaException,
     "__builtins__": {},
 }
+
+
+class _JStrLiterals(ast.NodeTransformer):
+    """Rewrite string Constant nodes to ``_JS('...')`` so literals carry
+    Java String semantics (concat coercion, .length(), .substring()...).
+    JStr subclasses str, so dict keys / comparisons are unaffected."""
+
+    def visit_Constant(self, node):  # noqa: N802
+        if isinstance(node.value, str):
+            return ast.Call(func=ast.Name(id="_JS", ctx=ast.Load()),
+                            args=[node], keywords=[])
+        return node
 
 
 class CompiledScript:
@@ -847,6 +859,11 @@ class CompiledScript:
         validate(tree)
         self.python_source = py
         self.reads, self.writes = collect_ctx_paths(tree)
+        # Painless string literals are Java Strings: '+' concatenates with
+        # any operand ('count=' + 5 -> 'count=5').  Rewrite str constants to
+        # JStr AFTER path collection (which pattern-matches raw Constants).
+        tree = _JStrLiterals().visit(tree)
+        ast.fix_missing_locations(tree)
         self._rx_env = {
             f"_rx{kind}{i}": (_RxMatch(pat) if kind == "m" else _RxFind(pat))
             for i, (kind, pat) in enumerate(regexes)}

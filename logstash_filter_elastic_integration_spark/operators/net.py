@@ -344,10 +344,19 @@ def _dyn_in_nets(ip: Column, nets: Column) -> Column:
         # exact below 2^53; avoids shiftright's literal-only shift amount)
         p2 = F.pow(F.lit(2.0), (F.lit(32) - plen).cast("double"))
         m4 = (F.floor(ip4 / p2) == F.floor(_ip4_to_long(addr) / p2))
-        # v6: nibble-aligned prefix compare with dynamic length
+        # v6: dynamic-length nibble-prefix compare, plus the remaining
+        # plen%4 bits of the boundary nibble (so fe80::/10 does NOT match
+        # fec0:: — the top 2 bits of the 3rd nibble differ)
         nib = F.floor(plen / 4).cast("int")
-        m6 = (F.substr(hx, F.lit(1), nib) == F.substr(_ip6_hex(addr),
-                                                      F.lit(1), nib))
+        rem = (plen % 4).cast("int")
+        ahx = _ip6_hex(addr)
+        p2r = F.pow(F.lit(2.0), (F.lit(4) - rem).cast("double"))
+        bnib = F.floor(F.conv(F.substr(hx, nib + 1, F.lit(1)), 16, 10)
+                       .cast("long") / p2r)
+        bnib_a = F.floor(F.conv(F.substr(ahx, nib + 1, F.lit(1)), 16, 10)
+                         .cast("long") / p2r)
+        m6 = ((F.substr(hx, F.lit(1), nib) == F.substr(ahx, F.lit(1), nib))
+              & ((rem == 0) | (bnib == bnib_a)))
         named = F.lit(None).cast("boolean")
         for name, cl in _NAMED_RANGES.items():
             nv6 = F.lit(False)

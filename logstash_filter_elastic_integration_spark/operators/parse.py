@@ -302,8 +302,11 @@ def p_kv(df, spec, ctx):
         m = F.transform_values(
             m, lambda _, v: F.btrim(v, F.lit(cfg["trim_value"])))
     if cfg.get("strip_brackets", False):
+        # ES strips exactly ONE leading and ONE trailing bracket/quote
+        # (anchored regex, not a char-set trim): ((x)) -> (x)
         m = F.transform_values(
-            m, lambda _, v: F.btrim(v, F.lit("()<>[]\"'")))
+            m, lambda _, v: F.regexp_replace(
+                v, '(^[(\\[<"\'])|([)\\]>"\']$)', ""))
     if cfg.get("exclude_keys"):
         m = F.map_filter(
             m, lambda k, _: ~k.isin(*cfg["exclude_keys"]))

@@ -271,6 +271,37 @@ def test_elvis_operator_both_engines(spark, registry):
     assert by[2]["lvl"] == "info" and by[2]["flag"] is None
 
 
+def test_elvis_binds_looser_than_comparison():
+    """Painless `a ?: b == c` is `a ?: (b == c)` — ?: is lowest-precedence
+    (above only ternary/assignment), unlike Python's `|`."""
+    cs = CompiledScript("ctx.x = ctx.a ?: ctx.b == 'c';")
+    assert cs.run_row({"a": "A", "b": None}) == {"x": "A"}
+    assert cs.run_row({"a": None, "b": "c"}) == {"x": True}
+    assert cs.run_row({"a": None, "b": "z"}) == {"x": False}
+
+
+def test_string_literal_java_concat_coercion():
+    """Plain string LITERALS are Java Strings: 'count=' + 5 -> 'count=5'
+    (reference Painless semantics; Python would raise TypeError)."""
+    cs = CompiledScript("ctx.msg = 'count=' + ctx.n;")
+    assert cs.run_row({"n": 5}) == {"msg": "count=5"}
+    cs2 = CompiledScript("ctx.msg = 'v=' + ctx.b + '/' + ctx.x;")
+    assert cs2.run_row({"b": True, "x": None}) == {"msg": "v=true/null"}
+    # literal methods work too
+    cs3 = CompiledScript("ctx.n = 'abc'.length();")
+    assert cs3.run_row({}) == {"n": 3}
+
+
+def test_ctx_map_field_mutation_persists():
+    """ctx.meta.put(...) on a dict-valued field must mutate a cached live
+    wrap that run_row folds back into writes (not a throwaway copy)."""
+    cs = CompiledScript("ctx.meta.put('k', 'v');")
+    assert cs.run_row({"meta": {"a": 1}}) == {"meta": {"a": 1, "k": "v"}}
+    cs2 = CompiledScript("ctx.meta.remove('a'); ctx.n = ctx.meta.size();")
+    assert cs2.run_row({"meta": {"a": 1, "b": 2}}) == {
+        "meta": {"b": 2}, "n": 1}
+
+
 def test_try_catch_and_exception_message():
     cs = CompiledScript("""
         try {

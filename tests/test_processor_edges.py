@@ -602,6 +602,20 @@ def test_kv_trim_strip_exclude_options(spark, registry):
     assert "secret" not in r or r.get("secret") is None
 
 
+def test_kv_strip_brackets_single_layer_only(spark, registry):
+    """ES strips exactly one leading + one trailing bracket: ((x)) -> (x),
+    not x (the btrim char-set behavior this replaced)."""
+    out = run_one(
+        spark, registry,
+        [{"kv": {"field": "msg", "field_split": " ", "value_split": "=",
+                 "strip_brackets": True,
+                 "include_keys": ["a", "b"]}}],
+        [(1, "a=((x)) b=[<y>]")], "id long, msg string")
+    r = out[0]
+    assert r["a"] == "(x)"
+    assert r["b"] == "<y>"
+
+
 def test_kv_exclude_on_dynamic_extras(spark, registry):
     out = run_one(
         spark, registry,
@@ -641,10 +655,15 @@ def test_network_direction_dynamic_networks_field(spark, registry):
             ("4.4.4.4", "9.9.9.9", ["4.4.4.4"]),
             # dynamic IPv6 CIDR (nibble-aligned)
             ("fc12::1", "2001:db8::1", ["fc00::/8"]),
+            # NON-nibble-aligned /10: fe80::1 IS in fe80::/10
+            ("fe80::1", "2001:db8::1", ["fe80::/10"]),
+            # ... but fec0::1 is NOT (bit 10 differs) — both external
+            ("fec0::1", "2001:db8::1", ["fe80::/10"]),
         ],
         "`source.ip` string, `destination.ip` string, nets array<string>")
     dirs = [r["network.direction"] for r in out]
-    assert dirs == ["outbound", "inbound", "outbound", "outbound", "outbound"]
+    assert dirs == ["outbound", "inbound", "outbound", "outbound",
+                    "outbound", "outbound", "external"]
 
 
 def test_user_agent_properties_and_device_type(spark, registry):
