@@ -11,6 +11,8 @@ user_agent :983-1006, network_direction :616-638, registered_domain
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
 from pyspark.sql import types as T
 
@@ -117,79 +119,12 @@ def p_html_strip(df, spec, ctx):
 # Browser/OS/device regex bank re-expressed from the public ua-parser
 # core definitions (uap-core, public-domain data — the same dataset the
 # ES processor ships per docs/index.asciidoc:200).  Ordered: FIRST match
-# wins, so specific families (Opera variants, Samsung Internet, UC, Edge,
-# Yandex, mobile Chrome/Firefox/Safari) precede the generic engines they
-# embed.  Unknown -> "Other".
-_UA_BROWSERS = [
-    ("Opera Mini", r"Opera Mini/(\d+)\.(\d+)"),
-    ("Opera Mobile", r"Opera Mobi.*?Version/(\d+)\.(\d+)"),
-    ("Opera", r"OPR/(\d+)\.(\d+)\.(\d+)"),
-    ("Opera", r"Opera[ /](\d+)\.(\d+)"),
-    ("Samsung Internet", r"SamsungBrowser/(\d+)\.(\d+)"),
-    ("UC Browser", r"UC ?Browser/(\d+)\.(\d+)\.(\d+)"),
-    ("Yandex Browser", r"YaBrowser/(\d+)\.(\d+)\.(\d+)"),
-    ("QQ Browser", r"M?QQBrowser/(\d+)\.(\d+)"),
-    ("Vivaldi", r"Vivaldi/(\d+)\.(\d+)"),
-    # vendor + in-app browsers (embed Chrome/Safari tokens -> must precede
-    # the generic engine rules)
-    ("Huawei Browser", r"HuaweiBrowser/(\d+)\.(\d+)"),
-    ("MiuiBrowser", r"MiuiBrowser/(\d+)\.(\d+)"),
-    ("Amazon Silk", r"Silk/(\d+)\.(\d+)"),
-    ("Whale", r"Whale/(\d+)\.(\d+)"),
-    ("Facebook", r"FBAV/(\d+)\.(\d+)"),
-    ("Instagram", r"Instagram[ /](\d+)\.(\d+)"),
-    ("WeChat", r"MicroMessenger/(\d+)\.(\d+)"),
-    ("Edge", r"Edg(?:e|A|iOS)?/(\d+)\.(\d+)\.?(\d+)?"),
-    ("Electron", r"Electron/(\d+)\.(\d+)\.(\d+)"),
-    ("HeadlessChrome", r"HeadlessChrome/(\d+)\.(\d+)\.(\d+)"),
-    ("Chrome Mobile iOS", r"CriOS/(\d+)\.(\d+)\.(\d+)"),
-    ("Chrome Mobile", r"Chrome/(\d+)\.(\d+)\.(\d+)[0-9.]* Mobile"),
-    ("Chromium", r"Chromium/(\d+)\.(\d+)\.(\d+)"),
-    ("Chrome", r"Chrome/(\d+)\.(\d+)\.(\d+)(?:\.(\d+))?"),
-    ("Firefox iOS", r"FxiOS/(\d+)\.(\d+)"),
-    ("Firefox Mobile", r"(?:Mobile|Tablet).*?Firefox/(\d+)\.(\d+)"),
-    ("Firefox", r"Firefox/(\d+)\.(\d+)(?:\.(\d+))?"),
-    ("Mobile Safari", r"Version/(\d+)\.(\d+)(?:\.(\d+))?.*Mobile.*Safari/"),
-    ("Safari", r"Version/(\d+)\.(\d+)(?:\.(\d+))? .*Safari/"),
-    ("IE", r"Trident/.*rv[ :](\d+)\.(\d+)"),
-    ("IE", r"MSIE (\d+)\.(\d+)"),
-    ("curl", r"curl/(\d+)\.(\d+)\.?(\d+)?"),
-    ("Wget", r"[Ww]get/(\d+)\.(\d+)"),
-    ("Python Requests", r"python-requests/(\d+)\.(\d+)"),
-    ("Python-urllib", r"Python-urllib/(\d+)\.(\d+)"),
-    ("Go-http-client", r"Go-http-client/(\d+)\.?(\d+)?"),
-    ("okhttp", r"okhttp/(\d+)\.(\d+)\.(\d+)"),
-    ("Java", r"Java/(\d+)\.(\d+)"),
-    ("Googlebot", r"Googlebot/(\d+)\.(\d+)"),
-    ("bingbot", r"bingbot/(\d+)\.(\d+)"),
-    ("Baiduspider", r"Baiduspider[+ /]*(\d+)?\.?(\d+)?"),
-    ("YandexBot", r"YandexBot/(\d+)\.(\d+)"),
-    ("DuckDuckBot", r"DuckDuckBot/(\d+)\.(\d+)"),
-    ("Slackbot", r"Slackbot(?:-LinkExpanding)? ?(\d+)?\.?(\d+)?"),
-    ("Twitterbot", r"Twitterbot/(\d+)\.(\d+)"),
-    ("FacebookBot", r"facebookexternalhit/(\d+)\.(\d+)"),
-    ("Apple Mail", r"AppleWebKit/.*\(KHTML, like Gecko\)$"),
-]
-_UA_OS = [
-    ("Windows Phone", r"Windows Phone (?:OS )?(\d+)\.(\d+)"),
-    ("Chrome OS", r"CrOS [a-z0-9_]+ (\d+)\.(\d+)\.(\d+)"),
-    ("Android", r"Android (\d+)\.?(\d+)?"),
-    ("iOS", r"iPhone OS (\d+)_(\d+)"),
-    ("iOS", r"CPU OS (\d+)_(\d+)"),
-    ("Mac OS X", r"Mac OS X (\d+)[_.](\d+)(?:[_.](\d+))?"),
-    ("Windows", r"Windows NT (\d+)\.(\d+)"),
-    ("Tizen", r"Tizen[ /](\d+)\.(\d+)"),
-    ("FreeBSD", r"FreeBSD"),
-    ("Ubuntu", r"Ubuntu"),
-    ("Fedora", r"Fedora"),
-    ("Debian", r"Debian"),
-    ("Android", r"Android"),
-    ("Linux", r"Linux"),
-]
-# uap-core maps Windows NT kernel versions to marketing versions
-_WINDOWS_NT_VERSIONS = {"10.0": "10", "6.3": "8.1", "6.2": "8",
-                        "6.1": "7", "6.0": "Vista", "5.2": "XP",
-                        "5.1": "XP", "5.0": "2000"}
+# wins — see ua_bank.py for the ordering discipline (bots -> tools ->
+# consoles/TVs -> in-app -> engine forks -> generic engines).
+from .ua_bank import (UA_BROWSERS as _UA_BROWSERS,  # noqa: E402
+                      UA_DEVICES as _UA_DEVICES,
+                      UA_OS as _UA_OS,
+                      WINDOWS_NT_VERSIONS as _WINDOWS_NT_VERSIONS)
 
 
 def p_user_agent(df, spec, ctx):
@@ -204,12 +139,44 @@ def p_user_agent(df, spec, ctx):
         return df
     ua = fcol(f_name).cast("string")
 
-    def _version_of(rx: str):
-        n_groups = rx.count("(") - rx.count("(?:")
-        if n_groups == 0:
+    def _prefix_literal(rx: str):
+        # longest plain-literal PREFIX of the regex (stops at the first
+        # metachar); used as a cheap contains() pre-filter so the regex
+        # engine only runs on candidate rows.  A char followed by a
+        # quantifier is optional -> dropped.
+        out = []
+        for i, c in enumerate(rx):
+            if c in "\\[(|.?*+{^$":
+                break
+            nxt = rx[i + 1] if i + 1 < len(rx) else ""
+            if nxt in "?*{":
+                break
+            out.append(c)
+        lit = "".join(out)
+        return lit if len(lit) >= 4 else None
+
+    def _hit(rx: str):
+        lit = _prefix_literal(rx)
+        h = ua.rlike(rx)
+        return (ua.contains(lit) & h) if lit else h
+
+    def _version_of(rx: str, start: int = 1):
+        # exact group count via Python re (the bank compiles identically
+        # under re and Java — see ua_bank.py)
+        n_groups = re.compile(rx).groups
+        if n_groups < start:
             return F.lit(None).cast("string")
-        parts = [F.regexp_extract(ua, rx, i) for i in range(1, n_groups + 1)]
+        parts = [F.regexp_extract(ua, rx, i)
+                 for i in range(start, n_groups + 1)]
         return F.concat_ws(".", *[F.when(p != "", p) for p in parts])
+
+    def _family_of(tmpl: str, rx: str):
+        # uap-core family_replacement: "$1" -> capture group 1
+        if "$1" not in tmpl:
+            return F.lit(tmpl)
+        pre, _, post = tmpl.partition("$1")
+        g1 = F.regexp_extract(ua, rx, 1)
+        return F.concat(F.lit(pre), g1, F.lit(post))
 
     # FORWARD-ordered CASE chains: first matching family wins AND codegen
     # short-circuits — a Chrome UA only executes regexes up to the Chrome
@@ -217,9 +184,10 @@ def p_user_agent(df, spec, ctx):
     name = F.when(F.lit(False), F.lit(None).cast("string"))
     version = F.when(F.lit(False), F.lit(None).cast("string"))
     for bname, rx in _UA_BROWSERS:
-        hit = ua.rlike(rx)
-        name = name.when(hit, F.lit(bname))
-        version = version.when(hit, _version_of(rx))
+        hit = _hit(rx)
+        name = name.when(hit, _family_of(bname, rx))
+        version = version.when(
+            hit, _version_of(rx, start=2 if "$1" in bname else 1))
     name = name.otherwise(F.lit("Other"))
     version = version.otherwise(F.lit(None).cast("string"))
 
@@ -231,23 +199,17 @@ def p_user_agent(df, spec, ctx):
     os_name = F.when(F.lit(False), F.lit(None).cast("string"))
     os_version = F.when(F.lit(False), F.lit(None).cast("string"))
     for oname, rx in _UA_OS:
-        hit = ua.rlike(rx)
+        hit = _hit(rx)
         os_name = os_name.when(hit, F.lit(oname))
         os_version = os_version.when(
             hit, win_ver if oname == "Windows" else _version_of(rx))
     os_name = os_name.otherwise(F.lit("Other"))
     os_version = os_version.otherwise(F.lit(None).cast("string"))
 
-    device = (F.when(ua.rlike(r"iPhone"), "iPhone")
-              .when(ua.rlike(r"iPad"), "iPad")
-              .when(ua.rlike(r"SM-[A-Za-z0-9]+"),
-                    F.concat(F.lit("Samsung "),
-                             F.regexp_extract(ua, r"(SM-[A-Za-z0-9]+)", 1)))
-              .when(ua.rlike(r"Macintosh"), "Mac")
-              .when(ua.rlike(r"Android.*Mobile"), "Generic Smartphone")
-              .when(ua.rlike(r"Android"), "Generic Tablet")
-              .when(ua.rlike(r"(?i)bot|spider|crawler"), "Spider")
-              .otherwise("Other"))
+    device = F.when(F.lit(False), F.lit(None).cast("string"))
+    for dname, drx in _UA_DEVICES:
+        device = device.when(_hit(drx), _family_of(dname, drx))
+    device = device.otherwise(F.lit("Other"))
     updates = {
         f"{target}.name": name,
         f"{target}.version": version,
@@ -269,7 +231,9 @@ def p_user_agent(df, spec, ctx):
                   "Tablet")
             .when(ua.rlike(r"iPhone|Windows Phone")
                   | ua.rlike(r"Android.*Mobile"), "Phone")
-            .when(ua.rlike(r"Smart-?TV|AppleTV|CrKey"), "Smart TV")
+            .when(ua.rlike(r"Smart-?TV|AppleTV|Apple TV|CrKey|Roku/DVP|"
+                           r"HbbTV|NetCast\.TV|Web0S.*?TV|BRAVIA|VIERA|"
+                           r"GoogleTV"), "Smart TV")
             .otherwise("Desktop"))
     props = cfg.get("properties")
     if props:

@@ -1,0 +1,122 @@
+"""Long-tail user_agent bank coverage (uap-core-derived, ua_bank.py):
+smart-TV / console / crawler families beyond the r1-r3 curated subset,
+plus a compile check over every bank regex under Python re (the group
+counter) — Java compatibility is exercised by the Spark goldens below."""
+
+import re
+
+import pytest
+
+from tests.conftest import run_one
+
+from logstash_filter_elastic_integration_spark.operators.ua_bank import (
+    UA_BROWSERS, UA_DEVICES, UA_OS)
+
+
+def test_every_bank_regex_compiles_and_groups_are_sane():
+    for fam, rx in UA_BROWSERS + UA_OS + UA_DEVICES:
+        compiled = re.compile(rx)  # raises on bad pattern
+        if "$1" in fam:
+            assert compiled.groups >= 1, f"$1 family without group: {rx}"
+
+
+def test_bank_has_no_python_only_constructs():
+    # rlike is Java regex: named groups (?P<>) and inline (?i) mid-pattern
+    # diverge; conditionals (?(1)...) are Python-only
+    for _, rx in UA_BROWSERS + UA_OS + UA_DEVICES:
+        assert "(?P<" not in rx
+        assert "(?(" not in rx
+
+
+LONG_TAIL = {
+    # --- smart TV ---------------------------------------------------------
+    "samsung_tv": ("Mozilla/5.0 (SMART-TV; Linux; Tizen 4.0) AppleWebKit/"
+                   "537.36 (KHTML, like Gecko) SamsungBrowser/2.1 "
+                   "Chrome/56.0.2924.0 TV Safari/537.36",
+                   ("Samsung Internet", "2.1", "Tizen", "Samsung SMART-TV")),
+    "lg_webos": ("Mozilla/5.0 (Web0S; Linux/SmartTV) AppleWebKit/537.36 "
+                 "(KHTML, like Gecko) Chrome/38.0.2125.122 Safari/537.36 "
+                 "LG Browser/8.00.00(LGE; 24LF4820-BU; 03.20.14; 1)",
+                 ("LG Browser", "8.00", "webOS", "LG TV")),
+    "roku": ("Roku/DVP-9.10 (519.10E04111A)",
+             ("Roku", "9.10", "Roku", "Roku")),
+    "appletv": ("AppleTV11,1/11.1",
+                ("AppleTV", "11.1", "ATV OS X", "Apple TV")),
+    "chromecast": ("Mozilla/5.0 (CrKey armv7l 1.5.16041) AppleWebKit/537.36"
+                   " (KHTML, like Gecko) Chrome/31.0.1650.0 Safari/537.36",
+                   ("CrKey", "1.5", "Chromecast", "Chromecast")),
+    # --- consoles ---------------------------------------------------------
+    "ps5": ("Mozilla/5.0 (PlayStation; PlayStation 5/2.26) AppleWebKit/"
+            "605.1.15 (KHTML, like Gecko) Version/13.0 Safari/605.1.15",
+            ("PlayStation 5 Browser", "2.26", "PlayStation",
+             "PlayStation 5")),
+    "ps4": ("Mozilla/5.0 (PlayStation 4 5.55) AppleWebKit/601.2 "
+            "(KHTML, like Gecko)",
+            ("PlayStation 4 Browser", "5.55", "PlayStation",
+             "PlayStation 4")),
+    "switch": ("Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet) AppleWebKit"
+               "/606.4 (KHTML, like Gecko) NF/6.0.1.15.4 NintendoBrowser/"
+               "5.1.0.20393",
+               ("NetFront NX", None, "Nintendo", "Nintendo Switch")),
+    # --- crawlers ---------------------------------------------------------
+    "ahrefs": ("Mozilla/5.0 (compatible; AhrefsBot/7.0; "
+               "+http://ahrefs.com/robot/)",
+               ("AhrefsBot", "7.0", "Other", "Spider")),
+    "gptbot": ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko); "
+               "compatible; GPTBot/1.0; +https://openai.com/gptbot",
+               ("GPTBot", "1.0", "Other", "Spider")),
+    "petalbot": ("Mozilla/5.0 (Linux; Android 7.0;) AppleWebKit/537.36 "
+                 "(KHTML, like Gecko) Mobile Safari/537.36 (compatible; "
+                 "PetalBot;+https://webmaster.petalsearch.com/site/petalbot)",
+                 ("PetalBot", None, "Android", "Spider")),
+    "semrush": ("Mozilla/5.0 (compatible; SemrushBot/7~bl; "
+                "+http://www.semrush.com/bot.html)",
+                ("SemrushBot", "7", "Other", "Spider")),
+    # generic catch-all: an unknown bot family still parses as itself
+    "unknown_bot": ("Mozilla/5.0 (compatible; SnowflakeQueryBot/2.3; "
+                    "+http://example.com/bot)",
+                    ("SnowflakeQueryBot", "2.3", "Other", "Spider")),
+    "googlebot_smartphone": (
+        "Mozilla/5.0 (Linux; Android 6.0.1; Nexus 5X Build/MMB29P) "
+        "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/109.0.0.0 Mobile "
+        "Safari/537.36 (compatible; Googlebot/2.1; "
+        "+http://www.google.com/bot.html)",
+        ("Googlebot", "2.1", "Android", "Spider")),
+    # --- device-class long tail ------------------------------------------
+    "kindle_fire_silk": (
+        "Mozilla/5.0 (Linux; Android 9; KFMAWI) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Silk/94.2.7 like Chrome/94.0.4606.61 "
+        "Safari/537.36",
+        ("Amazon Silk", "94.2", "Android", "Kindle Fire")),
+    "pixel": ("Mozilla/5.0 (Linux; Android 13; Pixel 7 Pro) AppleWebKit/"
+              "537.36 (KHTML, like Gecko) Chrome/115.0.0.0 Mobile Safari/"
+              "537.36",
+              ("Chrome Mobile", "115.0.0", "Android", "Pixel 7 Pro")),
+    "whatsapp": ("WhatsApp/2.23.20.76 A",
+                 ("WhatsApp", "2.23.20", "Other", "Other")),
+    "headless": ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+                 "(KHTML, like Gecko) HeadlessChrome/118.0.5993.70 "
+                 "Safari/537.36",
+                 ("HeadlessChrome", "118.0.5993", "Linux", "Spider")),
+}
+
+
+def test_long_tail_families(spark, registry):
+    rows = [(k, ua) for k, (ua, _) in LONG_TAIL.items()]
+    out = run_one(spark, registry, [{"user_agent": {"field": "agent"}}],
+                  rows, "k string, agent string")
+    parsed = {r["k"]: r for r in out}
+    errors = []
+    for key, (_, (name, version, os_name, device)) in LONG_TAIL.items():
+        r = parsed[key]
+        got = (r["user_agent.name"], r["user_agent.version"],
+               r["user_agent.os.name"], r["user_agent.device.name"])
+        if r["user_agent.name"] != name:
+            errors.append(f"{key}: name {got[0]!r} != {name!r}")
+        if version is not None and not (got[1] or "").startswith(version):
+            errors.append(f"{key}: version {got[1]!r} !~ {version!r}")
+        if got[2] != os_name:
+            errors.append(f"{key}: os {got[2]!r} != {os_name!r}")
+        if got[3] != device:
+            errors.append(f"{key}: device {got[3]!r} != {device!r}")
+    assert not errors, "\n".join(errors)
