@@ -93,18 +93,20 @@ def main() -> None:
                 "doc_quality", "ann_cosine_topk", "ann_ivf",
                 "dedup_clusters", "multimodal_av", "multimodal_video",
                 "token_rolling_hash", "sessionize", "decontaminate_ngram"]
+    qpasses: dict[str, list[float]] = {"flagship_pipeline": passes}
     for name in headline:
-        # min-of-2 per query too: pass 1 pays whole-stage-codegen compile
-        # + JIT for that query's generated classes (and eats any host-noise
-        # spike); pass 2 is the steady-state executor throughput
-        best = None
-        for _ in range(2):
+        # min-of-3 per query: pass 1 pays whole-stage-codegen compile +
+        # JIT for that query's generated classes; this host's 2-3x
+        # hypervisor-steal swings make single-pass numbers noise (the r3
+        # file showed +42-56% "regressions" on untouched code paths)
+        qp = []
+        for _ in range(3):
             t0 = time.time()
             df = Q.QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            w = round(time.time() - t0, 3)
-            best = w if best is None else min(best, w)
-        qtimes[name] = best
+            qp.append(round(time.time() - t0, 3))
+        qtimes[name] = min(qp)
+        qpasses[name] = qp
 
     print(json.dumps({
         "metric": "flagship_parse_enrich_route_aggregate_wall",
@@ -116,6 +118,7 @@ def main() -> None:
         "cpus": cpus,
         "turns_per_sec": round(n_rows / flagship_s, 1),
         "flagship_passes": passes,
+        "query_passes": qpasses,
     }))
 
 

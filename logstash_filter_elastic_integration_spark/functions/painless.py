@@ -446,9 +446,13 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
     if isinstance(node, ast.Call):
         fn = node.func
         if isinstance(fn, ast.Attribute):
-            # ctx.containsKey('x') -> field exists and is non-null
+            # ctx.containsKey('x') -> per-row presence: non-null value OR
+            # an explicit-null write recorded in __nullset (ES map parity)
             if (fn.attr == "containsKey" and _field_path(fn.value) == "__ctx__"
                     and node.args and isinstance(node.args[0], ast.Constant)):
+                present = getattr(c.resolve, "present", None)
+                if present is not None:
+                    return present(node.args[0].value), T.BooleanType()
                 col, _ = c.resolve(node.args[0].value)
                 return col.isNotNull(), T.BooleanType()
             # Processors.* helpers (reference: script-processor-pipelines/pipeline.json)

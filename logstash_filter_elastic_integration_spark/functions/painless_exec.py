@@ -64,11 +64,37 @@ _WHILE_CAP = 100_000
 
 
 def _rw_expr(e: str) -> str:
+    """Whole-expression ternary `c ? a : b` -> Python conditional, found
+    via a paren/bracket-aware scan (a call in the condition — e.g.
+    ``ctx.containsKey('x') ? .. : ..`` — must not defeat the rewrite).
+    Nested right-assoc ternaries in the else-arm recurse naturally."""
     e = e.strip()
-    m = _TERN.match(e)
-    if m and "(" not in m.group("c"):  # conservative whole-expr ternary
-        return (f"({_rw_expr(m.group('a'))}) if ({_rw_expr(m.group('c'))}) "
-                f"else ({_rw_expr(m.group('b'))})")
+    depth, qi = 0, -1
+    for i, ch in enumerate(e):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "?" and depth == 0:
+            qi = i
+            break
+    if qi < 0:
+        return e
+    depth, nest = 0, 0
+    for j in range(qi + 1, len(e)):
+        ch = e[j]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "?" and depth == 0:
+            nest += 1
+        elif ch == ":" and depth == 0:
+            if nest == 0:
+                c, a, b = e[:qi], e[qi + 1:j], e[j + 1:]
+                return (f"({_rw_expr(a)}) if ({_rw_expr(c)}) "
+                        f"else ({_rw_expr(b)})")
+            nest -= 1
     return e
 
 
@@ -639,6 +665,12 @@ class _RxMatch(_RxFind):
         return other is not None and bool(self._rx.fullmatch(str(other)))
 
 
+# tombstone distinguishing ctx.remove('f') (key gone -> containsKey false)
+# from ctx.f = null (key present-null -> containsKey true), like the
+# reference's mutable document map (IngestDuplexMarshaller.java:144-152)
+_REMOVED = object()
+
+
 def _wrap(v):
     if isinstance(v, str):
         return JStr(v)
@@ -672,6 +704,8 @@ class _CtxNode:
         k = self._key(name)
         if k in self._writes:
             v = self._writes[k]
+            if v is _REMOVED:
+                return None
             if isinstance(v, (JList, JMap)):
                 return v
             w = _wrap(v)
@@ -694,12 +728,16 @@ class _CtxNode:
         self._writes[self._key(name)] = value
 
     def containsKey(self, name):   # noqa: N802
-        # NOTE: static columns conflate missing with null — a present-but-
-        # null field reports False (documented divergence of the flat model)
+        # ES map parity: a key written null is PRESENT; a removed key is
+        # not.  Source rows consult the __nullset explicit-null registry.
         k = self._key(name)
-        return (self._writes.get(k) is not None
-                or self._cache.get(k) is not None
-                or self._row.get(k) is not None)
+        if k in self._writes:
+            return self._writes[k] is not _REMOVED
+        if self._cache.get(k) is not None:
+            return True
+        if self._row.get(k) is not None:
+            return True
+        return k in (self._row.get("__nullset") or ())
 
     def get(self, name):
         return getattr(self, name) if not name.startswith("_") else None
@@ -710,10 +748,8 @@ class _CtxNode:
         return prev
 
     def remove(self, name):
-        # flat-column model: removal = null-out (same as the remove
-        # processor on static columns; README-documented divergence)
         prev = self.get(name)
-        self._writes[self._key(name)] = None
+        self._writes[self._key(name)] = _REMOVED
         return prev
 
 
@@ -879,7 +915,13 @@ class CompiledScript:
         """-> {path: new_value} for the fields the script assigned.  Paths
         the script did NOT touch on this row are absent from the result —
         callers must keep the prior value for them (the reference leaves
-        untouched ctx fields intact)."""
+        untouched ctx fields intact).  Removed fields surface as None."""
+        return self.run_row_ex(row)[0]
+
+    def run_row_ex(self, row: dict) -> tuple[dict, set]:
+        """-> (writes, nulled): ``nulled`` holds the paths the script
+        EXPLICITLY assigned null (present-null in the reference's map —
+        containsKey true), as opposed to ctx.remove'd (absent)."""
         writes: dict = {}
         cache: dict = {}
         # ONE namespace (globals == locals): user-defined functions resolve
@@ -894,4 +936,6 @@ class CompiledScript:
             # _wrap copied, so row[k] still holds the original to diff against
             if k not in writes and v != row.get(k):
                 writes[k] = v
-        return writes
+        nulled = {k for k, v in writes.items() if v is None}
+        return ({k: (None if v is _REMOVED else v)
+                 for k, v in writes.items()}, nulled)

@@ -2,43 +2,81 @@
 component): image/audio/video payloads as opaque ``binary`` columns with a
 typed metadata struct, processed by Arrow-batched ``mapInPandas`` stages.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so the
-decode kernels are deterministic stand-ins clearly marked STUB — but the
-Spark-side contract is the real thing: schemas, batch iteration, partition
-sizing, and the pattern of narrow mapInPandas stages that at 100 TB keeps
-decode embarrassingly parallel with zero shuffle.
+Every kernel here works on REAL containers: WAV (stdlib ``wave``), PNG
+(zlib + chunk framing + CRC), and animated GIF (hand-rolled LZW).  Header
+metadata (`attach_media_meta`) is parsed with pure Column byte arithmetic
+— JVM-side, zero Python — and the decode / feature / resize / frame-sample
+stages are narrow mapInPandas maps that at 100 TB stay embarrassingly
+parallel with zero shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # typed metadata carried alongside every payload
 MEDIA_META_DDL = ("media STRUCT<kind: STRING, mime: STRING, width: INT, "
                   "height: INT, duration_ms: INT, sample_rate: INT>")
 
 
-def attach_media_meta(df: DataFrame, payload_col: str = "payload",
-                      kind: str = "image") -> DataFrame:
-    """Derive the typed metadata struct for opaque payloads.  STUB decode:
-    dimensions are deterministic functions of the payload bytes (a real
-    deployment parses the container header here, still JVM/Arrow-side)."""
+def _u8(p: Column, off0: int) -> Column:
+    """Byte at 0-indexed offset as an int — pure Column (hex + conv)."""
+    return F.conv(F.hex(F.substring(p, off0 + 1, 1)), 16, 10).cast("long")
+
+
+def _be32(p: Column, off0: int) -> Column:
+    return F.conv(F.hex(F.substring(p, off0 + 1, 4)), 16, 10).cast("long")
+
+
+def _le16(p: Column, off0: int) -> Column:
+    return _u8(p, off0) + _u8(p, off0 + 1) * 256
+
+
+def _le32(p: Column, off0: int) -> Column:
+    return (_u8(p, off0) + _u8(p, off0 + 1) * 256
+            + _u8(p, off0 + 2) * 65536 + _u8(p, off0 + 3) * 16777216)
+
+
+def attach_media_meta(df: DataFrame,
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL container-header metadata, parsed with pure Column byte
+    arithmetic (JVM-side, codegen'd — no Python, no UDF):
+
+    - PNG:  IHDR width/height (big-endian u32 at offsets 16/20)
+    - GIF:  logical-screen width/height (little-endian u16 at 6/8)
+    - WAV:  fmt-chunk sample rate (LE u32 @24) + byte rate (@28) and the
+      canonical data-chunk size (@40) -> duration_ms
+
+    Unknown magic -> kind 'unknown', null fields."""
     p = F.col(payload_col)
+    is_png = F.substring(p, 1, 8) == F.lit(_PNG_SIG)
+    is_gif = (F.substring(p, 1, 6) == F.lit(b"GIF89a")) | \
+             (F.substring(p, 1, 6) == F.lit(b"GIF87a"))
+    is_wav = (F.substring(p, 1, 4) == F.lit(b"RIFF")) & \
+             (F.substring(p, 9, 4) == F.lit(b"WAVE"))
+    kind = (F.when(is_png, "image").when(is_gif, "video")
+            .when(is_wav, "audio").otherwise("unknown"))
+    mime = (F.when(is_png, "image/png").when(is_gif, "image/gif")
+            .when(is_wav, "audio/wav").otherwise(F.lit(None).cast("string")))
+    width = (F.when(is_png, _be32(p, 16)).when(is_gif, _le16(p, 6)))
+    height = (F.when(is_png, _be32(p, 20)).when(is_gif, _le16(p, 8)))
+    sample_rate = F.when(is_wav, _le32(p, 24))
+    duration_ms = F.when(is_wav, _le32(p, 40) * 1000 / _le32(p, 28))
     return df.withColumn("media", F.struct(
-        F.lit(kind).alias("kind"),
-        F.lit(f"{kind}/x-stub").alias("mime"),
-        (F.octet_length(p) % 1920 + 1).cast("int").alias("width"),
-        (F.octet_length(p) % 1080 + 1).cast("int").alias("height"),
-        (F.octet_length(p) * 40).cast("int").alias("duration_ms"),
-        F.lit(16000).alias("sample_rate")))
+        kind.alias("kind"),
+        mime.alias("mime"),
+        width.cast("int").alias("width"),
+        height.cast("int").alias("height"),
+        duration_ms.cast("int").alias("duration_ms"),
+        sample_rate.cast("int").alias("sample_rate")))
 
 
 def decode_features(df: DataFrame, payload_col: str = "payload",
                     dim: int = 8) -> DataFrame:
-    """'Decode + feature-extract' stage: mapInPandas over Arrow batches ->
-    fixed-dim float feature vector per payload.  STUB kernel: deterministic
-    byte-histogram features (a real kernel would call the image/audio
-    library on ``buf`` — same signature, same batching)."""
+    """Content-level byte-distribution fingerprint: mapInPandas over Arrow
+    batches -> normalized byte-histogram vector per payload (a real,
+    deterministic feature — the format-agnostic fallback next to the
+    codec-aware ``decode_image_features``/``decode_av_features``)."""
     schema = f"doc_id LONG, feature ARRAY<FLOAT>, byte_len LONG"
 
     def kernel(batches):
@@ -58,57 +96,44 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(kernel, schema)
 
 
-def resize_stub(df: DataFrame, payload_col: str = "payload",
-                target: tuple[int, int] = (224, 224)) -> DataFrame:
-    """'Resize' stage shape: payload -> payload' (binary -> binary) through
-    mapInPandas.  STUB: truncates/pads bytes to a deterministic size
-    proportional to the target area; a real kernel decodes-resizes-encodes."""
-    w, h = target
-    size = max(16, (w * h) // 512)
+def pooled_resize(pixels, target: tuple[int, int]):
+    """Area-average pooling of a 2-D uint8 array to ``target`` (w, h) —
+    closed-form: output[i,j] = round(mean(input block)), blocks from the
+    integer grid ys[i]=i*h//h2, xs[j]=j*w//w2 (non-divisible sizes get
+    uneven blocks, every source pixel covered exactly once)."""
+    import numpy as np
+    w2, h2 = target
+    a = np.asarray(pixels, dtype=np.float64)
+    h, w = a.shape
+    ys = [i * h // h2 for i in range(h2 + 1)]
+    xs = [j * w // w2 for j in range(w2 + 1)]
+    out = np.empty((h2, w2), dtype=np.uint8)
+    for i in range(h2):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(w2):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = int(round(a[y0:y1, x0:x1].mean()))
+    return out
+
+
+def resize_png(df: DataFrame, payload_col: str = "payload",
+               target: tuple[int, int] = (8, 8)) -> DataFrame:
+    """REAL image resize: decode the 8-bit grayscale PNG, area-average
+    pool to ``target``, re-encode a genuine PNG — payload -> payload'
+    (binary -> binary) through the standard mapInPandas contract."""
+    w2, h2 = target
     schema = "doc_id LONG, payload BINARY, media_width INT, media_height INT"
 
     def kernel(batches):
         for pdf in batches:
             out = pdf[["doc_id"]].copy()
-            out["payload"] = pdf[payload_col].map(
-                lambda b: (bytes(b) * (size // max(len(b), 1) + 1))[:size])
-            out["media_width"] = w
-            out["media_height"] = h
+            out["payload"] = [
+                png_encode_gray(pooled_resize(
+                    png_decode_gray(bytes(b)), (w2, h2)))
+                for b in pdf[payload_col]]
+            out["media_width"] = w2
+            out["media_height"] = h2
             yield out
-
-    return df.mapInPandas(kernel, schema)
-
-
-def frame_sample_stub(df: DataFrame, payload_col: str = "payload",
-                      every_ms: int = 1000) -> DataFrame:
-    """'Frame sampling' stage shape: one row per sampled frame (row
-    explosion inside mapInPandas, the video->frames pattern).  STUB frame
-    bytes are deterministic slices; the count/offset math is numpy-
-    vectorized over the batch (no pandas row iteration — VERDICT r1) and
-    only the unavoidable byte-slicing walks a plain zipped list."""
-    schema = "doc_id LONG, frame_idx INT, frame BINARY, ts_ms INT"
-
-    def kernel(batches):
-        import numpy as np
-        import pandas as pd
-        for pdf in batches:
-            bufs = [bytes(b) for b in pdf[payload_col]]
-            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64,
-                               count=len(bufs))
-            ns = np.clip(lens * 40 // every_ms, 1, 8)
-            steps = np.maximum(1, lens // np.maximum(ns, 1))
-            doc_ids = pdf["doc_id"].to_numpy()
-            out_doc = np.repeat(doc_ids, ns)
-            out_idx = np.concatenate([np.arange(n) for n in ns]) \
-                if len(ns) else np.array([], dtype=np.int64)
-            out_ts = out_idx * every_ms
-            frames = [buf[i * step:(i + 1) * step]
-                      for buf, n, step in zip(bufs, ns, steps)
-                      for i in range(n)]
-            yield pd.DataFrame({"doc_id": out_doc,
-                                "frame_idx": out_idx.astype("int32"),
-                                "frame": frames,
-                                "ts_ms": out_ts.astype("int32")})
 
     return df.mapInPandas(kernel, schema)
 
@@ -309,8 +334,7 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
 # whenever the dictionary would outgrow it — simpler than variable-width
 # growth, produces standard-conformant streams any GIF decoder reads, and
 # makes the matched decoder exact.  This turns the video FRAME-SAMPLE
-# stage into a genuine multi-frame decode (the generic stub remains for
-# the plumbing tests).
+# stage into a genuine multi-frame decode.
 
 _GIF_SIG = b"GIF89a"
 

@@ -12,9 +12,9 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 from pyspark.sql import types as T
 
-from ..plans.document import DROPPED, TERMINATED, fcol, field_type, guarded
+from ..plans.document import (DROPPED, TERMINATED, fcol, field_type, guarded,
+                              nullset_update, present_expr, resolver_for)
 from ..functions.painless import UnsupportedScriptError, compile_script
-from ..plans.document import resolver_for
 from .common import str_targets, template_column
 
 
@@ -31,7 +31,18 @@ def p_set(df, spec, ctx):
         value = template_column(df, cfg.get("value"))
     if not cfg.get("override", True) and field in df.columns:
         active = active & fcol(field).isNull()
-    return guarded(df, active, {field: value})
+    df = guarded(df, active, {field: value})
+    # ES SetProcessor always puts the key into the document map — a null
+    # value is PRESENT-null, not missing.  Literal non-null scalars can
+    # never evaluate null, so skip the registry there (plan stability).
+    # (mustache templates render missing fields as "" in ES — never null —
+    # so only copy_from / literal-null values can store an explicit null)
+    may_be_null = "copy_from" in cfg or cfg.get("value") is None
+    if may_be_null:
+        df = nullset_update(df, field,
+                            added=active & fcol(field).isNull(),
+                            cleared=active & fcol(field).isNotNull())
+    return df
 
 
 def p_remove(df, spec, ctx):
@@ -61,9 +72,14 @@ def p_remove(df, spec, ctx):
                               f"field [{f_name}] not present as part of path [{f_name}]")
             continue
         if not ignore_missing:
-            df = ctx.fail(df, active & fcol(f_name).isNull(), spec,
+            # explicit-null fields are PRESENT (removable without error) —
+            # only truly-missing rows fail, per the reference's map model
+            df = ctx.fail(df, active & ~present_expr(df, f_name), spec,
                           f"field [{f_name}] not present as part of path [{f_name}]")
         df = guarded(df, active, {f_name: F.lit(None).cast(field_type(df, f_name))})
+        from ..plans.document import NULLSET
+        if NULLSET in df.columns:  # removal also clears present-null status
+            df = nullset_update(df, f_name, added=F.lit(False), cleared=active)
     return df
 
 
@@ -407,7 +423,8 @@ def _script_interpreted(df, spec, ctx, active):
         [T.StructField(w, T._parse_datatype_string(out_types[w][0]))
          for w in writes]
         + [T.StructField("__perr", T.StringType()),
-           T.StructField("__asg", T.ArrayType(T.BooleanType()))])
+           T.StructField("__asg", T.ArrayType(T.BooleanType())),
+           T.StructField("__nulled", T.ArrayType(T.BooleanType()))])
 
     def kernel(struct_s):
         import numpy as np
@@ -416,6 +433,7 @@ def _script_interpreted(df, spec, ctx, active):
         out = {w: [] for w in writes}
         errs = []
         asgs = []
+        nulls = []
         noasg = [False] * len(writes)
 
         def norm(v):
@@ -433,9 +451,10 @@ def _script_interpreted(df, spec, ctx, active):
                     out[w].append(None)
                 errs.append(None)
                 asgs.append(noasg)
+                nulls.append(noasg)
                 continue
             try:
-                res = cs.run_row(clean)
+                res, nulled = cs.run_row_ex(clean)
                 for w in writes:
                     co = out_types[w][1]
                     v = res.get(w)
@@ -443,30 +462,42 @@ def _script_interpreted(df, spec, ctx, active):
                 # 'not assigned on this row' != 'assigned null': unassigned
                 # paths must keep their prior column value downstream
                 asgs.append([w in res for w in writes])
+                nulls.append([w in nulled for w in writes])
                 errs.append(None)
             except Exception as e:  # script runtime error -> row failure
                 for w in writes:
                     out[w].append(None)
                 errs.append(f"{type(e).__name__}: {e}")
                 asgs.append(noasg)
+                nulls.append(noasg)
         out["__perr"] = errs
         out["__asg"] = asgs
-        return pd.DataFrame(out, columns=writes + ["__perr", "__asg"])
+        out["__nulled"] = nulls
+        return pd.DataFrame(out, columns=writes
+                            + ["__perr", "__asg", "__nulled"])
 
+    from ..plans.document import NULLSET
     udf = F.pandas_udf(kernel, schema)
     in_struct = F.struct(
         *[fcol(p).alias(p) for p in in_paths],
         *[F.try_element_at(fcol("_extras"), F.lit(p)).alias(p)
           for p in dyn_reads],
+        *([fcol(NULLSET).alias("__nullset")]
+          if NULLSET in df.columns else []),
         F.coalesce(active, F.lit(False)).alias("__active"))
     df = df.withColumn("__script", udf(in_struct))
     err = fcol("__script")["__perr"]
     asg = fcol("__script")["__asg"]
+    nld = fcol("__script")["__nulled"]
     for i, w in enumerate(writes):
-        df = guarded(df,
-                     active & err.isNull()
-                     & F.coalesce(F.element_at(asg, i + 1), F.lit(False)),
-                     {w: fcol("__script")[w]})
+        applied = (active & err.isNull()
+                   & F.coalesce(F.element_at(asg, i + 1), F.lit(False)))
+        df = guarded(df, applied, {w: fcol("__script")[w]})
+        if w in df.columns and not w.startswith("_"):
+            # ctx.f = null -> present-null; ctx.remove('f') -> absent
+            was_nulled = F.coalesce(F.element_at(nld, i + 1), F.lit(False))
+            df = nullset_update(df, w, added=applied & was_nulled,
+                                cleared=applied & ~was_nulled)
     df = ctx.fail(df, active & err.isNotNull(), spec, err)
     return df.drop("__script")
 
@@ -498,4 +529,10 @@ def p_script(df, spec, ctx):
     for path, col in assignments:
         path = "_index" if path == "_index" else path
         df = guarded(df, active, {path: col})
+        # any ctx write puts the key into the document map: a null result
+        # is PRESENT-null (ES parity), tracked in the __nullset registry
+        if path in df.columns and not path.startswith("_"):
+            df = nullset_update(df, path,
+                               added=active & fcol(path).isNull(),
+                               cleared=active & fcol(path).isNotNull())
     return df

@@ -68,25 +68,43 @@ def _grok_compiler(spec):
     return GrokCompiler(extra_patterns=spec.config.get("pattern_definitions"))
 
 
+# constructs that keep a grok on the Python engine: numbered backrefs and
+# \k<name> refs (the _noncapture group renumbering would re-bind them).
+# Atomic groups / possessive quantifiers are java.util.regex-native AND
+# backtracking-safe, so they lower fine.
+_RISKY_GROK = re.compile(r"\\[1-9]|\\k<")
+
+
 def p_grok(df, spec, ctx):
     """Physical engine choice (config ``engine``):
-    - ``pandas`` (default): ONE Arrow-batched pandas UDF per grok processor
-      running ``Series.str.extract`` — measured FASTER than the JVM path on
-      log-shaped text (0.9s vs 1.3s per 1M rows warm, local[32]) and the
-      shape the north star specifies; handles any number of patterns.
-    - ``jvm``: lower to rlike + regexp_extract (or the packed
-      single-execution variant for anchored patterns) — zero Python in the
-      plan; only for single-pattern groks.
+    - ``auto`` (default): single-pattern groks with no backrefs and no
+      explicit watchdog request lower to the JVM path (zero Python in the
+      plan; measured 0.78s vs 1.13s per 1M rows min-of-3 warm on the
+      flagship pattern, local[32]); multi-pattern / backref /
+      watchdog-configured groks run the watchdogged pandas engine.
+    - ``pandas``: ONE Arrow-batched pandas UDF per grok processor running
+      ``Series.str.extract`` — handles any number of patterns, and the
+      per-row watchdog interrupts catastrophic backtracking (the
+      reference's MatcherWatchdog, EventProcessorBuilder.java:224-225).
+    - ``jvm``: force rlike + regexp_extract (or the packed
+      single-execution variant for anchored patterns); single-pattern only.
     """
     cfg = spec.config
     f_name = cfg["field"]
     patterns = cfg.get("patterns") or [cfg["pattern"]]
     ignore_missing = cfg.get("ignore_missing", False)
-    engine = cfg.get("engine", "pandas")
+    engine = cfg.get("engine", "auto")
     active = ctx.active(df, spec)
 
     compiler = _grok_compiler(spec)
     compiled = compiler.compile(patterns)
+    if engine == "auto":
+        # JVM path has no interrupt hook: an explicit watchdog request
+        # keeps the Python engine (the reference's MatcherWatchdog)
+        engine = ("jvm" if len(compiled.regexes) == 1
+                  and "watchdog_max_exec_ms" not in cfg
+                  and not _RISKY_GROK.search(compiled.java_patterns[0])
+                  else "pandas")
 
     if f_name not in df.columns:
         if not ignore_missing:
@@ -135,6 +153,9 @@ def p_grok(df, spec, ctx):
                 if gtype != "string":
                     val = val.cast(_SPARK_TYPE[gtype])
                 updates[fname] = val
+        if cfg.get("trace_match", False):
+            # single pattern: the matching index is always 0
+            updates["_ingest._grok_match_index"] = F.lit("0")
         df = guarded(df, active & matched, updates)
     else:
         # -- vectorized pandas UDF path ------------------------------------

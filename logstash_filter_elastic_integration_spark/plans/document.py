@@ -24,7 +24,9 @@ DROPPED = "__dropped"          # bool: `drop` processor fired (event cancelled, 
 REROUTED = "__rerouted"        # bool: `reroute` fired -> ends current pipeline
 PRISTINE = "__pristine"        # struct snapshot of the pre-pipeline row
 INDEX_HISTORY = "__index_history"  # array<string>: visited _index values (cycle det.)
-RESERVED = (FAILURE, TERMINATED, DROPPED, REROUTED, PRISTINE, INDEX_HISTORY)
+NULLSET = "__nullset"          # array<string>: fields EXPLICITLY written null
+RESERVED = (FAILURE, TERMINATED, DROPPED, REROUTED, PRISTINE, INDEX_HISTORY,
+            NULLSET)
 
 FAILURE_TYPE = T.StructType([
     T.StructField("pipeline", T.StringType()),
@@ -64,11 +66,53 @@ def resolve_field(df: DataFrame, path: str):
     return fcol(path), dt
 
 
+_EMPTY_STRS = "array<string>"
+
+
+def present_expr(df: DataFrame, path: str) -> Column:
+    """Per-row 'field present' — the ES ``ctx.containsKey`` contract.
+
+    The reference document is a mutable map where a key can hold an
+    explicit null (``ctx.f = null`` -> containsKey true), distinct from
+    the key being absent (IngestDuplexMarshaller.java:144-152).  Flat
+    columns canonically use SQL NULL for *absent*; the ``__nullset``
+    registry records the fields a set/script wrote null into per row, so
+    present-null != missing survives the flat encoding."""
+    if path in df.columns:
+        p = fcol(path).isNotNull()
+        if NULLSET in df.columns:
+            p = p | F.array_contains(
+                F.coalesce(fcol(NULLSET), F.array().cast(_EMPTY_STRS)),
+                F.lit(path))
+        return p
+    if "_extras" in df.columns and not path.startswith("_"):
+        return F.coalesce(
+            F.map_contains_key(fcol("_extras"), F.lit(path)), F.lit(False))
+    return F.lit(False)
+
+
+def nullset_update(df: DataFrame, path: str, added: Column,
+                   cleared: Column) -> DataFrame:
+    """Maintain the explicit-null registry: rows where ``added`` holds gain
+    ``path`` in ``__nullset``; rows where ``cleared`` holds lose it."""
+    base = fcol(NULLSET) if NULLSET in df.columns \
+        else F.array().cast(_EMPTY_STRS)
+    base = F.coalesce(base, F.array().cast(_EMPTY_STRS))
+    upd = (F.when(F.coalesce(added, F.lit(False)),
+                  F.array_union(base, F.array(F.lit(path))))
+           .when(F.coalesce(cleared, F.lit(False)),
+                 F.array_remove(base, path))
+           .otherwise(base))
+    return df.withColumn(NULLSET, upd)
+
+
 def resolver_for(df: DataFrame):
     def resolve(path: str):
         if path == "_index":
             return resolve_field(df, "_index")
         return resolve_field(df, path)
+    # presence probe for containsKey lowerings (explicit-null aware)
+    resolve.present = lambda path: present_expr(df, path)
     return resolve
 
 
@@ -111,7 +155,11 @@ def guarded(df: DataFrame, cond: Column, updates: dict[str, Column]) -> DataFram
                 new_dt = probe_type(df, new)
             except Exception:
                 new_dt = old_dt
-            keep = fcol(name) if new_dt == old_dt else coerce_old(df, name, new)
+            # a null-literal write (NullType) must not degrade the column:
+            # when() coerces void+T -> T, keeping the existing type
+            keep = (fcol(name)
+                    if new_dt == old_dt or isinstance(new_dt, T.NullType)
+                    else coerce_old(df, name, new))
             out[name] = F.when(cond, new).otherwise(keep)
         else:
             out[name] = F.when(cond, new)

@@ -1,6 +1,6 @@
 """Driver-contract query surface: one entry per implemented operator
 (SURVEY.md §2) plus the large-scale training-data extras (dedup, ANN,
-text analysis, multimodal stubs).
+text analysis, multimodal codecs).
 
 Every query is a callable ``(spark, sf_dir) -> DataFrame`` over the
 driver-generated parquet tables; ``ORACLES[name]`` is the ANSI-SQL DuckDB
@@ -464,8 +464,19 @@ def q_pipe_script(spark, sf_dir):
                     "ctx.has_the = ctx.text =~ /\\bthe\\b/ ? 'yes' : 'no';"}},
         {"set": {"field": "en_tag", "value": "english",
                  "if": "ctx.lang ==~ /en(-[A-Z]+)?/"}},
+        # missing-vs-null parity leg (reference map semantics,
+        # IngestDuplexMarshaller.java:144-152): an explicit null write is
+        # PRESENT (containsKey true) until removed
+        {"script": {"lang": "painless", "source": "ctx.scratch = null;",
+                    "if": "ctx.n_chars % 2 == 0"}},
+        {"set": {"field": "had_null_field", "value": "Y",
+                 "if": "ctx.containsKey('scratch')"}},
+        {"remove": {"field": "scratch", "ignore_missing": True}},
+        {"set": {"field": "post_remove", "value": "Y",
+                 "if": "ctx.containsKey('scratch')"}},
     ])
-    return out.select("doc_id", "slug", "has_the", "en_tag")
+    return out.select("doc_id", "slug", "has_the", "en_tag",
+                      "had_null_field", "post_remove")
 
 
 O_SCRIPT = r"""
@@ -473,7 +484,9 @@ SELECT doc_id, lang || '-v1' AS slug,
        CASE WHEN regexp_matches(text, '\bthe\b') THEN 'yes' ELSE 'no' END
          AS has_the,
        CASE WHEN regexp_full_match(lang, 'en(-[A-Z]+)?') THEN 'english'
-            ELSE NULL END AS en_tag
+            ELSE NULL END AS en_tag,
+       CASE WHEN n_chars % 2 = 0 THEN 'Y' ELSE NULL END AS had_null_field,
+       CAST(NULL AS VARCHAR) AS post_remove
 FROM documents
 """
 
@@ -1075,6 +1088,20 @@ def q_dedup_clusters(spark, sf_dir):
     Oracle: DuckDB recursive CTE computes the exact transitive closure.
     """
     _, pairs = _minhash_reps_and_pairs(spark, sf_dir)
+    labels = _connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"),
+        (F.col("node") == F.col("lab")).alias("is_canonical"))
+
+
+def _connected_components(pairs, max_rounds: int = 20):
+    """Min-label connected components over undirected (a, b) pairs with
+    POINTER JUMPING: each round does one neighbor-propagation hop plus a
+    label-of-label shortcut, so labels travel 2^k hops after k rounds —
+    O(log diameter) rounds instead of O(diameter).  A 2^20-diameter
+    component (far beyond any near-dup graph) still converges in budget.
+    Every round is hash-partitioned joins + a groupBy-min; lineage is
+    truncated per round (eager localCheckpoint) so plan depth stays O(1)."""
     pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -1089,12 +1116,19 @@ def q_dedup_clusters(spark, sf_dir):
                       .alias("lab"))
               .localCheckpoint(eager=True))
     changed = 1
-    for _ in range(20):
+    for _ in range(max_rounds):
         nbr = (edges.join(labels.select(F.col("node").alias("b"), "lab"), "b")
                .groupBy("a").agg(F.min("lab").alias("nlab")))
-        new = (labels.join(nbr, labels["node"] == nbr["a"], "left")
+        hop = (labels.join(nbr, labels["node"] == nbr["a"], "left")
                .select("node", F.least(
-                   F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"))
+                   F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab")))
+        # pointer jump: lab := label(lab) — every label is itself a node id,
+        # so a self-join shortcuts chains (doubling reach per round)
+        lol = hop.select(F.col("node").alias("lab"),
+                         F.col("lab").alias("lab2"))
+        new = (hop.join(lol, "lab", "left")
+               .select("node", F.least(
+                   F.col("lab"), F.coalesce("lab2", F.col("lab"))).alias("lab"))
                .localCheckpoint(eager=True))
         changed = (new.join(labels.withColumnRenamed("lab", "old"), "node")
                    .filter(F.col("lab") != F.col("old")).limit(1).count())
@@ -1102,16 +1136,11 @@ def q_dedup_clusters(spark, sf_dir):
         if changed == 0:
             break
     if changed != 0:
-        # a silent fall-through would emit WRONG cluster ids for any
-        # component whose min-label eccentricity exceeds the round budget
-        # (e.g. a 21-link chain) — fail loud instead
+        # a silent fall-through would emit WRONG cluster ids — fail loud
         raise RuntimeError(
-            "dedup_clusters: min-label propagation did not converge in 20 "
-            "rounds (component diameter too large); raise the round budget "
-            "or switch to pointer-jumping")
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"),
-        (F.col("node") == F.col("lab")).alias("is_canonical"))
+            "dedup_clusters: min-label propagation did not converge in "
+            f"{max_rounds} pointer-jumping rounds")
+    return labels
 
 
 O_DEDUP_CLUSTERS = f"""

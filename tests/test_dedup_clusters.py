@@ -28,6 +28,22 @@ def test_dedup_clusters_partition_invariants(spark):
     assert all(c in lab for c in set(lab.values()))
 
 
+def test_pointer_jumping_converges_on_long_chain(spark):
+    """A 30-link chain has min-label eccentricity 30 — beyond any 20-round
+    one-hop budget.  Pointer jumping doubles label reach per round, so it
+    converges in ~5 rounds and the whole chain lands in one cluster."""
+    from logstash_filter_elastic_integration_spark.queries import (
+        _connected_components)
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(30)]
+        + [("z1", "z2")],                       # separate 2-node component
+        "a string, b string")
+    labels = {r.node: r.lab
+              for r in _connected_components(pairs, max_rounds=8).collect()}
+    assert all(labels[f"d{i:02d}"] == "d00" for i in range(31))
+    assert labels["z1"] == "z1" and labels["z2"] == "z1"
+
+
 def test_dedup_clusters_matches_recursive_cte(spark):
     from logstash_filter_elastic_integration_spark.queries import (
         ORACLES, QUERIES)

@@ -1,10 +1,14 @@
-"""Multimodal plumbing: typed metadata, Arrow-batched decode/feature/
-resize/frame-sample stages (stub kernels, real Spark contracts)."""
+"""Multimodal plumbing: typed metadata (pure-Column header parsing),
+Arrow-batched decode/feature/resize/frame-sample stages — all over REAL
+WAV / PNG / GIF containers."""
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from logstash_filter_elastic_integration_spark.operators.multimodal import (
-    attach_media_meta, decode_features, frame_sample_stub, resize_stub)
+    attach_media_meta, decode_features, gif_encode_gray_frames,
+    png_decode_gray, png_encode_gray, pooled_resize, resize_png,
+    wav_encode_bytes)
 
 
 def payloads(spark, sf_dir="/root/testdata/sf0.001"):
@@ -12,10 +16,29 @@ def payloads(spark, sf_dir="/root/testdata/sf0.001"):
             .select("doc_id", F.col("text").cast("binary").alias("payload")))
 
 
-def test_media_meta_struct(spark):
-    df = attach_media_meta(payloads(spark), kind="image")
-    r = df.select("media.*").first()
-    assert r["kind"] == "image" and 1 <= r["width"] <= 1920
+def test_media_meta_parses_real_container_headers(spark):
+    """attach_media_meta reads REAL headers with pure Column byte math:
+    PNG IHDR dims, GIF logical-screen dims, WAV rate + duration."""
+    png = png_encode_gray(np.arange(35, dtype=np.uint8).reshape(5, 7))
+    gif = gif_encode_gray_frames(
+        [np.zeros((4, 6), dtype=np.uint8) for _ in range(2)])
+    wav = wav_encode_bytes(1, 8000, sample_rate=16000)  # 0.5 s mono PCM16
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(wav)),
+         (4, bytearray(b"garbage-bytes"))],
+        "doc_id long, payload binary")
+    out = attach_media_meta(df)
+    # zero Python in the metadata plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    by = {r["doc_id"]: r["media"].asDict() for r in out.collect()}
+    assert by[1]["kind"] == "image" and by[1]["mime"] == "image/png"
+    assert (by[1]["width"], by[1]["height"]) == (7, 5)
+    assert by[2]["kind"] == "video" and (by[2]["width"],
+                                         by[2]["height"]) == (6, 4)
+    assert by[3]["kind"] == "audio" and by[3]["sample_rate"] == 16000
+    assert by[3]["duration_ms"] == 500  # 8000 samples / 16 kHz
+    assert by[4]["kind"] == "unknown" and by[4]["width"] is None
 
 
 def test_decode_features_shape_and_determinism(spark):
@@ -28,24 +51,36 @@ def test_decode_features_shape_and_determinism(spark):
     assert abs(sum(any_vec) - 1.0) < 1e-5  # normalized histogram
 
 
-def test_resize_stub_binary_roundtrip(spark):
-    out = resize_stub(payloads(spark), target=(224, 224))
-    rows = out.collect()
-    sizes = {len(r["payload"]) for r in rows}
-    assert sizes == {(224 * 224) // 512}
-    assert all(r["media_width"] == 224 for r in rows[:5])
+def test_pooled_resize_closed_form():
+    """4x4 -> 2x2 area pooling: each output pixel is the exact mean of its
+    2x2 block."""
+    px = np.array([[0, 10, 100, 110],
+                   [20, 30, 120, 130],
+                   [200, 210, 40, 50],
+                   [220, 230, 60, 70]], dtype=np.uint8)
+    out = pooled_resize(px, (2, 2))
+    assert out.tolist() == [[15, 115], [215, 55]]
+    # non-divisible: 5x3 -> 2x2 still covers every pixel once; the integer
+    # grid puts rows [0,1) cols [0,2) in the first block -> mean([0,1])
+    px2 = np.arange(15, dtype=np.uint8).reshape(3, 5)
+    out2 = pooled_resize(px2, (2, 2))
+    assert out2.shape == (2, 2)
+    assert out2[0, 0] == int(round(np.mean([0, 1])))
+    assert out2[1, 1] == int(round(np.mean([7, 8, 9, 12, 13, 14])))
 
 
-def test_frame_sample_explodes_rows(spark):
-    src = payloads(spark).limit(20)
-    frames = frame_sample_stub(src).collect()
-    assert len(frames) >= 20  # at least one frame per doc
-    by_doc = {}
-    for r in frames:
-        by_doc.setdefault(r["doc_id"], []).append(r)
-    for doc, fs in by_doc.items():
-        idxs = sorted(f["frame_idx"] for f in fs)
-        assert idxs == list(range(len(fs)))  # dense frame indexes
+def test_resize_png_real_decode_pool_encode(spark):
+    """resize_png round-trips REAL PNGs: output payloads are valid PNGs of
+    the target size whose pixels equal the closed-form pooling."""
+    src_px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(png_encode_gray(src_px)))],
+        "doc_id long, payload binary")
+    rows = resize_png(df, target=(4, 4)).collect()
+    assert rows[0]["media_width"] == 4
+    got = png_decode_gray(bytes(rows[0]["payload"]))
+    want = pooled_resize(src_px, (4, 4))
+    assert got.tolist() == want.tolist()
 
 
 def test_png_codec_roundtrip_and_integrity():

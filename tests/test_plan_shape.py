@@ -75,13 +75,50 @@ def test_adjacent_groks_fuse_into_one_arrow_node(spark):
     reg = PipelineRegistry()
     reg.register("two", {"processors": [
         {"grok": {"field": "a", "patterns": ["%{INT:x:int}"],
-                  "ignore_failure": True}},
+                  "engine": "pandas", "ignore_failure": True}},
         {"grok": {"field": "b", "patterns": ["%{WORD:y}"],
-                  "ignore_failure": True}},
+                  "engine": "pandas", "ignore_failure": True}},
     ]})
     df = spark.createDataFrame([("1", "w")], "a string, b string")
     out = run_pipeline(df, "two", reg)
     assert _executed_plan(out).count("ArrowEvalPython") == 1
+
+
+def test_grok_auto_engine_selects_jvm_for_safe_patterns(spark):
+    """engine=auto (default): a single-pattern grok with no atomic groups /
+    possessive quantifiers / backrefs lowers to rlike + regexp_extract —
+    ZERO Python in the plan.  Multi-pattern groks stay on the watchdogged
+    pandas engine."""
+    from logstash_filter_elastic_integration_spark.plans import (
+        PipelineRegistry, run_pipeline)
+    reg = PipelineRegistry()
+    reg.register("safe", {"processors": [
+        {"grok": {"field": "a", "patterns": ["%{INT:x:int} %{WORD:w}"],
+                  "ignore_failure": True}}]})
+    df = spark.createDataFrame([("1 w",)], "a string")
+    assert "ArrowEvalPython" not in _executed_plan(
+        run_pipeline(df, "safe", reg))
+    reg2 = PipelineRegistry()
+    reg2.register("multi", {"processors": [
+        {"grok": {"field": "a", "patterns": ["%{INT:x:int}", "%{WORD:w}"],
+                  "ignore_failure": True}}]})
+    assert "ArrowEvalPython" in _executed_plan(
+        run_pipeline(df, "multi", reg2))
+
+
+def test_flagship_plan_is_python_free(spark, tmp_path):
+    """The flagship parse->enrich->route plan under engine=auto: no
+    ArrowEvalPython anywhere — grok lowered to the JVM, everything else
+    already Column-only."""
+    from logstash_filter_elastic_integration_spark.flagship import (
+        run_flagship)
+    from logstash_filter_elastic_integration_spark.sources.datagen import (
+        transcripts)
+    src = str(tmp_path / "fs")
+    transcripts(spark, 200).write.parquet(src)
+    df = spark.read.parquet(src)
+    plan = _executed_plan(run_flagship(spark, df))
+    assert "ArrowEvalPython" not in plan
 
 
 def test_registered_domain_plan_broadcast_only(spark):
