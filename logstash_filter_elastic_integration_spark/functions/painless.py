@@ -156,6 +156,97 @@ def _rewrite_elvis(src: str) -> str:
                + src[m.end():rhs_end] + ") " + src[rhs_end:])
 
 
+# Painless lambdas `(a, b) -> body` / `x -> body` -> Python `lambda`.
+# Runs BEFORE the elvis rewrite (the elvis boundary scan would otherwise
+# misparse an arrow's parameter list as part of its left operand).
+_MREF_RX = re.compile(r"\b([A-Za-z_]\w*)\s*::\s*([A-Za-z_]\w*)")
+
+_MREF_STATIC = {"Integer", "Long", "Double", "Float", "Boolean", "Math",
+                "Processors"}
+
+
+def _rewrite_method_refs(src: str) -> str:
+    """Method references: ``Integer::parseInt`` (static) -> the bound
+    function; ``String::toLowerCase`` (instance) -> a one-arg lambda.
+    Unknown owners are left untouched and fail loud downstream."""
+    def sub(m):
+        cls, meth = m.groups()
+        if cls in _MREF_STATIC or (cls == "String"
+                                   and meth in ("valueOf", "join")):
+            return f"{cls}.{meth}"
+        if cls in ("String", "Object"):
+            return f"(lambda _mr: _mr.{meth}())"
+        return m.group(0)
+    return _MREF_RX.sub(sub, src)
+
+
+def _rewrite_lambdas(src: str) -> str:
+    """``(int a, String b) -> expr`` / ``x -> expr`` -> ``lambda a, b:
+    (expr)``.  The body extends to the first top-level ``,`` ``)`` ``]``
+    ``}`` ``;`` or ternary-unbalanced ``:`` (ternaries INSIDE the body are
+    tracked so their ``:`` doesn't cut it short)."""
+    while True:
+        k = src.find("->")
+        if k < 0:
+            return src
+        # params: back over whitespace; a ')' closes a parenthesized list,
+        # otherwise a single bare identifier
+        i = k - 1
+        while i >= 0 and src[i] in " \t":
+            i -= 1
+        if i >= 0 and src[i] == ")":
+            depth, j = 1, i - 1
+            while j >= 0 and depth:
+                depth += {")": 1, "(": -1}.get(src[j], 0)
+                j -= 1
+            pstart = j + 1
+            raw = src[pstart + 1:i]
+        else:
+            j = i
+            while j >= 0 and (src[j].isalnum() or src[j] == "_"):
+                j -= 1
+            pstart = j + 1
+            raw = src[pstart:i + 1]
+        # painless params may be typed: `(int a, def b)` -> last token each
+        params = ", ".join(p.strip().split()[-1]
+                           for p in raw.split(",") if p.strip())
+        # body: forward scan with bracket + ternary depth
+        m = k + 2
+        depth = tern = 0
+        end = len(src)
+        p2 = m
+        while p2 < len(src):
+            ch = src[p2]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                if depth == 0:
+                    end = p2
+                    break
+                depth -= 1
+            elif depth == 0:
+                if ch in ",;}":
+                    end = p2
+                    break
+                if ch == "?":
+                    rest = src[p2 + 1:]
+                    stripped = rest.lstrip()
+                    if stripped.startswith(":"):
+                        # elvis `?:` — skip the pair entirely
+                        p2 += 1 + (len(rest) - len(stripped)) + 1
+                        continue
+                    tern += 1        # ternary opens
+                elif ch == ":":
+                    if tern == 0:
+                        end = p2
+                        break
+                    tern -= 1
+            p2 += 1
+        body = src[m:end].strip()
+        src = (src[:pstart] + " (lambda " + params + ": (" + body + ")) "
+               + src[end:])
+
+
 def _protect_regexes(src: str) -> tuple[str, list[tuple[str, str]]]:
     pats: list[tuple[str, str]] = []
 
@@ -255,6 +346,8 @@ def _to_python(src: str, lits: list[str] | None = None) -> str:
     src = src.strip().rstrip(";")
     for rx, rep in _REWRITES:
         src = rx.sub(rep, src)
+    src = _rewrite_method_refs(src)
+    src = _rewrite_lambdas(src)
     src = _rewrite_elvis(src)
     src = _rewrite_instanceof(src)
     src = _rewrite_collection_literals(src)
@@ -269,10 +362,12 @@ class _Ctx:
     """Compilation context: resolves ctx.* field paths to (Column, DataType)."""
 
     def __init__(self, resolve, params: dict | None = None,
-                 regexes: list[tuple[str, str]] | None = None):
+                 regexes: list[tuple[str, str]] | None = None,
+                 locals_: dict | None = None):
         self.resolve = resolve          # path:str -> (Column, DataType|None)
         self.params = params or {}
         self.regexes = regexes or []    # [(kind 'f'|'m', pattern), ...]
+        self.locals = locals_ or {}     # lambda params -> (Column, dt)
 
 
 def _field_path(node: ast.AST) -> str | None:
@@ -302,8 +397,31 @@ def _is_string(dt) -> bool:
     return isinstance(dt, T.StringType)
 
 
+def _lambda_fn(lam: ast.Lambda, c: _Ctx, edt=None):
+    """Painless arrow (rewritten to ast.Lambda) -> a Python callable over
+    Columns, for the pyspark higher-order functions (F.filter/F.transform/
+    F.array_sort/...).  Params resolve through the child context's locals."""
+    names = [a.arg for a in lam.args.args]
+
+    def run(cols):
+        sub = _Ctx(c.resolve, c.params, c.regexes, dict(c.locals))
+        sub.locals.update({n: (col, edt) for n, col in zip(names, cols)})
+        col, _ = _eval(lam.body, sub)
+        return col
+
+    # pyspark's higher-order functions introspect the callable's arity —
+    # it must expose exactly len(names) POSITIONAL parameters
+    if len(names) == 1:
+        return lambda x: run([x])
+    if len(names) == 2:
+        return lambda x, y: run([x, y])
+    return lambda x, y, z: run([x, y, z])
+
+
 def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
     """Return (column, datatype-or-None)."""
+    if isinstance(node, ast.Name) and node.id in c.locals:
+        return c.locals[node.id]
     path = _field_path(node)
     if path is not None and path != "__ctx__":
         return c.resolve(path)
@@ -491,6 +609,14 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                 owner = fn.value.id
                 if owner == "String" and fn.attr == "valueOf":
                     return arg.cast("string"), T.StringType()
+                if owner == "String" and fn.attr == "join" \
+                        and len(node.args) == 2:
+                    if not isinstance(node.args[0], ast.Constant):
+                        raise UnsupportedScriptError(
+                            "String.join needs a literal separator")
+                    arr, _ = _eval(node.args[1], c)
+                    return (F.array_join(arr, node.args[0].value),
+                            T.StringType())
                 casts = {"Integer": ("int", T.IntegerType()),
                          "Long": ("long", T.LongType()),
                          "Double": ("double", T.DoubleType()),
@@ -502,9 +628,65 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                     return arg.try_cast(t), dt
                 raise UnsupportedScriptError(
                     f"{owner}.{fn.attr} unsupported")
+            # ---- streams-lite on array columns: stream()/filter/map/
+            # sorted/distinct/limit/count/anyMatch/allMatch/collect lower
+            # to the pyspark higher-order functions (pure Catalyst — the
+            # same JVM-side plan a hand-written F.filter/F.transform gets)
+            meth = fn.attr
+            if meth in ("stream", "toList"):
+                return _eval(fn.value, c)
+            if meth == "collect" and node.args and isinstance(
+                    node.args[0], ast.Call) \
+                    and isinstance(node.args[0].func, ast.Attribute) \
+                    and isinstance(node.args[0].func.value, ast.Name) \
+                    and node.args[0].func.value.id == "Collectors":
+                recv, rdt = _eval(fn.value, c)
+                coll = node.args[0]
+                if coll.func.attr == "toList":
+                    return recv, rdt
+                if coll.func.attr == "joining":
+                    sep = (coll.args[0].value
+                           if coll.args and isinstance(coll.args[0],
+                                                       ast.Constant) else "")
+                    return F.array_join(recv, sep), T.StringType()
+                raise UnsupportedScriptError(
+                    f"Collectors.{coll.func.attr} unsupported")
+            if node.args and isinstance(node.args[0], ast.Lambda) and \
+                    meth in ("filter", "map", "sorted", "anyMatch",
+                             "allMatch", "noneMatch", "mapToInt",
+                             "mapToObj"):
+                recv, rdt = _eval(fn.value, c)
+                edt = rdt.elementType if isinstance(rdt, T.ArrayType) else None
+                lam = _lambda_fn(node.args[0], c, edt)
+                if meth == "filter":
+                    return F.filter(recv, lam), rdt
+                if meth in ("map", "mapToInt", "mapToObj"):
+                    return F.transform(recv, lam), None
+                if meth == "sorted":
+                    # comparator lambda returns -/0/+ (int)
+                    return F.array_sort(
+                        recv, lambda a, b: lam(a, b).cast("int")), rdt
+                if meth == "anyMatch":
+                    return F.exists(recv, lam), T.BooleanType()
+                if meth == "allMatch":
+                    return F.forall(recv, lam), T.BooleanType()
+                return ~F.exists(recv, lam), T.BooleanType()
+            if meth == "sorted" and not node.args:
+                recv, rdt = _eval(fn.value, c)
+                return F.array_sort(recv), rdt
+            if meth == "distinct":
+                recv, rdt = _eval(fn.value, c)
+                return F.array_distinct(recv), rdt
+            if meth == "limit" and node.args:
+                recv, rdt = _eval(fn.value, c)
+                n, _ = _eval(node.args[0], c)
+                return F.slice(recv, 1, n), rdt
+            if meth == "count" and not node.args:
+                recv, rdt = _eval(fn.value, c)
+                if isinstance(rdt, (T.ArrayType, type(None))):
+                    return F.size(recv).cast("long"), T.LongType()
             recv, rdt = _eval(fn.value, c)
             args = [_eval(a, c)[0] for a in node.args]
-            meth = fn.attr
             if meth == "equals":
                 return recv.eqNullSafe(args[0]) & recv.isNotNull(), T.BooleanType()
             if meth == "contains":

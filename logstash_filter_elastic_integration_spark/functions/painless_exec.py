@@ -16,7 +16,8 @@ here instead:
    cap (watchdog analogue — a runaway script fails the ROW, it cannot
    stall an executor core).
 2. VALIDATE the parsed AST against a statement/expression whitelist (no
-   imports, no lambdas, no dunder access) — anything outside it raises
+   imports, no dunder access; lambdas allowed — painless arrows and
+   method references rewrite to them) — anything outside it raises
    UnsupportedScriptError at COMPILE time, preserving the engine's
    fail-loud contract.
 3. EXECUTE per row inside an Arrow-batched pandas UDF.  ``ctx`` bridges
@@ -39,7 +40,8 @@ import re
 from .painless import (UnsupportedScriptError, _protect_literals,
                        _protect_regexes, _restore_literals,
                        _rewrite_collection_literals, _rewrite_elvis,
-                       _rewrite_instanceof)
+                       _rewrite_instanceof, _rewrite_lambdas,
+                       _rewrite_method_refs)
 
 _TOKEN_REWRITES = [
     (re.compile(r"&&"), " and "),
@@ -79,7 +81,28 @@ def _rw_expr(e: str) -> str:
             qi = i
             break
     if qi < 0:
-        return e
+        if "?" not in e:
+            return e
+        # ternary buried inside parens/brackets (e.g. a lambda body):
+        # recurse into each top-level group
+        out, i = [], 0
+        while i < len(e):
+            ch = e[i]
+            if ch in "([":
+                closer = ")" if ch == "(" else "]"
+                depth, j = 1, i + 1
+                while j < len(e) and depth:
+                    if e[j] in "([":
+                        depth += 1
+                    elif e[j] in ")]":
+                        depth -= 1
+                    j += 1
+                out.append(ch + _rw_expr(e[i + 1:j - 1]) + closer)
+                i = j
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
     depth, nest = 0, 0
     for j in range(qi + 1, len(e)):
         ch = e[j]
@@ -118,6 +141,10 @@ def _split_assign(stmt: str):
 
 
 def _stmt_py(stmt: str) -> str:
+    # a painless statement may span source lines (fluent chains); the
+    # transpiled Python statement must be ONE line (literals are
+    # placeholder-protected, so embedded newlines can't be content)
+    stmt = re.sub(r"\s*\n\s*", " ", stmt)
     stmt = _DECL.sub("", stmt.strip())
     m = _INCR.match(stmt)
     if m:
@@ -335,6 +362,8 @@ def transpile(source: str) -> tuple[str, list[tuple[str, str]]]:
     src, regexes = _protect_regexes(src)
     for rx, rep in _TOKEN_REWRITES:
         src = rx.sub(rep, src)
+    src = _rewrite_method_refs(src)
+    src = _rewrite_lambdas(src)
     src = _rewrite_elvis(src)
     src = _rewrite_instanceof(src)
     src = _rewrite_collection_literals(src, wrap=True)
@@ -352,6 +381,7 @@ _OK_STMT = (ast.Module, ast.Assign, ast.AugAssign, ast.Expr, ast.If,
 _OK_AUX = (ast.arguments, ast.arg)
 _OK_EXPR = (ast.BoolOp, ast.BinOp, ast.UnaryOp, ast.IfExp, ast.Compare,
             ast.Call, ast.Attribute, ast.Subscript, ast.Name, ast.Constant,
+            ast.Lambda,
             ast.List, ast.Dict, ast.Tuple, ast.Slice, ast.And, ast.Or,
             ast.Not, ast.USub, ast.UAdd, ast.Load, ast.Store,
             ast.expr_context, ast.operator, ast.cmpop, ast.unaryop,
@@ -375,7 +405,7 @@ def validate(tree: ast.AST) -> None:
 # — the reference mutates the live ctx map, so these paths must be shipped
 # back out of the UDF like any assignment.
 _MUTATOR_METHODS = {"add", "addAll", "remove", "removeAll", "clear",
-                    "put", "putAll", "sort"}
+                    "put", "putAll", "sort", "removeIf", "replaceAll"}
 
 
 def collect_ctx_paths(tree: ast.AST):
@@ -518,6 +548,13 @@ class JStr(str):
     def concat(self, o):
         return JStr(self + str(o))
 
+    def compareTo(self, o):        # noqa: N802
+        return (self > o) - (self < o)
+
+    def compareToIgnoreCase(self, o):  # noqa: N802
+        a, b = self.lower(), str(o).lower()
+        return (a > b) - (a < b)
+
 
 class JList(list):
     """list with Painless/Java method names."""
@@ -559,6 +596,125 @@ class JList(list):
 
     def isEmpty(self):             # noqa: N802
         return not self
+
+    def sort(self, cmp=None):
+        # Java List.sort takes a COMPARATOR (lambda returning -/0/+)
+        if cmp is None:
+            list.sort(self)
+        else:
+            import functools
+            list.sort(self, key=functools.cmp_to_key(cmp))
+
+    def stream(self):
+        return _JStream(self)
+
+    def removeIf(self, pred):      # noqa: N802
+        kept = [x for x in self if not pred(x)]
+        changed = len(kept) != len(self)
+        self[:] = kept
+        return changed
+
+    def replaceAll(self, fn):      # noqa: N802
+        self[:] = [fn(x) for x in self]
+
+    def forEach(self, fn):         # noqa: N802
+        for x in self:
+            fn(x)
+
+
+class _JStream:
+    """Streams-lite: the eager subset of java.util.stream painless
+    scripts actually use (reference executes arbitrary Painless,
+    docs/index.asciidoc:192).  Terminal ops return plain values; chained
+    ops return a new stream (source list never mutated)."""
+
+    def __init__(self, items):
+        self._items = list(items)
+
+    def filter(self, p):
+        return _JStream([x for x in self._items if p(x)])
+
+    def map(self, f):
+        return _JStream([f(x) for x in self._items])
+
+    def sorted(self, cmp=None):
+        if cmp is None:
+            return _JStream(sorted(self._items))
+        import functools
+        return _JStream(sorted(self._items, key=functools.cmp_to_key(cmp)))
+
+    def distinct(self):
+        seen, out = set(), []
+        for x in self._items:
+            if x not in seen:
+                seen.add(x)
+                out.append(x)
+        return _JStream(out)
+
+    def limit(self, n):
+        return _JStream(self._items[:n])
+
+    def skip(self, n):
+        return _JStream(self._items[n:])
+
+    def count(self):
+        return len(self._items)
+
+    def sum(self):
+        return sum(self._items)
+
+    def anyMatch(self, p):         # noqa: N802
+        return any(p(x) for x in self._items)
+
+    def allMatch(self, p):         # noqa: N802
+        return all(p(x) for x in self._items)
+
+    def noneMatch(self, p):        # noqa: N802
+        return not any(p(x) for x in self._items)
+
+    def findFirst(self):           # noqa: N802
+        return self._items[0] if self._items else None
+
+    def toList(self):              # noqa: N802
+        return JList(self._items)
+
+    def collect(self, collector):
+        return collector(self._items)
+
+    def mapToInt(self, f):         # noqa: N802
+        return self.map(f)
+
+    def mapToObj(self, f):         # noqa: N802
+        return self.map(f)
+
+    def reduce(self, identity, op):
+        acc = identity
+        for x in self._items:
+            acc = op(acc, x)
+        return acc
+
+
+class _Collectors:
+    @staticmethod
+    def toList():                  # noqa: N802
+        return lambda items: JList(items)
+
+    @staticmethod
+    def toSet():                   # noqa: N802
+        # painless Set surface via JList of uniques (insertion order)
+        def c(items):
+            seen, out = set(), []
+            for x in items:
+                if x not in seen:
+                    seen.add(x)
+                    out.append(x)
+            return JList(out)
+        return c
+
+    @staticmethod
+    def joining(sep="", prefix="", suffix=""):
+        return lambda items: JStr(
+            prefix + str(sep).join(str(x) for x in items) + suffix)
 
 
 class JMap(dict):
@@ -839,6 +995,16 @@ class _Processors:
         return JStr(str(s).strip())
 
     @staticmethod
+    def urlDecode(s):              # noqa: N802
+        from urllib.parse import unquote_plus
+        return JStr(unquote_plus(str(s)))
+
+    @staticmethod
+    def json(s):
+        import json as _json
+        return _wrap(_json.loads(str(s)))
+
+    @staticmethod
     def bytes(s):
         units = {"b": 1, "kb": 1024, "mb": 1024 ** 2, "gb": 1024 ** 3,
                  "tb": 1024 ** 4, "pb": 1024 ** 5}
@@ -852,7 +1018,8 @@ class _Processors:
 _GLOBALS = {
     "Math": _JavaMath, "Integer": _JavaInteger, "Long": _JavaInteger,
     "Double": _JavaDouble, "Float": _JavaDouble, "String": _JavaString,
-    "Processors": _Processors, "range": range, "len": len, "abs": abs,
+    "Processors": _Processors, "Collectors": _Collectors,
+    "range": range, "len": len, "abs": abs,
     "min": min, "max": max, "dict": dict, "RuntimeError": RuntimeError,
     "Exception": Exception,
     "_jlist": JList, "_jmap": JMap, "_JS": JStr, "_EV": _ElvisSentinel(),

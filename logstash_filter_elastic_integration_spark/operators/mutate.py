@@ -127,6 +127,14 @@ def p_convert(df, spec, ctx):
                           f"field [{f_name}] not present as part of path [{f_name}]")
         return df
     src = fcol(f_name)
+    if isinstance(field_type(df, f_name), T.ArrayType) and typ == "ip":
+        # ES validates each element; one bad element fails the whole row
+        bad = F.exists(src, lambda x: x.isNotNull()
+                       & ~x.cast("string").rlike(_IP_RX))
+        df = ctx.fail(df, active & src.isNotNull() & bad, spec,
+                      f"[{f_name}] is not an IP string literal.")
+        return guarded(df, active & src.isNotNull() & ~bad,
+                       {dst: F.transform(src, lambda x: x.cast("string"))})
     if isinstance(field_type(df, f_name), T.ArrayType) and typ in _CONVERT_TYPES:
         # ES converts each element when the field holds an array
         new = F.transform(src, lambda x: x.cast(_CONVERT_TYPES[typ]))

@@ -351,14 +351,26 @@ def q_pipe_split_sort_join(spark, sf_dir):
         {"sort": {"field": "words", "order": "desc"}},
         {"join": {"field": "words", "separator": "-",
                   "target_field": "joined"}},
+        # painless lambda comparator (streams-lite): sort words by
+        # (length, word) — a total order, so both engines and the oracle
+        # agree regardless of sort stability
+        {"script": {"source":
+                    "ctx.by_len = ctx.words.stream()"
+                    ".sorted((a,b) -> a.length() == b.length()"
+                    " ? a.compareTo(b) : a.length() - b.length())"
+                    ".collect(Collectors.joining('-'));"}},
     ])
-    return out.select("doc_id", "joined")
+    return out.select("doc_id", "joined", "by_len")
 
 
 O_SPLIT_SORT_JOIN = """
-SELECT doc_id,
-       array_to_string(list_reverse_sort(str_split(text, ' ')), '-') AS joined
-FROM documents
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+ s AS (SELECT doc_id, list(u ORDER BY len(u), u) AS by_len_l
+       FROM w, unnest(ws) AS t(u) GROUP BY doc_id)
+SELECT w.doc_id,
+       array_to_string(list_reverse_sort(ws), '-') AS joined,
+       array_to_string(s.by_len_l, '-') AS by_len
+FROM w JOIN s USING (doc_id)
 """
 
 

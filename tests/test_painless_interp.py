@@ -302,6 +302,72 @@ def test_ctx_map_field_mutation_persists():
         "meta": {"b": 2}, "n": 1}
 
 
+def test_lambda_comparator_sort_and_streams():
+    """Painless arrows + streams-lite in the interpreter: list.sort with a
+    comparator, stream().filter/map/sorted/collect, reduce."""
+    cs = CompiledScript(
+        "ctx.ws.sort((a,b) -> a.length() == b.length()"
+        " ? a.compareTo(b) : a.length() - b.length());")
+    assert cs.run_row({"ws": ["bb", "a", "ccc", "ab"]}) == {
+        "ws": ["a", "ab", "bb", "ccc"]}
+    cs2 = CompiledScript("""
+        for (int i = 0; i < 1; i++) { }
+        ctx.longs = ctx.ws.stream().filter(w -> w.length() > 1)
+            .map(w -> w.toUpperCase()).collect(Collectors.toList());
+        ctx.total = ctx.ns.stream().reduce(0, (a,b) -> a + b);
+        ctx.joined = ctx.ws.stream().sorted().collect(Collectors.joining('|'));
+    """)
+    out = cs2.run_row({"ws": ["bb", "a", "ccc"], "ns": [1, 2, 3]})
+    assert out["longs"] == ["BB", "CCC"]
+    assert out["total"] == 6
+    assert out["joined"] == "a|bb|ccc"
+
+
+def test_method_references_both_kinds():
+    cs = CompiledScript(
+        "for (int i = 0; i < 1; i++) { }"
+        "ctx.ints = ctx.ss.stream().map(Integer::parseInt)"
+        ".collect(Collectors.toList());"
+        "ctx.up = ctx.ws.stream().map(String::toUpperCase)"
+        ".collect(Collectors.joining(','));")
+    out = cs.run_row({"ss": ["1", "2"], "ws": ["x", "y"]})
+    assert out["ints"] == [1, 2] and out["up"] == "X,Y"
+
+
+def test_streams_lower_to_catalyst_in_column_engine(spark, registry):
+    """The Column compiler lowers stream chains / lambda sorts /
+    String.join to pyspark higher-order functions — no Python in the
+    plan."""
+    from logstash_filter_elastic_integration_spark.plans import run_pipeline
+    registry.register("s", {"processors": [
+        {"script": {"source":
+                    "ctx.longs = ctx.ws.stream().filter(w -> w.length() > 1)"
+                    ".map(w -> w.toUpperCase()).collect(Collectors.toList());"}},
+        {"script": {"source":
+                    "ctx.sorted_ws = ctx.ws.stream()"
+                    ".sorted((a,b) -> a.length() - b.length())"
+                    ".collect(Collectors.joining('-'));"}},
+        {"script": {"source": "ctx.joined = String.join('+', ctx.ws);"}},
+        {"script": {"source":
+                    "ctx.n = ctx.ws.stream().filter(w -> w.length() > 1)"
+                    ".count();"}},
+        {"script": {"source":
+                    "ctx.any3 = ctx.ws.stream()"
+                    ".anyMatch(w -> w.length() > 2);"}},
+    ]})
+    df = spark.createDataFrame([(1, ["bb", "a", "ccc"])],
+                               "id long, ws array<string>")
+    out = run_pipeline(df, "s", registry)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    r = out.collect()[0].asDict()
+    assert r["longs"] == ["BB", "CCC"]
+    assert r["sorted_ws"] == "a-bb-ccc"
+    assert r["joined"] == "bb+a+ccc"
+    assert r["n"] == 2
+    assert r["any3"] is True
+
+
 def test_try_catch_and_exception_message():
     cs = CompiledScript("""
         try {

@@ -627,6 +627,20 @@ def test_kv_exclude_on_dynamic_extras(spark, registry):
     assert "drop_me" not in extras
 
 
+def test_convert_ip_on_array(spark, registry):
+    """convert type=ip over an array column: every element validated, one
+    bad element fails the whole row (ES element-wise semantics)."""
+    out = run_one(
+        spark, registry,
+        [{"convert": {"field": "ips", "type": "ip"}}],
+        [(1, ["10.0.0.1", "192.168.1.9"]), (2, ["10.0.0.1", "nope"])],
+        "id long, ips array<string>")
+    by = {r["id"]: r for r in out}
+    assert (by[1].get("tags") or []) == []
+    assert by[1]["ips"] == ["10.0.0.1", "192.168.1.9"]
+    assert "_ingest_pipeline_failure" in (by[2].get("tags") or [])
+
+
 def test_csv_empty_value_fill(spark, registry):
     out = run_one(
         spark, registry,
