@@ -125,34 +125,58 @@ def p_grok(df, spec, ctx):
         # java named groups.
         java_rx = _to_java_regex(nc)
         gidx = _group_indexes(nc)
-        matched = src.rlike(java_rx)
         groups = list(compiled.group_maps[0].items())  # (gname, fieldname)
-        # packed fast path: for a both-ends-anchored pattern the whole
-        # string is the single match, so ONE regexp_replace rewrites it to
-        # all captures \x01-joined — 2 regex executions total (rlike +
-        # replace) instead of 1 + N regexp_extract.
+        gsrc = F.when(active, src)  # inactive rows never run the regex
+        matched_raw = gsrc.rlike(java_rx)
+        # packed fast path: ONE regexp_replace rewrites the whole string
+        # to all captures \x01-joined — 2 regex executions total (rlike +
+        # replace) instead of 1 + N regexp_extract.  Unanchored patterns
+        # (ES search semantics) get group-local-DOTALL wrappers
+        # \A(?s:.*?) ... (?s:.*)\z so the single match consumes the whole
+        # string without changing `.` semantics INSIDE the user pattern.
+        #
+        # MATERIALIZATION BARRIER: the result is staged through ONE
+        # __grok_packed column gated by a nondeterministic rand() guard.
+        # Without it, CollapseProject inlines the regex expression into
+        # every downstream reference (convert/fingerprint/route
+        # conditions...) and the regex re-executes per reference —
+        # measured 5x flagship wall blowup at 8M rows.  The pandas engine
+        # never had the problem because ArrowEvalPython is itself a
+        # barrier.  With the barrier: 8M rows/local[32] flagship matches
+        # the pandas engine within noise, with zero Python in the plan.
         pat = compiled.java_patterns[0]
-        packed_ok = pat.startswith("^") and pat.endswith("$") and len(groups) >= 3
-        updates = {}
-        if packed_ok:
+        if len(groups) >= 3:
+            # packed: ONE regexp_replace -> \x01-joined captures -> split
             refs = "\x01".join("${" + g + "}" for g, _ in groups)
-            packed = F.regexp_replace(src, java_rx, refs)
-            parts = F.split(packed, "\x01", -1)
-            for i, (g, fname) in enumerate(groups):
-                gtype = compiled.fields[fname]
-                val = F.element_at(parts, i + 1)
-                val = F.when(matched & (val != ""), val)
-                if gtype != "string":
-                    val = val.cast(_SPARK_TYPE[gtype])
-                updates[fname] = val
+            pre = "" if pat.startswith("^") else r"\A(?s:.*?)"
+            post = "" if pat.endswith("$") else r"(?s:.*)\z"
+            packed = F.regexp_replace(gsrc, pre + java_rx + post, refs)
+            raw_parts = F.split(packed, "\x01", -1)
         else:
-            for g, fname in groups:
-                gtype = compiled.fields[fname]
-                val = F.regexp_extract(src, java_rx, gidx[g])
-                val = F.when(matched & (val != ""), val)
-                if gtype != "string":
-                    val = val.cast(_SPARK_TYPE[gtype])
-                updates[fname] = val
+            raw_parts = F.array(*[
+                F.regexp_extract(gsrc, java_rx, gidx[g])
+                for g, _ in groups])
+        # stage 1 — the regex output lands in ONE array column behind a
+        # nondeterministic guard, so the regex tree exists exactly once in
+        # the plan and CollapseProject cannot inline it downstream
+        df = df.withColumn("__grok_parts", F.when(
+            F.rand() >= -1.0, F.when(matched_raw, raw_parts)))
+        pcol = fcol("__grok_parts")
+        matched = pcol.isNotNull()
+
+        def _typed(g, fname, raw):
+            gtype = compiled.fields[fname]
+            v = F.when(raw != "", raw)
+            if gtype != "string":
+                v = v.cast(_SPARK_TYPE[gtype])
+            return v.alias(g)
+
+        # stage 2 — typed struct built from cheap attribute accesses
+        vals = F.struct(*[
+            _typed(g, fname, F.element_at(pcol, i + 1))
+            for i, (g, fname) in enumerate(groups)])
+        df = df.withColumn("__grok_packed", F.when(matched, vals))
+        updates = {fname: fcol("__grok_packed")[g] for g, fname in groups}
         if cfg.get("trace_match", False):
             # single pattern: the matching index is always 0
             updates["_ingest._grok_match_index"] = F.lit("0")
@@ -233,7 +257,8 @@ def p_grok(df, spec, ctx):
                   spec,
                   "Provided Grok expressions do not match field value: ["
                   + f_name + "]")
-    for c in ("__grok_matched", "__grok_interrupted"):
+    for c in ("__grok_matched", "__grok_interrupted", "__grok_packed",
+              "__grok_parts"):
         if c in df.columns:
             df = df.drop(c)
     return df

@@ -47,6 +47,13 @@ def get_spark(
         # the sort-based writer (the route column has few distinct values,
         # so a handful of open files per task beats sorting wide rows)
         .config("spark.sql.maxConcurrentOutputFileWriters", "16")
+        # deep compiled pipelines fuse into ONE whole-stage method; above
+        # ~8KB bytecode HotSpot refuses to JIT it and the whole stage runs
+        # interpreted (measured 3x flagship slowdown once the JVM grok
+        # lowering removed the ArrowEvalPython stage split).  8000 matches
+        # the JIT's HugeMethodLimit: larger stages fall back to
+        # per-operator codegen, which the JIT does compile.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -153,27 +153,53 @@ class MmdbReader:
         raise ValueError(f"unsupported mmdb data type {dtype}")
 
 
+def _en(node) -> str | None:
+    names = node.get("names", {}) if isinstance(node, dict) else {}
+    return names.get("en") if isinstance(names, dict) else None
+
+
 def _flatten(record: dict) -> dict:
-    """GeoLite2-shaped record -> flat geoip property names (the subset the
-    ES geoip processor emits)."""
+    """GeoLite2-shaped record -> the flat geoip property names the ES
+    geoip processor emits (GeoIpProcessor city/ASN field lists):
+    country_iso_code/name, continent_code/name, region_iso_code/name
+    (region iso = COUNTRY-SUBDIVISION), city_name, timezone, lat/lon,
+    and the ASN db's asn / organization_name."""
     out = {}
     country = record.get("country", {})
     city = record.get("city", {})
     loc = record.get("location", {})
+    continent = record.get("continent", {})
+    subs = record.get("subdivisions")
     if country:
         out["country_iso_code"] = country.get("iso_code")
-        names = country.get("names", {})
-        out["country_name"] = names.get("en") if isinstance(names, dict) \
-            else None
+        out["country_name"] = _en(country)
+    if continent:
+        out["continent_code"] = continent.get("code")
+        out["continent_name"] = _en(continent)
+    if isinstance(subs, list) and subs and isinstance(subs[0], dict):
+        sub_iso = subs[0].get("iso_code")
+        c_iso = country.get("iso_code") if country else None
+        if sub_iso and c_iso:
+            out["region_iso_code"] = f"{c_iso}-{sub_iso}"
+        out["region_name"] = _en(subs[0])
     if city:
-        names = city.get("names", {})
-        out["city_name"] = names.get("en") if isinstance(names, dict) else None
+        out["city_name"] = _en(city)
     if loc:
         out["lat"] = loc.get("latitude")
         out["lon"] = loc.get("longitude")
+        if loc.get("time_zone") is not None:
+            out["timezone"] = loc.get("time_zone")
+    # ASN databases: top-level scalars with MaxMind raw names
+    if record.get("autonomous_system_number") is not None:
+        out["asn"] = record.get("autonomous_system_number")
+    if record.get("autonomous_system_organization") is not None:
+        out["organization_name"] = record.get(
+            "autonomous_system_organization")
     # flat custom DBs (tests / bespoke enrich tables) pass through scalars
     for k, v in record.items():
-        if not isinstance(v, (dict, list)):
+        if not isinstance(v, (dict, list)) \
+                and k not in ("autonomous_system_number",
+                              "autonomous_system_organization"):
             out.setdefault(k, v)
     return out
 

@@ -56,6 +56,31 @@ def test_mmdb_dim_feeds_geoip_processor(spark, registry, tmp_path):
     assert by["1.1.1.1"]["geo.country_iso_code"] is None
 
 
+def test_flatten_full_es_city_and_asn_field_lists(tmp_path):
+    """The full ES GeoIpProcessor city/ASN property surface: continent
+    code/name, region iso (COUNTRY-SUB) + name, timezone, asn +
+    organization_name."""
+    from logstash_filter_elastic_integration_spark.sources.mmdb import (
+        _flatten)
+    city = _flatten({
+        "country": {"iso_code": "US", "names": {"en": "United States"}},
+        "continent": {"code": "NA", "names": {"en": "North America"}},
+        "subdivisions": [{"iso_code": "WA",
+                          "names": {"en": "Washington"}}],
+        "city": {"names": {"en": "Seattle"}},
+        "location": {"latitude": 47.6, "longitude": -122.3,
+                     "time_zone": "America/Los_Angeles"},
+    })
+    assert city["continent_code"] == "NA"
+    assert city["continent_name"] == "North America"
+    assert city["region_iso_code"] == "US-WA"
+    assert city["region_name"] == "Washington"
+    assert city["timezone"] == "America/Los_Angeles"
+    asn = _flatten({"autonomous_system_number": 15169,
+                    "autonomous_system_organization": "GOOGLE"})
+    assert asn == {"asn": 15169, "organization_name": "GOOGLE"}
+
+
 def test_geoip_database_path_autoload(spark, registry, tmp_path):
     """geoip with database_path ingests the .mmdb directly — no manual dim
     registration needed."""
