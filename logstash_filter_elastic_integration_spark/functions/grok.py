@@ -91,6 +91,28 @@ GROK_PATTERNS: dict[str, str] = {
     # (spec/integration/elastic_integration_spec.rb:1377-1455)
     "TOMCAT_DATESTAMP": r"20%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{HOUR}:?%{MINUTE}(?::?%{SECOND}) %{ISO8601_TIMEZONE}",
     "TOMCATLOG": r"%{TOMCAT_DATESTAMP:timestamp} \| %{LOGLEVEL:level} \| %{JAVACLASS:class} - %{JAVALOGMESSAGE:logmessage}",
+    # httpd / syslog composites (legacy capture names)
+    "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "COMMONAPACHELOG": r'%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} \[%{HTTPDATE:timestamp}\] "(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" %{NUMBER:response} (?:%{NUMBER:bytes}|-)',
+}
+
+# ECS-compatibility v1 overlay: same match shapes, ECS capture names —
+# transcribed from the public logstash-patterns-core ``ecs-v1`` bank (the
+# dataset the ES grok processor selects under ``ecs_compatibility: v1``).
+# Bracketed capture paths ``[a][b]`` normalize to dotted ``a.b`` fields.
+GROK_PATTERNS_ECS_V1 = {
+    "HTTPD_COMMONLOG": r'%{IPORHOST:[source][address]} (?:-|%{HTTPDUSER:[apache][access][user][identity]}) (?:-|%{HTTPDUSER:[user][name]}) \[%{HTTPDATE:timestamp}\] "(?:%{WORD:[http][request][method]} %{NOTSPACE:[url][original]}(?: HTTP/%{NUMBER:[http][version]})?|%{DATA:rawrequest})" (?:-|%{INT:[http][response][status_code]:int}) (?:-|%{INT:[http][response][body][bytes]:int})',
+    "HTTPD_COMBINEDLOG": r"%{HTTPD_COMMONLOG} %{QS:[http][request][referrer]} %{QS:[user_agent][original]}",
+    "COMMONAPACHELOG": r"%{HTTPD_COMMONLOG}",
+    "COMBINEDAPACHELOG": r"%{HTTPD_COMBINEDLOG}",
+    "SYSLOGPROG": r"%{PROG:[process][name]}(?:\[%{POSINT:[process][pid]:int}\])?",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:[log][syslog][facility][code]:int}.%{NONNEGINT:[log][syslog][priority]:int}>",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:[host][hostname]} %{SYSLOGPROG}:",
 }
 
 _SYNTAX = re.compile(r"%\{(\w+)(?::([\w.@\[\]\-]+))?(?::(\w+))?\}")
@@ -315,8 +337,15 @@ def has_nested_quantifier(pattern: str) -> bool:
 
 
 class GrokCompiler:
-    def __init__(self, extra_patterns: dict[str, str] | None = None):
+    def __init__(self, extra_patterns: dict[str, str] | None = None,
+                 ecs_compatibility: str = "disabled"):
+        if ecs_compatibility not in ("disabled", "v1"):
+            # ES GrokProcessor factory validation
+            raise ValueError(
+                f"[ecs_compatibility] unsupported mode [{ecs_compatibility}]")
         self.bank = dict(GROK_PATTERNS)
+        if ecs_compatibility == "v1":
+            self.bank.update(GROK_PATTERNS_ECS_V1)
         if extra_patterns:
             self.bank.update(extra_patterns)
 
@@ -330,6 +359,10 @@ class GrokCompiler:
             if name not in self.bank:
                 raise ValueError(f"Unknown grok pattern %{{{name}}}")
             inner = self.expand(self.bank[name], captures, group_map, depth + 1)
+            if capture and capture.startswith("["):
+                # ecs-v1 bracket path [a][b] -> dotted a.b (the ES field
+                # reference syntax; flat-model dotted columns)
+                capture = ".".join(re.findall(r"\[([^\]]+)\]", capture))
             if capture:
                 gname = f"g{len(group_map)}"
                 group_map[gname] = capture

@@ -720,6 +720,14 @@ class _Collectors:
 class JMap(dict):
     """dict with Painless/Java Map method names."""
 
+    def __getattr__(self, name):
+        # Painless map-access shorthand: `map.key` == `map.get('key')`
+        # (real methods resolve through normal attribute lookup first)
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
     def put(self, k, v):
         prev = dict.get(self, k)
         self[k] = v
@@ -1000,9 +1008,46 @@ class _Processors:
         return JStr(unquote_plus(str(s)))
 
     @staticmethod
-    def json(s):
+    def json(s, field=None):
         import json as _json
+        if field is not None:
+            # ES overload json(Map, String): parse map[field] in place —
+            # works on plain maps AND on ctx itself (the common call shape
+            # ``Processors.json(ctx, 'field')``)
+            key = str(field)
+            cur = s[key] if isinstance(s, dict) else getattr(s, key)
+            parsed = _wrap(_json.loads(str(cur)))
+            if isinstance(s, dict):
+                s[key] = parsed
+            else:
+                setattr(s, key, parsed)
+            return None
         return _wrap(_json.loads(str(s)))
+
+    @staticmethod
+    def uriParts(s):               # noqa: N802
+        # same field set as the uri_parts processor (operators/net.py)
+        from urllib.parse import urlsplit
+        raw = str(s)
+        u = urlsplit(raw)
+        if not u.netloc:
+            raise ValueError(f"unable to parse URI [{raw}]")
+        ext = ""
+        if "." in (u.path.rsplit("/", 1)[-1]):
+            ext = u.path.rsplit("/", 1)[-1].rsplit(".", 1)[-1]
+        ui = ""
+        if "@" in u.netloc:
+            ui = u.netloc.rsplit("@", 1)[0]
+        out = {
+            "scheme": u.scheme.lower(), "domain": u.hostname,
+            "port": u.port, "path": u.path, "query": u.query or None,
+            "fragment": u.fragment or None, "user_info": ui or None,
+            "username": (ui.split(":", 1)[0] if ui else None),
+            "password": (ui.split(":", 1)[1]
+                         if ui and ":" in ui else None),
+            "extension": ext or None, "original": raw,
+        }
+        return _wrap({k: v for k, v in out.items() if v is not None})
 
     @staticmethod
     def bytes(s):

@@ -90,8 +90,24 @@ def _iso_with_offset(ts_utc: Column, tz: str) -> Column:
     return F.concat(body, offset)
 
 
+def _check_locale(cfg):
+    """Month/day-name parsing here is English (Spark's date_format parse
+    locale) — ES's `locale` option re-binds those names per language.
+    Accept the english/root locales it defaults to; anything else would
+    silently mis-parse, so fail loud at compile time."""
+    loc = cfg.get("locale")
+    if loc is None:
+        return
+    norm = str(loc).replace("-", "_").lower()
+    if norm not in ("en", "en_us", "en_gb", "english", "root", ""):
+        raise ValueError(
+            f"date locale [{loc}] is not supported (English month/day "
+            f"names only); drop the option or pre-normalize the field")
+
+
 def p_date(df, spec, ctx):
     cfg = spec.config
+    _check_locale(cfg)
     f_name = cfg["field"]
     formats = cfg.get("formats", ["ISO8601"])
     tz = cfg.get("timezone", "UTC")
@@ -120,6 +136,7 @@ def p_date_index_name(df, spec, ctx):
     ES DateIndexNameProcessor:
     ``<prefix{formattedDate||/rounding{format|tz}}>``."""
     cfg = spec.config
+    _check_locale(cfg)
     f_name = cfg["field"]
     prefix = cfg.get("index_name_prefix", "")
     rounding = cfg["date_rounding"]

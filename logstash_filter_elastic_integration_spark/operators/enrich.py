@@ -18,7 +18,24 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from ..plans.document import fcol, guarded
+from pyspark.sql import types as T
+
+from ..plans.document import fcol, field_type, guarded
+
+
+def _lookup_key(df, cfg, f_name):
+    """Probe-key column.  Array-valued fields follow the ES geoip
+    ``first_only`` contract (default true): resolve the FIRST element; the
+    multi-result mode (first_only=false emits one geo object per element)
+    is not expressible as a broadcast-join column update — fail loud."""
+    key = fcol(f_name)
+    if isinstance(field_type(df, f_name), T.ArrayType):
+        if not cfg.get("first_only", True):
+            raise ValueError(
+                "first_only=false (one result per array element) is not "
+                "supported; resolve elements with foreach instead")
+        key = F.element_at(key, 1)
+    return key
 
 
 def _prepared_dim(ctx, cache_key, dim, build):
@@ -120,7 +137,8 @@ def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
         F.col(key_col).alias(joined),
         *[F.col(p).alias(f"{joined}.{p}") for p in props])
     df = df.join(F.broadcast(renamed),
-                 fcol(f_name).cast("string") == fcol(joined), "left")
+                 _lookup_key(df, cfg, f_name).cast("string") == fcol(joined),
+                 "left")
     updates = {f"{target}.{p}": fcol(f"{joined}.{p}") for p in props}
     df = guarded(df, active, updates)
     return df.drop(joined, *[f"{joined}.{p}" for p in props])
@@ -147,7 +165,7 @@ def _broadcast_range_lookup(df, spec, ctx, dim_name: str, default_target: str):
             return ctx.fail(df, active, spec,
                             f"field [{f_name}] not present as part of path [{f_name}]")
         return df
-    key = fcol(f_name).cast("string")
+    key = _lookup_key(df, cfg, f_name).cast("string")
     key_long = F.when(key.rlike(r"^(\d{1,3}\.){3}\d{1,3}$"), _ip4_to_long(key)) \
         .otherwise(key.try_cast("long"))
     props = cfg.get("properties") or [c for c in dim.columns if c not in (lo, hi)]

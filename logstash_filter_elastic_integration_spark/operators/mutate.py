@@ -23,6 +23,14 @@ def p_set(df, spec, ctx):
     cfg = spec.config
     field = cfg["field"]
     active = ctx.active(df, spec)
+    media_type = cfg.get("media_type", "application/json")
+    if media_type not in ("application/json", "text/plain",
+                          "application/x-www-form-urlencoded"):
+        # ES SetProcessor factory validation (construction-time error)
+        raise ValueError(
+            f"property [media_type] must be one of [application/json, "
+            f"text/plain, application/x-www-form-urlencoded], found "
+            f"[{media_type}]")
     if "copy_from" in cfg:
         from ..plans.document import resolve_field
         # resolve_field: static column, else the _extras dynamic-field map
@@ -31,6 +39,9 @@ def p_set(df, spec, ctx):
         value = template_column(df, cfg.get("value"))
     if not cfg.get("override", True) and field in df.columns:
         active = active & fcol(field).isNull()
+    if cfg.get("ignore_empty_value", False):
+        # ES: quietly skip when the (rendered) value is null or ""
+        active = active & value.isNotNull() & (value.cast("string") != "")
     df = guarded(df, active, {field: value})
     # ES SetProcessor always puts the key into the document map — a null
     # value is PRESENT-null, not missing.  Literal non-null scalars can
@@ -53,6 +64,44 @@ def p_remove(df, spec, ctx):
     removed (map_filter drops the key) — per-row removal, exactly the ES
     semantics the flat model can't express for static columns."""
     cfg = spec.config
+    if "keep" in cfg:
+        # ES 8.x `keep` option: remove EVERYTHING except the kept fields
+        # and ES metadata (_index/_id/_routing/_version/_version_type);
+        # mutually exclusive with `field` (factory-time error in ES).
+        if "field" in cfg:
+            raise ValueError(
+                "[keep] and [field] cannot both be used in the same remove "
+                "processor")
+        keep = set(cfg["keep"] if isinstance(cfg["keep"], list)
+                   else [cfg["keep"]])
+        meta = {"_index", "_id", "_routing", "_version", "_version_type",
+                "_ingest"}
+        active = ctx.active(df, spec)
+        updates = {}
+        for col_name in df.columns:
+            if (col_name in keep or col_name in meta
+                    or col_name.startswith("__") or col_name == "_extras"):
+                continue
+            # a kept dotted path keeps every column under its prefix too
+            if any(col_name.startswith(k + ".") or k.startswith(col_name + ".")
+                   for k in keep):
+                continue
+            updates[col_name] = F.lit(None).cast(field_type(df, col_name))
+        if "_extras" in df.columns:
+            kept = sorted(keep)
+            updates["_extras"] = F.map_filter(
+                fcol("_extras"),
+                (lambda k, _: k.isin(*kept)) if kept
+                else (lambda k, _: F.lit(False)))
+        from ..plans.document import NULLSET
+        if NULLSET in df.columns:
+            # removed fields must read as MISSING, not present-null
+            kept = sorted(keep)
+            updates[NULLSET] = F.filter(
+                fcol(NULLSET),
+                (lambda x: x.isin(*kept)) if kept
+                else (lambda x: F.lit(False)))
+        return guarded(df, active, updates)
     fields = cfg["field"] if isinstance(cfg["field"], list) else [cfg["field"]]
     ignore_missing = cfg.get("ignore_missing", False)
     active = ctx.active(df, spec)
@@ -271,12 +320,40 @@ def p_dot_expander(df, spec, ctx):
     literal "a.b" into nested a.b."""
     cfg = spec.config
     f_name = cfg.get("field")
-    if (f_name and f_name != "*" and f_name not in df.columns
-            and "_extras" in df.columns):
+    if cfg.get("path"):
+        # ES `path`: the dotted key lives under this object — in the flat
+        # model that's simply the fully-qualified dotted key
+        f_name = f"{cfg['path']}.{f_name}"
+    if f_name == "*":
+        # Flat-model identity: every dotted key already IS its path; static
+        # columns need no expansion and `_extras` keys stay dynamically
+        # resolvable under the same dotted name (resolve_field falls back
+        # to the map), so wildcard expansion is observationally a no-op.
+        return df
+    if f_name and f_name not in df.columns and "_extras" in df.columns:
         active = ctx.active(df, spec)
         val = F.try_element_at(fcol("_extras"), F.lit(f_name))
         df = guarded(df, active, {
             f_name: val,
+            "_extras": F.map_filter(fcol("_extras"),
+                                    lambda k, _: k != f_name)})
+    elif f_name and f_name in df.columns and "_extras" in df.columns \
+            and cfg.get("override") is not None:
+        # expansion target collides with an existing static column: ES
+        # DotExpanderProcessor override=true replaces it; override=false
+        # merges old+new into an array (list-append semantics).  The
+        # flat model supports replace; array-merge on a typed column is
+        # the `append` promotion path — fail loud rather than silently
+        # diverge (README Known divergences: append promotion).
+        active = ctx.active(df, spec)
+        dyn = F.try_element_at(fcol("_extras"), F.lit(f_name))
+        if not cfg["override"]:
+            raise ValueError(
+                "dot_expander override=false (array-merge) on a static "
+                "column is not expressible in the flat column model; set "
+                "override=true or expand into a fresh field")
+        df = guarded(df, active & dyn.isNotNull(), {
+            f_name: dyn.cast(field_type(df, f_name)),
             "_extras": F.map_filter(fcol("_extras"),
                                     lambda k, _: k != f_name)})
     return df

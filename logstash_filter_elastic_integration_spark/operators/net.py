@@ -116,6 +116,43 @@ def p_html_strip(df, spec, ctx):
 
 
 # ------------------------------------------------------------ user_agent ---
+def _uap_tmpl(ua, tmpl, rx):
+    """Render a uap-core ``$N`` replacement template as a Column (the
+    ua-parser ``Parse*`` replacement contract)."""
+    if "$" not in tmpl:
+        return F.lit(tmpl)
+    pieces = re.split(r"\$(\d)", tmpl)
+    cols = []
+    for i, piece in enumerate(pieces):
+        if i % 2 == 0:
+            if piece:
+                cols.append(F.lit(piece))
+        else:
+            cols.append(F.regexp_extract(ua, rx, int(piece)))
+    return F.concat(*cols) if cols else F.lit("")
+
+
+def _uap_version(ua, rx, vspecs, n_groups):
+    """v1..v4 = vN_replacement template else capture group N+1 (ua-parser
+    numbering: group 1 is the family slot), '.'-joined over present parts."""
+    parts = []
+    for i, spec in enumerate(vspecs):
+        g = i + 2
+        if spec is not None:
+            parts.append(_uap_tmpl(ua, spec, rx))
+        elif n_groups >= g:
+            parts.append(F.regexp_extract(ua, rx, g))
+        else:
+            continue
+    if not parts:
+        return F.lit(None).cast("string")
+    return F.when(
+        F.concat_ws(".", *[F.when(p.isNotNull() & (p != ""), p)
+                           for p in parts]) != "",
+        F.concat_ws(".", *[F.when(p.isNotNull() & (p != ""), p)
+                           for p in parts]))
+
+
 # Browser/OS/device regex bank re-expressed from the public ua-parser
 # core definitions (uap-core, public-domain data — the same dataset the
 # ES processor ships per docs/index.asciidoc:200).  Ordered: FIRST match
@@ -178,38 +215,82 @@ def p_user_agent(df, spec, ctx):
         g1 = F.regexp_extract(ua, rx, 1)
         return F.concat(F.lit(pre), g1, F.lit(post))
 
-    # FORWARD-ordered CASE chains: first matching family wins AND codegen
-    # short-circuits — a Chrome UA only executes regexes up to the Chrome
-    # rule instead of the full bank
-    name = F.when(F.lit(False), F.lit(None).cast("string"))
-    version = F.when(F.lit(False), F.lit(None).cast("string"))
-    for bname, rx in _UA_BROWSERS:
-        hit = _hit(rx)
-        name = name.when(hit, _family_of(bname, rx))
-        version = version.when(
-            hit, _version_of(rx, start=2 if "$1" in bname else 1))
-    name = name.otherwise(F.lit("Other"))
-    version = version.otherwise(F.lit(None).cast("string"))
+    if cfg.get("regex_file"):
+        # ES regex_file option (docs/index.asciidoc:173-200): a full
+        # uap-core regexes.yaml used WHOLESALE — exact ua-parser group
+        # numbering ($N templates; group 1 = family/os/device slot,
+        # versions from group 2).  Same ordered-CASE lowering; a full
+        # ~1200-entry bank exceeds whole-stage-codegen's method budget so
+        # Spark evaluates the chain interpreted (documented trade for
+        # full fidelity vs the curated built-in bank).
+        from .ua_bank import load_uap_regexes
+        banks = load_uap_regexes(cfg["regex_file"])
+        name = F.when(F.lit(False), F.lit(None).cast("string"))
+        version = F.when(F.lit(False), F.lit(None).cast("string"))
+        for e in banks["browsers"]:
+            rx = e["regex"]
+            hit = _hit(rx)
+            n_groups = re.compile(rx).groups
+            fam = (_uap_tmpl(ua, e["family"], rx) if e["family"] is not None
+                   else F.regexp_extract(ua, rx, 1))
+            name = name.when(hit, fam)
+            version = version.when(hit, _uap_version(ua, rx, e["v"], n_groups))
+        name = name.otherwise(F.lit("Other"))
+        version = version.otherwise(F.lit(None).cast("string"))
+        os_name = F.when(F.lit(False), F.lit(None).cast("string"))
+        os_version = F.when(F.lit(False), F.lit(None).cast("string"))
+        for e in banks["os"]:
+            rx = e["regex"]
+            hit = _hit(rx)
+            n_groups = re.compile(rx).groups
+            osn = (_uap_tmpl(ua, e["os"], rx) if e["os"] is not None
+                   else F.regexp_extract(ua, rx, 1))
+            os_name = os_name.when(hit, osn)
+            os_version = os_version.when(
+                hit, _uap_version(ua, rx, e["v"], n_groups))
+        os_name = os_name.otherwise(F.lit("Other"))
+        os_version = os_version.otherwise(F.lit(None).cast("string"))
+        device = F.when(F.lit(False), F.lit(None).cast("string"))
+        for e in banks["devices"]:
+            rx = e["regex"]
+            dev = (F.trim(_uap_tmpl(ua, e["device"], rx))
+                   if e["device"] is not None
+                   else F.regexp_extract(ua, rx, 1))
+            device = device.when(_hit(rx), dev)
+        device = device.otherwise(F.lit("Other"))
+    else:
+        # FORWARD-ordered CASE chains: first matching family wins AND
+        # codegen short-circuits — a Chrome UA only executes regexes up to
+        # the Chrome rule instead of the full bank
+        name = F.when(F.lit(False), F.lit(None).cast("string"))
+        version = F.when(F.lit(False), F.lit(None).cast("string"))
+        for bname, rx in _UA_BROWSERS:
+            hit = _hit(rx)
+            name = name.when(hit, _family_of(bname, rx))
+            version = version.when(
+                hit, _version_of(rx, start=2 if "$1" in bname else 1))
+        name = name.otherwise(F.lit("Other"))
+        version = version.otherwise(F.lit(None).cast("string"))
 
-    nt = F.regexp_extract(ua, r"Windows NT (\d+\.\d+)", 1)
-    win_ver = F.when(F.lit(False), F.lit(None).cast("string"))
-    for kernel, marketing in _WINDOWS_NT_VERSIONS.items():
-        win_ver = win_ver.when(nt == kernel, F.lit(marketing))
-    win_ver = win_ver.otherwise(F.when(nt != "", nt))
-    os_name = F.when(F.lit(False), F.lit(None).cast("string"))
-    os_version = F.when(F.lit(False), F.lit(None).cast("string"))
-    for oname, rx in _UA_OS:
-        hit = _hit(rx)
-        os_name = os_name.when(hit, F.lit(oname))
-        os_version = os_version.when(
-            hit, win_ver if oname == "Windows" else _version_of(rx))
-    os_name = os_name.otherwise(F.lit("Other"))
-    os_version = os_version.otherwise(F.lit(None).cast("string"))
+        nt = F.regexp_extract(ua, r"Windows NT (\d+\.\d+)", 1)
+        win_ver = F.when(F.lit(False), F.lit(None).cast("string"))
+        for kernel, marketing in _WINDOWS_NT_VERSIONS.items():
+            win_ver = win_ver.when(nt == kernel, F.lit(marketing))
+        win_ver = win_ver.otherwise(F.when(nt != "", nt))
+        os_name = F.when(F.lit(False), F.lit(None).cast("string"))
+        os_version = F.when(F.lit(False), F.lit(None).cast("string"))
+        for oname, rx in _UA_OS:
+            hit = _hit(rx)
+            os_name = os_name.when(hit, F.lit(oname))
+            os_version = os_version.when(
+                hit, win_ver if oname == "Windows" else _version_of(rx))
+        os_name = os_name.otherwise(F.lit("Other"))
+        os_version = os_version.otherwise(F.lit(None).cast("string"))
 
-    device = F.when(F.lit(False), F.lit(None).cast("string"))
-    for dname, drx in _UA_DEVICES:
-        device = device.when(_hit(drx), _family_of(dname, drx))
-    device = device.otherwise(F.lit("Other"))
+        device = F.when(F.lit(False), F.lit(None).cast("string"))
+        for dname, drx in _UA_DEVICES:
+            device = device.when(_hit(drx), _family_of(dname, drx))
+        device = device.otherwise(F.lit("Other"))
     updates = {
         f"{target}.name": name,
         f"{target}.version": version,

@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 
 from ..functions.dissect import compile_dissect
 from ..functions.grok import GrokCompiler
-from ..plans.document import fcol, guarded
+from ..plans.document import fcol, field_type, guarded
 from .common import template_column
 
 _SPARK_TYPE = {"string": T.StringType(), "long": T.LongType(),
@@ -65,7 +65,9 @@ def _group_indexes(regex: str) -> dict[str, int]:
 
 
 def _grok_compiler(spec):
-    return GrokCompiler(extra_patterns=spec.config.get("pattern_definitions"))
+    return GrokCompiler(
+        extra_patterns=spec.config.get("pattern_definitions"),
+        ecs_compatibility=spec.config.get("ecs_compatibility", "disabled"))
 
 
 # constructs that keep a grok on the Python engine: numbered backrefs and
@@ -431,12 +433,38 @@ def p_json(df, spec, ctx):
         return df
     src = fcol(f_name).cast("string")
     add_to_root = cfg.get("add_to_root", False)
+    strict = cfg.get("strict_json_parsing", True)
+    # allow_duplicate_keys=true (last duplicate wins) is the native
+    # behavior of from_json/parse_json, nothing to do; the ES strict
+    # default (fail on duplicates) is not detectable JVM-side without a
+    # second parse, so duplicate-key docs silently last-win either way
+    # (README Known divergences).
+    # Spark's json parser is natively LENIENT exactly like ES's
+    # strict_json_parsing=false (first value parsed, trailing characters
+    # ignored: "123 junk" -> 123 — verified against try_parse_json and
+    # from_json).  The ES strict DEFAULT must instead reject trailing
+    # junk, so enforce full consumption JVM-side: the trimmed input must
+    # END where its first value ends (scalar = anchored full-match;
+    # object/array = closing bracket is the last char — a trailing-junk
+    # tail that itself ends in the matching bracket is the one
+    # undetectable corner, documented).
+    strict_ok = None
+    if strict:
+        t = F.trim(src)
+        scalar_full = t.rlike(
+            r'^(-?\d+(\.\d+)?([eE][+-]?\d+)?|"([^"\\]|\\.)*"'
+            r"|true|false|null)$")
+        strict_ok = (scalar_full
+                     | (t.startswith("{") & t.endswith("}"))
+                     | (t.startswith("[") & t.endswith("]")))
     if "schema" in cfg:
         parsed = F.from_json(src, cfg["schema"])
         ok = parsed.isNotNull()
     else:
         parsed = F.try_parse_json(src)
         ok = parsed.isNotNull()
+    if strict_ok is not None:
+        ok = ok & strict_ok
     df = ctx.fail(df, active & src.isNotNull() & ~ok, spec,
                   f"Unable to parse field [{f_name}] as JSON")
     if add_to_root:
@@ -444,18 +472,59 @@ def p_json(df, spec, ctx):
         # root (default replace strategy — new keys win).  With a declared
         # schema each struct field becomes a root column; without one the
         # dynamic keys land in _extras (same contract as kv dynamic keys).
+        conflict = cfg.get("add_to_root_conflict_strategy", "replace")
+        if conflict not in ("replace", "merge"):
+            raise ValueError(
+                f"conflict strategy [{conflict}] not supported, cannot "
+                f"convert field [add_to_root_conflict_strategy]")
         if "schema" in cfg:
             from pyspark.sql import types as T
             sch = T._parse_datatype_string(cfg["schema"])
             if not isinstance(sch, T.StructType):
                 raise ValueError("json add_to_root needs an object schema")
-            updates = {sf.name: parsed[sf.name] for sf in sch.fields}
+            updates = {}
+            for sf in sch.fields:
+                new_v = parsed[sf.name]
+                if (conflict == "merge" and sf.name in df.columns
+                        and isinstance(sf.dataType, T.StructType)
+                        and isinstance(field_type(df, sf.name),
+                                       T.StructType)):
+                    # ES recursiveMerge: map⊕map merges per-key (new wins
+                    # per present key); from_json yields null for absent
+                    # fields, so new-non-null-else-old is the per-field
+                    # presence test
+                    old_v = fcol(sf.name)
+                    inner = [F.coalesce(new_v[f2.name],
+                                        old_v[f2.name]).alias(f2.name)
+                             for f2 in sf.dataType.fields]
+                    updates[sf.name] = F.when(
+                        old_v.isNotNull() & new_v.isNotNull(),
+                        F.struct(*inner)).otherwise(
+                            F.coalesce(new_v, old_v))
+                else:
+                    updates[sf.name] = new_v
             df = guarded(df, active & ok, updates)
         else:
             new_map = F.from_json(src, "map<string,string>")
             root_ok = ok & new_map.isNotNull()
             if "_extras" in df.columns:
                 old = fcol("_extras")
+                if conflict == "merge":
+                    # recursiveMerge on the dynamic map: keys present in
+                    # BOTH whose old+new values are themselves json
+                    # objects merge per inner key (new wins); every other
+                    # conflict takes the new value — all JVM-side
+                    def _merge_val(k, v):
+                        old_v = F.try_element_at(old, k)
+                        om = F.from_json(old_v, "map<string,string>")
+                        nm = F.from_json(v, "map<string,string>")
+                        inner = F.map_concat(
+                            F.map_filter(om, lambda k2, _:
+                                         ~F.map_contains_key(nm, k2)), nm)
+                        return F.when(
+                            om.isNotNull() & nm.isNotNull(),
+                            F.to_json(inner)).otherwise(v)
+                    new_map = F.transform_values(new_map, _merge_val)
                 merged = F.map_concat(
                     F.map_filter(old, lambda k, _:
                                  ~F.map_contains_key(new_map, k)), new_map)
@@ -496,4 +565,14 @@ def p_redact(df, spec, ctx):
         java_rx = _to_java_regex(_noncapture(compiled.java_patterns[0]))
         replacement = (prefix + label + suffix).replace("\\", "\\\\").replace("$", "\\$")
         col = F.regexp_replace(col, java_rx, replacement)
-    return guarded(df, active & fcol(f_name).isNotNull(), {f_name: col})
+    updates = {f_name: col}
+    if cfg.get("trace_redact", False):
+        # ES 8.16 trace_redact: flag `_ingest._redact._is_redacted` = true
+        # iff any pattern fired (field only written when a redaction
+        # happened — untouched rows keep it missing/null)
+        orig = fcol(f_name).cast("string")
+        flag = "_ingest._redact._is_redacted"
+        prev = (fcol(flag) if flag in df.columns
+                else F.lit(None).cast("boolean"))
+        updates[flag] = F.when(col != orig, F.lit(True)).otherwise(prev)
+    return guarded(df, active & fcol(f_name).isNotNull(), updates)

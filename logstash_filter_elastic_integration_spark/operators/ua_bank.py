@@ -347,3 +347,57 @@ UA_DEVICES: list[tuple[str, str]] = [
     ("Generic Smartphone", r"Android.*Mobile|Windows Phone|Mobile Safari"),
     ("Generic Tablet", r"Android"),
 ]
+
+
+# ------------------------------------------------------ regex_file loader --
+def load_uap_regexes(path: str) -> dict:
+    """Parse a full public uap-core ``regexes.yaml`` (the exact dataset the
+    ES user_agent processor ships — reference docs/index.asciidoc:200,
+    ``regex_file`` option) into ordered parser banks with EXACT ua-parser
+    semantics:
+
+      browsers: family = $-template over family_replacement or group(1);
+                v1..v4 = vN_replacement literal or groups 2..5
+      os:       os = os_replacement ($N templates) or group(1);
+                os_v1..os_v4 = os_vN_replacement ($N) or groups 2..5
+      devices:  device = device_replacement ($N) or group(1)
+
+    (python ua-parser user_agent_parser.py Parse* methods are the public
+    behavioral contract).  ``regex_flag: i`` becomes an inline ``(?i)``.
+    Every regex is compile-checked under python ``re``; group indexing is
+    identical under Java, so the bank lowers to the same
+    rlike/regexp_extract CASE chain as the built-in bank.  Banks this size
+    (~1200 entries) exceed the whole-stage-codegen method limit — Spark
+    falls back to interpreted expression eval for the chain, which is the
+    documented cost of full-fidelity mode vs the curated default bank.
+    """
+    import re
+    import yaml
+
+    with open(path) as fh:
+        data = yaml.safe_load(fh)
+
+    def _rx(p):
+        rx = p["regex"]
+        if p.get("regex_flag"):
+            rx = f"(?{p['regex_flag']})" + rx
+        re.compile(rx)  # fail loud on anything re/Java can't share
+        return rx
+
+    browsers = [{
+        "regex": _rx(p),
+        "family": p.get("family_replacement"),
+        "v": [p.get("v1_replacement"), p.get("v2_replacement"),
+              p.get("v3_replacement"), p.get("v4_replacement")],
+    } for p in data.get("user_agent_parsers", [])]
+    os_list = [{
+        "regex": _rx(p),
+        "os": p.get("os_replacement"),
+        "v": [p.get("os_v1_replacement"), p.get("os_v2_replacement"),
+              p.get("os_v3_replacement"), p.get("os_v4_replacement")],
+    } for p in data.get("os_parsers", [])]
+    devices = [{
+        "regex": _rx(p),
+        "device": p.get("device_replacement"),
+    } for p in data.get("device_parsers", [])]
+    return {"browsers": browsers, "os": os_list, "devices": devices}

@@ -1,0 +1,286 @@
+"""Processor option corners vs the ES surface: set ignore_empty_value /
+media_type, remove keep, json strict_json_parsing / conflict strategy,
+dot_expander path/*/override, geoip first_only, redact trace_redact, date
+locale, grok ecs_compatibility, user_agent regex_file, painless
+Processors.uriParts / json(map, field)."""
+
+import textwrap
+
+import pytest
+
+from tests.conftest import run_one
+
+
+# ------------------------------------------------------------------- set --
+def test_set_ignore_empty_value_skips_null_and_empty(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"set": {"field": "dst", "copy_from": "src",
+                  "ignore_empty_value": True}}],
+        [("x", "keep"), ("", "keep"), (None, "keep")],
+        "src string, dst string")
+    assert [r["dst"] for r in out] == ["x", "keep", "keep"]
+    assert all((r["tags"] or []) == [] for r in out)
+
+
+def test_set_media_type_validated(spark, registry):
+    with pytest.raises(Exception, match="media_type"):
+        run_one(spark, registry,
+                [{"set": {"field": "x", "value": "v",
+                          "media_type": "application/yaml"}}],
+                [("a",)], "other string")
+
+
+# ---------------------------------------------------------------- remove --
+def test_remove_keep_drops_everything_else(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"kv": {"field": "raw", "field_split": " ", "value_split": "="}},
+         {"remove": {"keep": ["a", "raw"]}}],
+        [("a=1 b=2", "gone")], "raw string, extra_col string")
+    r = out[0]
+    assert r["raw"] == "a=1 b=2"
+    assert r["extra_col"] is None
+    ex = r.get("_extras") or {}
+    assert "b" not in ex and ex.get("a") == "1"
+
+
+def test_remove_keep_and_field_mutually_exclusive(spark, registry):
+    with pytest.raises(Exception, match="keep"):
+        run_one(spark, registry,
+                [{"remove": {"field": "x", "keep": ["y"]}}],
+                [("a", "b")], "x string, y string")
+
+
+# ------------------------------------------------------------------ json --
+def test_json_lenient_parses_leading_value(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"json": {"field": "raw", "target_field": "parsed",
+                   "strict_json_parsing": False}}],
+        [("123 trailing junk",), ('{"a": 1} extra',)], "raw string")
+    assert str(out[0]["parsed"]) == "123"
+    assert '"a"' in str(out[1]["parsed"])
+    assert all((r["tags"] or []) == [] for r in out)
+
+
+def test_json_strict_rejects_trailing(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"json": {"field": "raw", "target_field": "parsed"}}],
+        [("123 trailing junk",)], "raw string")
+    assert any("_failure" in t or "fail" in t.lower()
+               for t in (out[0]["tags"] or [])) or out[0]["parsed"] is None
+
+
+def test_json_add_to_root_merge_strategy_dynamic(spark, registry):
+    # old extras value for "meta" is a json object; merge keeps its keys
+    out = run_one(
+        spark, registry,
+        [{"json": {"field": "first", "add_to_root": True}},
+         {"json": {"field": "second", "add_to_root": True,
+                   "add_to_root_conflict_strategy": "merge"}}],
+        [('{"meta": {"a": "1"}}', '{"meta": {"b": "2"}}')],
+        "first string, second string")
+    ex = out[0]["_extras"]
+    assert '"a"' in ex["meta"] and '"b"' in ex["meta"]
+
+
+def test_json_conflict_strategy_validated(spark, registry):
+    with pytest.raises(Exception, match="conflict"):
+        run_one(spark, registry,
+                [{"json": {"field": "raw", "add_to_root": True,
+                           "add_to_root_conflict_strategy": "nope"}}],
+                [('{"a":1}',)], "raw string")
+
+
+# ---------------------------------------------------------- dot_expander --
+def test_dot_expander_path_prefix(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"kv": {"field": "raw", "field_split": " ", "value_split": "="}},
+         {"dot_expander": {"field": "b.c", "path": "app"}}],
+        [("app.b.c=5",)], "raw string")
+    assert out[0]["app.b.c"] == "5"
+
+
+def test_dot_expander_wildcard_noop(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"dot_expander": {"field": "*"}}],
+        [("v",)], "`a.b` string")
+    assert out[0]["a.b"] == "v"
+
+
+def test_dot_expander_override_replaces_static(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"kv": {"field": "raw", "field_split": " ", "value_split": "="}},
+         {"dot_expander": {"field": "x.y", "override": True}}],
+        [("x.y=new", "old")], "raw string, `x.y` string")
+    assert out[0]["x.y"] == "new"
+
+
+def test_dot_expander_override_false_fails_loud(spark, registry):
+    with pytest.raises(Exception, match="override"):
+        run_one(spark, registry,
+                [{"kv": {"field": "raw", "field_split": " ",
+                         "value_split": "="}},
+                 {"dot_expander": {"field": "x.y", "override": False}}],
+                [("x.y=new", "old")], "raw string, `x.y` string")
+
+
+# ----------------------------------------------------------- geoip array --
+def test_geoip_first_only_takes_first_element(spark, registry):
+    dim = spark.createDataFrame(
+        [("1.2.3.4", "US")], "ip string, country string")
+    registry.dims["GeoLite2-City.mmdb"] = dim
+    out = run_one(
+        spark, registry,
+        [{"geoip": {"field": "ips", "target_field": "geo"}}],
+        [(["1.2.3.4", "9.9.9.9"],)], "ips array<string>")
+    assert out[0]["geo.country"] == "US"
+
+
+def test_geoip_first_only_false_fails_loud(spark, registry):
+    dim = spark.createDataFrame(
+        [("1.2.3.4", "US")], "ip string, country string")
+    registry.dims["GeoLite2-City.mmdb"] = dim
+    with pytest.raises(Exception, match="first_only"):
+        run_one(spark, registry,
+                [{"geoip": {"field": "ips", "target_field": "geo",
+                            "first_only": False}}],
+                [(["1.2.3.4"],)], "ips array<string>")
+
+
+# ---------------------------------------------------------------- redact --
+def test_redact_trace_flag(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"redact": {"field": "msg", "patterns": ["%{IP:client}"],
+                     "trace_redact": True}}],
+        [("ip was 1.2.3.4",), ("no ip here",)], "msg string")
+    assert out[0]["msg"] == "ip was <client>"
+    assert out[0]["_ingest._redact._is_redacted"] is True
+    assert out[1]["_ingest._redact._is_redacted"] is None
+
+
+# ------------------------------------------------------------------ date --
+def test_date_locale_english_ok_others_fail(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"date": {"field": "d", "formats": ["yyyy-MM-dd"],
+                   "locale": "en-US"}}],
+        [("2024-05-06",)], "d string")
+    assert out[0]["@timestamp"].startswith("2024-05-06")
+    with pytest.raises(Exception, match="locale"):
+        run_one(spark, registry,
+                [{"date": {"field": "d", "formats": ["yyyy-MM-dd"],
+                           "locale": "fr-FR"}}],
+                [("2024-05-06",)], "d string")
+
+
+# ------------------------------------------------------------------ grok --
+def test_grok_ecs_v1_bank_common_log(spark, registry):
+    line = ('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /apache_pb.gif HTTP/1.0" 200 2326')
+    out = run_one(
+        spark, registry,
+        [{"grok": {"field": "message", "patterns": ["%{COMMONAPACHELOG}"],
+                   "ecs_compatibility": "v1"}}],
+        [(line,)], "message string")
+    r = out[0]
+    assert r["source.address"] == "127.0.0.1"
+    assert r["user.name"] == "frank"
+    assert r["http.request.method"] == "GET"
+    assert r["url.original"] == "/apache_pb.gif"
+    assert r["http.response.status_code"] == 200
+    assert r["http.response.body.bytes"] == 2326
+
+
+def test_grok_legacy_bank_unchanged_names(spark, registry):
+    line = ('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /x HTTP/1.0" 200 5')
+    out = run_one(
+        spark, registry,
+        [{"grok": {"field": "message",
+                   "patterns": ["%{COMMONAPACHELOG}"]}}],
+        [(line,)], "message string")
+    assert out[0]["clientip"] == "127.0.0.1"
+    assert out[0]["verb"] == "GET"
+
+
+def test_grok_ecs_compatibility_validated(spark, registry):
+    with pytest.raises(Exception, match="ecs_compatibility"):
+        run_one(spark, registry,
+                [{"grok": {"field": "m", "patterns": ["%{IP:ip}"],
+                           "ecs_compatibility": "v9"}}],
+                [("1.2.3.4",)], "m string")
+
+
+# ------------------------------------------------------------ user_agent --
+UAP_YAML = textwrap.dedent("""
+    user_agent_parsers:
+      - regex: '(MyBrowser)/(\\d+)\\.(\\d+)\\.(\\d+)'
+        family_replacement: 'My Browser'
+      - regex: '(Acme)Shell'
+        v1_replacement: '9'
+      - regex: '(PlainUA)/(\\d+)'
+    os_parsers:
+      - regex: 'MyOS ([0-9]+)[._]([0-9]+)'
+        os_replacement: 'My OS'
+        os_v1_replacement: '$1'
+        os_v2_replacement: '$2'
+      - regex: 'barefootos'
+        regex_flag: 'i'
+        os_replacement: 'BareFoot'
+        os_v1_replacement: '2'
+    device_parsers:
+      - regex: 'Gadget-(\\w+)'
+        device_replacement: 'Gadget $1'
+""")
+
+
+def test_user_agent_regex_file_wholesale(spark, registry, tmp_path):
+    p = tmp_path / "regexes.yaml"
+    p.write_text(UAP_YAML)
+    rows = [
+        ("MyBrowser/1.2.3 (MyOS 10_5) Gadget-Z9",),
+        ("AcmeShell on BAREFOOTOS",),
+        ("PlainUA/7 nothing else",),
+    ]
+    out = run_one(
+        spark, registry,
+        [{"user_agent": {"field": "ua", "regex_file": str(p)}}],
+        rows, "ua string")
+    r0, r1, r2 = out
+    assert r0["user_agent.name"] == "My Browser"
+    assert r0["user_agent.version"] == "1.2.3"
+    assert r0["user_agent.os.name"] == "My OS"
+    assert r0["user_agent.os.version"] == "10.5"
+    assert r0["user_agent.device.name"] == "Gadget Z9"
+    assert r1["user_agent.name"] == "Acme"          # group(1) family slot
+    assert r1["user_agent.version"] == "9"          # v1_replacement literal
+    assert r1["user_agent.os.name"] == "BareFoot"   # (?i) regex_flag
+    assert r1["user_agent.os.version"] == "2"
+    assert r2["user_agent.name"] == "PlainUA"
+    assert r2["user_agent.version"] == "7"
+    assert r2["user_agent.os.name"] == "Other"
+    assert r2["user_agent.device.name"] == "Other"
+
+
+# ---------------------------------------------------------- painless lib --
+def test_painless_processors_uri_parts_and_json_map():
+    from logstash_filter_elastic_integration_spark.functions.painless_exec \
+        import CompiledScript
+    cs = CompiledScript(
+        "def u = Processors.uriParts(ctx.url); ctx.host = u.domain; "
+        "ctx.scheme = u.scheme;")
+    got = cs.run_row({"url": "https://u:p@example.com:8080/a/b.txt?q=1#f"})
+    assert got["host"] == "example.com"
+    assert got["scheme"] == "https"
+
+    cs2 = CompiledScript(
+        "Processors.json(ctx, 'payload'); ctx.a = ctx.payload.a;")
+    got2 = cs2.run_row({"payload": '{"a": "inner"}'})
+    assert got2["a"] == "inner"
