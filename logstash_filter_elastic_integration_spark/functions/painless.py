@@ -45,6 +45,9 @@ _REWRITES = [
     (re.compile(r"\btrue\b"), "True"),
     (re.compile(r"\bfalse\b"), "False"),
     (re.compile(r"\?\."), "."),
+    # Java numeric-literal suffixes: 0L, 1.5f, 2.0d -> plain literals
+    (re.compile(r"\b(\d+)[Ll]\b"), r"\1"),
+    (re.compile(r"\b(\d+\.\d+)[FfDd]\b"), r"\1"),
 ]
 _TERNARY = re.compile(r"^(?P<c>[^?]+)\?(?P<a>[^:]+):(?P<b>.+)$")
 
@@ -418,6 +421,112 @@ def _lambda_fn(lam: ast.Lambda, c: _Ctx, edt=None):
     return lambda x, y, z: run([x, y, z])
 
 
+class _ZdtType:
+    """Marker dtype for a ZonedDateTime Column pair: the Column itself is
+    the UTC-normalized instant; ``wall`` keeps the original offset's
+    field values (Java getHour() answers in the parsed offset)."""
+
+    def __init__(self, wall: Column):
+        self.wall = wall
+
+
+class _InstantType:
+    pass
+
+
+class _DowType:
+    pass
+
+
+_TEMPORAL_FIELDS = {
+    "getYear": F.year, "getMonthValue": F.month,
+    "getDayOfMonth": F.dayofmonth, "getHour": F.hour,
+    "getMinute": F.minute, "getSecond": F.second,
+    "getDayOfYear": F.dayofyear,
+}
+_TEMPORAL_PLUS = {
+    "plusDays": ("days", 1), "minusDays": ("days", -1),
+    "plusHours": ("hours", 1), "minusHours": ("hours", -1),
+    "plusMinutes": ("mins", 1), "minusMinutes": ("mins", -1),
+    "plusSeconds": ("secs", 1), "minusSeconds": ("secs", -1),
+    "plusWeeks": ("weeks", 1), "minusWeeks": ("weeks", -1),
+}
+
+
+def _literal_of(node, call_owner, call_attr):
+    """Extract the string literal from e.g. DateTimeFormatter.ofPattern('p')
+    / ZoneId.of('Z') argument shapes."""
+    if (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == call_owner
+            and node.func.attr == call_attr
+            and node.args and isinstance(node.args[0], ast.Constant)):
+        return node.args[0].value
+    return None
+
+
+def _temporal_method(recv, rdt, meth, node, c):
+    """ZonedDateTime/Instant/DayOfWeek methods on timestamp Columns —
+    pure Catalyst lowering of the java.time subset."""
+    if isinstance(rdt, _DowType):
+        if meth == "getValue" and not node.args:
+            return recv, T.IntegerType()
+        raise UnsupportedScriptError(f"DayOfWeek.{meth} unsupported")
+    wall = rdt.wall if isinstance(rdt, _ZdtType) else recv
+    if meth in _TEMPORAL_FIELDS and not node.args:
+        return _TEMPORAL_FIELDS[meth](wall).cast("int"), T.IntegerType()
+    if meth == "getDayOfWeek" and not node.args:
+        # Spark dayofweek: Sunday=1; Java DayOfWeek: Monday=1..Sunday=7
+        return (((F.dayofweek(wall) + 5) % 7) + 1).cast("int"), _DowType()
+    if meth == "toInstant":
+        return recv, _InstantType()
+    if meth == "toEpochMilli":
+        return F.unix_millis(recv), T.LongType()
+    if meth in ("toEpochSecond", "getEpochSecond"):
+        return F.unix_seconds(recv), T.LongType()
+    if meth in _TEMPORAL_PLUS:
+        unit, sign = _TEMPORAL_PLUS[meth]
+        n = _eval(node.args[0], c)[0] * sign
+        kw = {unit: n.cast("int") if unit != "secs" else n.cast("double")}
+        iv = F.make_interval(**kw)
+        if isinstance(rdt, _ZdtType):
+            return recv + iv, _ZdtType(wall + iv)
+        return recv + iv, _InstantType()
+    if meth in ("isBefore", "isAfter", "isEqual"):
+        other, odt = _eval(node.args[0], c)
+        if not isinstance(odt, (_ZdtType, _InstantType)):
+            raise UnsupportedScriptError(f"{meth} needs a temporal operand")
+        if meth == "isBefore":
+            return recv < other, T.BooleanType()
+        if meth == "isAfter":
+            return recv > other, T.BooleanType()
+        return recv == other, T.BooleanType()
+    if meth == "format" and node.args:
+        pat = _literal_of(node.args[0], "DateTimeFormatter", "ofPattern")
+        if pat is None:
+            raise UnsupportedScriptError(
+                "format needs DateTimeFormatter.ofPattern('<literal>')")
+        return F.date_format(wall, pat), T.StringType()
+    if meth == "withZoneSameInstant" and node.args:
+        tz = _literal_of(node.args[0], "ZoneId", "of")
+        if tz is None:
+            raise UnsupportedScriptError(
+                "withZoneSameInstant needs ZoneId.of('<literal>')")
+        if tz == "Z":
+            tz = "UTC"
+        new_wall = F.convert_timezone(F.lit("UTC"), F.lit(tz), recv)
+        return recv, _ZdtType(new_wall)
+    if meth == "atZone" and node.args and isinstance(rdt, _InstantType):
+        tz = _literal_of(node.args[0], "ZoneId", "of")
+        if tz is None:
+            raise UnsupportedScriptError("atZone needs ZoneId.of('<literal>')")
+        if tz == "Z":
+            tz = "UTC"
+        new_wall = F.convert_timezone(F.lit("UTC"), F.lit(tz), recv)
+        return recv, _ZdtType(new_wall)
+    raise UnsupportedScriptError(f"temporal method .{meth}() unsupported")
+
+
 def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
     """Return (column, datatype-or-None)."""
     if isinstance(node, ast.Name) and node.id in c.locals:
@@ -601,6 +710,31 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                 if fn.attr in binary and len(args) == 2:
                     return binary[fn.attr](*args), T.DoubleType()
                 raise UnsupportedScriptError(f"Math.{fn.attr} unsupported")
+            # ---- java.time statics -> timestamp Columns.  A ZonedDateTime
+            # value is carried as (instant Column, _ZdtType(wall Column)):
+            # the instant is UTC-normalized (epoch math, comparisons), the
+            # wall clock keeps the ORIGINAL offset's field values (Java
+            # getHour() on +02:00 input answers in that offset)
+            if isinstance(fn.value, ast.Name) \
+                    and fn.value.id == "ZonedDateTime" and fn.attr == "parse" \
+                    and len(node.args) == 1:
+                arg, _ = _eval(node.args[0], c)
+                s = arg.cast("string")
+                wall = F.to_timestamp(F.regexp_replace(
+                    s, r"(Z|[+-]\d{2}:?\d{2})$", ""))
+                return F.to_timestamp(s), _ZdtType(wall)
+            if isinstance(fn.value, ast.Name) and fn.value.id == "Instant":
+                arg, _ = _eval(node.args[0], c)
+                if fn.attr == "parse":
+                    inst = F.to_timestamp(arg.cast("string"))
+                    return inst, _InstantType()
+                if fn.attr == "ofEpochMilli":
+                    return (F.timestamp_millis(arg.cast("long")),
+                            _InstantType())
+                if fn.attr == "ofEpochSecond":
+                    return (F.timestamp_seconds(arg.cast("long")),
+                            _InstantType())
+                raise UnsupportedScriptError(f"Instant.{fn.attr} unsupported")
             # boxed-type parse/valueOf statics -> try_cast (null on bad input,
             # matching painless NumberFormatException -> on_failure flows)
             if isinstance(fn.value, ast.Name) and fn.value.id in (
@@ -686,6 +820,8 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                 if isinstance(rdt, (T.ArrayType, type(None))):
                     return F.size(recv).cast("long"), T.LongType()
             recv, rdt = _eval(fn.value, c)
+            if isinstance(rdt, (_ZdtType, _InstantType, _DowType)):
+                return _temporal_method(recv, rdt, meth, node, c)
             args = [_eval(a, c)[0] for a in node.args]
             if meth == "equals":
                 return recv.eqNullSafe(args[0]) & recv.isNotNull(), T.BooleanType()

@@ -55,6 +55,9 @@ _TOKEN_REWRITES = [
     # .add/.put/.size on these
     (re.compile(r"\bnew\s+ArrayList\s*\(\s*\)"), "_jlist([])"),
     (re.compile(r"\bnew\s+HashMap\s*\(\s*\)"), "_jmap({})"),
+    # Java numeric-literal suffixes: 0L, 1.5f, 2.0d -> plain literals
+    (re.compile(r"\b(\d+)[Ll]\b"), r"\1"),
+    (re.compile(r"\b(\d+\.\d+)[FfDd]\b"), r"\1"),
 ]
 _DECL = re.compile(
     r"^(?:def|var|int|long|short|byte|double|float|boolean|char|String|"
@@ -1060,7 +1063,291 @@ class _Processors:
         return int(float(m.group(1)) * units.get((m.group(2) or "b").lower(), 1))
 
 
+# ------------------------------------------------------- java.time subset --
+# Painless exposes java.time for timestamp manipulation — the most common
+# real-integration constructs after string ops (reference executes
+# arbitrary Painless, docs/index.asciidoc:192).  Aware-datetime-backed;
+# unsupported methods fail loud (AttributeError -> row failure channel).
+import datetime as _datetime
+
+
+def _parse_iso_aware(s: str):
+    s = str(s)
+    # trim >6 fractional digits (Java nanos) for fromisoformat
+    s2 = re.sub(r"(\.\d{6})\d+", r"\1", s.replace("Z", "+00:00"))
+    dt = _datetime.datetime.fromisoformat(s2)
+    if dt.tzinfo is None:
+        raise ValueError(f"text '{s}' could not be parsed: missing offset")
+    return dt
+
+
+class JZoneId:
+    def __init__(self, tz):
+        self.tz = tz
+
+    @staticmethod
+    def of(name):
+        name = str(name)
+        if name in ("Z", "UTC", "GMT"):
+            return JZoneId(_datetime.timezone.utc)
+        m = re.match(r"^(?:UTC|GMT)?([+-])(\d{2}):?(\d{2})$", name)
+        if m:
+            sign = 1 if m.group(1) == "+" else -1
+            delta = _datetime.timedelta(hours=int(m.group(2)),
+                                        minutes=int(m.group(3)))
+            return JZoneId(_datetime.timezone(sign * delta))
+        from zoneinfo import ZoneInfo
+        return JZoneId(ZoneInfo(name))
+
+
+class _JZoneOffset:
+    UTC = JZoneId(_datetime.timezone.utc)
+
+
+def _java_offset(dt) -> str:
+    off = dt.utcoffset()
+    if off == _datetime.timedelta(0):
+        return "Z"
+    total = int(off.total_seconds())
+    sign = "+" if total >= 0 else "-"
+    total = abs(total)
+    return f"{sign}{total // 3600:02d}:{(total % 3600) // 60:02d}"
+
+
+_JFMT_TOKEN = re.compile(
+    r"yyyy|yy|MMM|MM|dd|HH|hh|mm|ss|SSS|SS|S|EEE|XXX|XX|X|ZZ|Z|a|'[^']*'")
+_MONTH_ABBR = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+               "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_DAY_ABBR = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+
+
+def _java_format(dt, fmt: str) -> str:
+    def tok(m):
+        t = m.group(0)
+        if t.startswith("'"):
+            return t[1:-1] or "'"
+        ms = dt.microsecond // 1000
+        off = dt.utcoffset() or _datetime.timedelta(0)
+        tot = int(off.total_seconds())
+        sgn, atot = ("+" if tot >= 0 else "-"), abs(int(tot))
+        return {
+            "yyyy": f"{dt.year:04d}", "yy": f"{dt.year % 100:02d}",
+            "MMM": _MONTH_ABBR[dt.month - 1], "MM": f"{dt.month:02d}",
+            "dd": f"{dt.day:02d}", "HH": f"{dt.hour:02d}",
+            "hh": f"{(dt.hour % 12) or 12:02d}",
+            "mm": f"{dt.minute:02d}", "ss": f"{dt.second:02d}",
+            "SSS": f"{ms:03d}", "SS": f"{ms // 10:02d}", "S": f"{ms // 100}",
+            "EEE": _DAY_ABBR[dt.weekday()],
+            "XXX": _java_offset(dt),
+            "XX": ("Z" if tot == 0 else
+                   f"{sgn}{atot // 3600:02d}{(atot % 3600) // 60:02d}"),
+            "X": ("Z" if tot == 0 else f"{sgn}{atot // 3600:02d}"),
+            "ZZ": f"{sgn}{atot // 3600:02d}:{(atot % 3600) // 60:02d}",
+            "Z": f"{sgn}{atot // 3600:02d}{(atot % 3600) // 60:02d}",
+            "a": "AM" if dt.hour < 12 else "PM",
+        }[t]
+    return _JFMT_TOKEN.sub(tok, fmt)
+
+
+class JDateTimeFormatter:
+    def __init__(self, pattern):
+        self.pattern = pattern
+
+    @staticmethod
+    def ofPattern(p):              # noqa: N802
+        return JDateTimeFormatter(str(p))
+
+    def format(self, temporal):
+        return JStr(_java_format(temporal.dt, self.pattern))
+
+
+JDateTimeFormatter.ISO_OFFSET_DATE_TIME = JDateTimeFormatter(
+    "yyyy-MM-dd'T'HH:mm:ssXXX")
+
+
+class JInstant:
+    __slots__ = ("dt",)
+
+    def __init__(self, dt):
+        self.dt = dt.astimezone(_datetime.timezone.utc)
+
+    @staticmethod
+    def parse(s):
+        return JInstant(_parse_iso_aware(s))
+
+    @staticmethod
+    def ofEpochMilli(ms):          # noqa: N802
+        return JInstant(_datetime.datetime.fromtimestamp(
+            int(ms) / 1000.0, _datetime.timezone.utc))
+
+    @staticmethod
+    def ofEpochSecond(s):          # noqa: N802
+        return JInstant(_datetime.datetime.fromtimestamp(
+            float(s), _datetime.timezone.utc))
+
+    def toEpochMilli(self):        # noqa: N802
+        return int(self.dt.timestamp() * 1000)
+
+    def getEpochSecond(self):      # noqa: N802
+        return int(self.dt.timestamp())
+
+    def atZone(self, zone):        # noqa: N802
+        return JZonedDateTime(self.dt.astimezone(zone.tz))
+
+    def plusSeconds(self, n):      # noqa: N802
+        return JInstant(self.dt + _datetime.timedelta(seconds=int(n)))
+
+    def plusMillis(self, n):       # noqa: N802
+        return JInstant(self.dt + _datetime.timedelta(milliseconds=int(n)))
+
+    def isBefore(self, o):         # noqa: N802
+        return self.dt < o.dt
+
+    def isAfter(self, o):          # noqa: N802
+        return self.dt > o.dt
+
+    def __str__(self):
+        base = self.dt.strftime("%Y-%m-%dT%H:%M:%S")
+        if self.dt.microsecond:
+            base += f".{self.dt.microsecond // 1000:03d}"
+        return base + "Z"
+
+    toString = __str__
+
+
+class _JDayOfWeek:
+    _NAMES = ["MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY", "FRIDAY",
+              "SATURDAY", "SUNDAY"]
+
+    def __init__(self, iso_value):
+        self.value = iso_value     # Java: Monday=1 .. Sunday=7
+
+    def getValue(self):            # noqa: N802
+        return self.value
+
+    def __str__(self):
+        return self._NAMES[self.value - 1]
+
+    toString = __str__
+
+
+class JZonedDateTime:
+    __slots__ = ("dt",)
+
+    def __init__(self, dt):
+        self.dt = dt
+
+    @staticmethod
+    def parse(s, formatter=None):
+        if formatter is not None:
+            raise ValueError(
+                "ZonedDateTime.parse with a custom formatter is "
+                "unsupported; use ISO-8601 input")
+        return JZonedDateTime(_parse_iso_aware(s))
+
+    @staticmethod
+    def ofInstant(instant, zone):  # noqa: N802
+        return JZonedDateTime(instant.dt.astimezone(zone.tz))
+
+    def getYear(self):             # noqa: N802
+        return self.dt.year
+
+    def getMonthValue(self):       # noqa: N802
+        return self.dt.month
+
+    def getDayOfMonth(self):       # noqa: N802
+        return self.dt.day
+
+    def getHour(self):             # noqa: N802
+        return self.dt.hour
+
+    def getMinute(self):           # noqa: N802
+        return self.dt.minute
+
+    def getSecond(self):           # noqa: N802
+        return self.dt.second
+
+    def getNano(self):             # noqa: N802
+        return self.dt.microsecond * 1000
+
+    def getDayOfWeek(self):        # noqa: N802
+        return _JDayOfWeek(self.dt.isoweekday())
+
+    def getDayOfYear(self):        # noqa: N802
+        return self.dt.timetuple().tm_yday
+
+    def toInstant(self):           # noqa: N802
+        return JInstant(self.dt)
+
+    def toEpochSecond(self):       # noqa: N802
+        return int(self.dt.timestamp())
+
+    def withZoneSameInstant(self, zone):  # noqa: N802
+        return JZonedDateTime(self.dt.astimezone(zone.tz))
+
+    def format(self, formatter):
+        return JStr(_java_format(self.dt, formatter.pattern))
+
+    def isBefore(self, o):         # noqa: N802
+        return self.dt < o.dt
+
+    def isAfter(self, o):          # noqa: N802
+        return self.dt > o.dt
+
+    def isEqual(self, o):          # noqa: N802
+        return self.dt == o.dt
+
+    def __str__(self):
+        base = self.dt.strftime("%Y-%m-%dT%H:%M:%S")
+        if self.dt.microsecond:
+            base += f".{self.dt.microsecond // 1000:03d}"
+        return base + _java_offset(self.dt)
+
+    toString = __str__
+
+
+def _zdt_plus(unit):
+    def plus(self, n):
+        return type(self)(self.dt + _datetime.timedelta(**{unit: int(n)}))
+
+    def minus(self, n):
+        return type(self)(self.dt - _datetime.timedelta(**{unit: int(n)}))
+    return plus, minus
+
+
+for _u, _names in (("days", ("plusDays", "minusDays")),
+                   ("hours", ("plusHours", "minusHours")),
+                   ("minutes", ("plusMinutes", "minusMinutes")),
+                   ("seconds", ("plusSeconds", "minusSeconds")),
+                   ("weeks", ("plusWeeks", "minusWeeks"))):
+    _p, _m = _zdt_plus(_u)
+    setattr(JZonedDateTime, _names[0], _p)
+    setattr(JZonedDateTime, _names[1], _m)
+
+
+class _ChronoField:
+    def __init__(self, seconds_per):
+        self._sp = seconds_per
+
+    def between(self, a, b):
+        delta = (b.dt - a.dt).total_seconds()
+        if self._sp < 1:  # millis
+            return int(delta * 1000)
+        return int(delta // self._sp)
+
+
+class _ChronoUnit:
+    MILLIS = _ChronoField(0.001)
+    SECONDS = _ChronoField(1)
+    MINUTES = _ChronoField(60)
+    HOURS = _ChronoField(3600)
+    DAYS = _ChronoField(86400)
+
+
 _GLOBALS = {
+    "ZonedDateTime": JZonedDateTime, "Instant": JInstant,
+    "ZoneId": JZoneId, "ZoneOffset": _JZoneOffset,
+    "DateTimeFormatter": JDateTimeFormatter, "ChronoUnit": _ChronoUnit,
     "Math": _JavaMath, "Integer": _JavaInteger, "Long": _JavaInteger,
     "Double": _JavaDouble, "Float": _JavaDouble, "String": _JavaString,
     "Processors": _Processors, "Collectors": _Collectors,
@@ -1149,5 +1436,13 @@ class CompiledScript:
             if k not in writes and v != row.get(k):
                 writes[k] = v
         nulled = {k for k, v in writes.items() if v is None}
-        return ({k: (None if v is _REMOVED else v)
-                 for k, v in writes.items()}, nulled)
+
+        def out(v):
+            if v is _REMOVED:
+                return None
+            if isinstance(v, (JZonedDateTime, JInstant)):
+                # temporal ctx values serialize as ISO strings in the
+                # document, matching ES's index-time rendering
+                return str(v)
+            return v
+        return ({k: out(v) for k, v in writes.items()}, nulled)
