@@ -346,6 +346,10 @@ def _rewrite_collection_literals(src: str, wrap: bool = False) -> str:
 def _to_python(src: str, lits: list[str] | None = None) -> str:
     if lits is None:
         src, lits = _protect_literals(src)
+    # painless statements span lines freely (newlines are whitespace);
+    # python eval-mode is line-sensitive, so collapse them — string
+    # literals are already protected as placeholders
+    src = re.sub(r"\s*\n\s*", " ", src)
     src = src.strip().rstrip(";")
     for rx, rep in _REWRITES:
         src = rx.sub(rep, src)

@@ -92,6 +92,17 @@ def test_interpreter_temporal_loop():
     assert got["stamp"] == "1970-01-01T00:00:00Z"  # ISO-serialized on write
 
 
+def test_compiler_handles_multiline_statements(spark):
+    # painless treats newlines as whitespace; a statement split across
+    # lines must still take the Column fast path (not interpreter fallback)
+    assignments = compile_script(
+        "ctx.tomorrow = ZonedDateTime.parse(ctx.ts).plusDays(1)\n"
+        "    .format(DateTimeFormatter.ofPattern('yyyy-MM-dd'));\n"
+        "ctx.ok = ctx.level == 'high' &&\n    ctx.ts != null;",
+        _resolve)
+    assert [p for p, _ in assignments] == ["tomorrow", "ok"]
+
+
 def test_interpreter_formatter_quoted_literal():
     cs = CompiledScript(
         "ctx.s = ZonedDateTime.parse(ctx.ts)"
