@@ -486,9 +486,19 @@ def q_pipe_script(spark, sf_dir):
         {"remove": {"field": "scratch", "ignore_missing": True}},
         {"set": {"field": "post_remove", "value": "Y",
                  "if": "ctx.containsKey('scratch')"}},
+        # java.time leg: ZonedDateTime arithmetic/format/epoch lower to
+        # pure timestamp Columns (wall-clock answers in the parsed +02:00)
+        {"script": {"lang": "painless", "source": """
+            ctx.zt_day = ZonedDateTime.parse('2024-01-01T06:30:00+02:00').plusDays(ctx.doc_id % 40).plusHours(ctx.doc_id % 30).format(DateTimeFormatter.ofPattern('yyyy-MM-dd HH:mm'));
+            ctx.zt_ms = ZonedDateTime.parse('2024-01-01T06:30:00+02:00').plusDays(ctx.doc_id % 40).plusHours(ctx.doc_id % 30).toInstant().toEpochMilli();
+            ctx.zt_dow = ZonedDateTime.parse('2024-01-01T06:30:00+02:00').plusDays(ctx.doc_id % 40).getDayOfWeek().getValue();
+        """}},
     ])
     return out.select("doc_id", "slug", "has_the", "en_tag",
-                      "had_null_field", "post_remove")
+                      "had_null_field", "post_remove",
+                      "zt_day",
+                      F.col("zt_ms").cast("long").alias("zt_ms"),
+                      F.col("zt_dow").cast("long").alias("zt_dow"))
 
 
 O_SCRIPT = r"""
@@ -498,7 +508,16 @@ SELECT doc_id, lang || '-v1' AS slug,
        CASE WHEN regexp_full_match(lang, 'en(-[A-Z]+)?') THEN 'english'
             ELSE NULL END AS en_tag,
        CASE WHEN n_chars % 2 = 0 THEN 'Y' ELSE NULL END AS had_null_field,
-       CAST(NULL AS VARCHAR) AS post_remove
+       CAST(NULL AS VARCHAR) AS post_remove,
+       strftime(TIMESTAMP '2024-01-01 06:30:00'
+                + (doc_id % 40) * INTERVAL 1 DAY
+                + (doc_id % 30) * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M') AS zt_day,
+       CAST(epoch_ms(TIMESTAMPTZ '2024-01-01 06:30:00+02:00'
+                     + (doc_id % 40) * INTERVAL 1 DAY
+                     + (doc_id % 30) * INTERVAL 1 HOUR) AS BIGINT) AS zt_ms,
+       CAST(isodow(DATE '2024-01-01' + (doc_id % 40) * INTERVAL 1 DAY)
+            AS BIGINT) AS zt_dow
 FROM documents
 """
 
