@@ -381,6 +381,62 @@ def p_terminate(df, spec, ctx):
     return df.withColumn(TERMINATED, fcol(TERMINATED) | active)
 
 
+def _foreach_script(cfg):
+    """Inner ``script`` for foreach: a painless body whose only ctx path is
+    ``_ingest._value`` compiles against the ELEMENT as its resolver — the
+    whole loop stays one JVM F.transform (ES ForEachProcessor's
+    per-element ingest metadata, docs/index.asciidoc foreach)."""
+    from ..functions.painless import UnsupportedScriptError, compile_script
+
+    def fn(elem):
+        def resolve(path):
+            if path == "_ingest._value":
+                return elem, None
+            raise UnsupportedScriptError(
+                f"foreach script may only address ctx._ingest._value "
+                f"(got ctx.{path})")
+        assignments = compile_script(cfg.get("source", ""), resolve,
+                                     cfg.get("params"))
+        if len(assignments) != 1 or assignments[0][0] != "_ingest._value":
+            raise UnsupportedScriptError(
+                "foreach script must be a single assignment to "
+                "ctx._ingest._value")
+        return assignments[0][1]
+    return fn
+
+
+def _foreach_set(cfg):
+    """Inner ``set`` on array-of-structs elements:
+    field `_ingest._value.<sub>` -> withField on each struct."""
+    field = cfg["field"]
+    # nullif keeps the literal NULLABLE (when() folds to NOT NULL), so
+    # the struct's new field type stays castable from the original
+    # column (guarded's coerce probe + pristine restore)
+    v = cfg.get("value")
+    null_t = {bool: "boolean", int: "bigint", float: "double"}.get(
+        type(v), "string")
+    lit = F.nullif(F.lit(v), F.lit(None).cast(null_t))
+    if field == "_ingest._value":
+        # literal replacement of every element
+        return lambda c: lit
+    if not field.startswith("_ingest._value."):
+        raise ValueError(
+            f"foreach set must target _ingest._value[.sub] (got {field})")
+    sub = field[len("_ingest._value."):]
+    return lambda c: c.withField(sub, lit)
+
+
+def _foreach_remove(cfg):
+    field = cfg["field"]
+    if not field.startswith("_ingest._value."):
+        raise ValueError(
+            f"foreach remove must target _ingest._value.sub (got {field})")
+    sub = field[len("_ingest._value."):]
+    # null-out, not dropFields: the flat-model removal convention keeps
+    # the element schema stable (pristine-restore casts stay valid)
+    return lambda c: c.withField(sub, F.when(F.lit(False), c.getField(sub)))
+
+
 _ELEMENTWISE = {
     "uppercase": lambda cfg: F.upper,
     "lowercase": lambda cfg: F.lower,
@@ -389,6 +445,9 @@ _ELEMENTWISE = {
     "urldecode": lambda cfg: F.url_decode,
     "convert": lambda cfg: (lambda c: c.cast(_CONVERT_TYPES[cfg["type"]])),
     "bytes": lambda cfg: (lambda c: _net().bytes_expr(c)),
+    "script": _foreach_script,
+    "set": _foreach_set,
+    "remove": _foreach_remove,
 }
 
 

@@ -284,3 +284,27 @@ def test_painless_processors_uri_parts_and_json_map():
         "Processors.json(ctx, 'payload'); ctx.a = ctx.payload.a;")
     got2 = cs2.run_row({"payload": '{"a": "inner"}'})
     assert got2["a"] == "inner"
+
+
+# --------------------------------------------------------------- foreach --
+def test_foreach_inner_script_on_elements(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"foreach": {"field": "nums", "processor": {"script": {
+            "source": "ctx._ingest._value = ctx._ingest._value * 2 + 1;"}}}}],
+        [([1, 2, 3],)], "nums array<long>")
+    assert out[0]["nums"] == [3, 5, 7]
+
+
+def test_foreach_inner_set_and_remove_on_structs(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"foreach": {"field": "items", "processor": {"set": {
+            "field": "_ingest._value.flag", "value": "seen"}}}},
+         {"foreach": {"field": "items", "processor": {"remove": {
+            "field": "_ingest._value.tmp"}}}}],
+        [([{"name": "a", "tmp": "x", "flag": None}],)],
+        "items array<struct<name string, tmp string, flag string>>")
+    el = out[0]["items"][0]
+    assert el["flag"] == "seen"
+    assert el["tmp"] is None  # flat-model removal: null-out, schema stable
