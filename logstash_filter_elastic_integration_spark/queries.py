@@ -1329,13 +1329,41 @@ def q_doc_quality(spark, sf_dir):
              + F.least(stop_pct, F.lit(30))
              + F.when(punct * 4 <= tokens, 20).otherwise(0)
              + F.when(digits * 10 <= F.length("text"), 10).otherwise(0))
+    # Repetition metrics (Gopher/RefinedWeb-style filters), O(n log n)
+    # per row, all JVM-side: duplicate-word fraction and the share of the
+    # most frequent bigram (sorted-run-length via F.aggregate — no
+    # per-row group-by, no shuffle)
+    dup_word_pct = F.floor(
+        (tokens - F.size(F.array_distinct(words))) * 100 / tokens) \
+        .cast("long")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(tokens - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(tokens - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    run = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.greatest(acc.best,
+                       F.when(x == acc.prev, acc.run + 1)
+                        .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc.best)
+    top_bigram_pct = F.when(
+        tokens > 1, F.floor(run * 100 / (tokens - 1))).otherwise(0) \
+        .cast("long")
     return doc.select(
         "doc_id", tokens.cast("long").alias("tokens"),
         mean_wlen_x100.alias("mean_wlen_x100"),
         punct.cast("long").alias("punct_n"),
         digits.cast("long").alias("digit_n"),
         stop_pct.alias("stop_pct"),
-        score.cast("long").alias("quality_score"))
+        score.cast("long").alias("quality_score"),
+        dup_word_pct.alias("dup_word_pct"),
+        top_bigram_pct.alias("top_bigram_pct"))
 
 
 O_DOC_QUALITY = r"""
@@ -1359,8 +1387,26 @@ SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
             + least(CAST(floor(stop_n * 100 / tokens) AS BIGINT), 30)
             + (CASE WHEN punct * 4 <= tokens THEN 20 ELSE 0 END)
             + (CASE WHEN digits * 10 <= length(text) THEN 10 ELSE 0 END)
-            AS BIGINT) AS quality_score
+            AS BIGINT) AS quality_score,
+       CAST(floor((tokens - len(list_distinct(str_split(text, ' '))))
+                  * 100 / tokens) AS BIGINT) AS dup_word_pct,
+       CAST(coalesce(m.pct, 0) AS BIGINT) AS top_bigram_pct
 FROM q
+LEFT JOIN (
+  -- most-frequent-bigram share: relational shape (unnest-group-max); the
+  -- Spark side computes the same number via a sorted run-length aggregate
+  WITH w AS (SELECT doc_id AS d, str_split(text, ' ') AS ws,
+                    len(str_split(text, ' ')) AS tk
+             FROM documents WHERE len(str_split(text, ' ')) > 1),
+  b AS (SELECT d, tk,
+               unnest(list_transform(range(1, tk),
+                      i -> ws[CAST(i AS INT)] || ' '
+                           || ws[CAST(i + 1 AS INT)])) AS bg
+        FROM w),
+  c AS (SELECT d, tk, bg, count(*) AS n FROM b GROUP BY 1, 2, 3)
+  SELECT d, floor(max(n) * 100 / (tk - 1)) AS pct
+  FROM c GROUP BY d, tk
+) m ON m.d = q.doc_id
 """
 
 
