@@ -14,25 +14,82 @@ event-time watermark variant below.
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class PipelineReloader:
+    """Hot-reload of pipeline definitions for long-running streams — the
+    ES CacheReloadService semantics (SimpleResolverCache.java:128-160,
+    docs/index.asciidoc:270-279): poll on an interval; confirmed-same
+    resets the clock; changed definitions recompile the router; a FAILED
+    recompile keeps the stale (last-good) router running.
+
+    The batch engine needs none of this (compile-per-run, SURVEY §3.3);
+    a stream's router outlives definition edits, so the reference's
+    reload contract applies here.
+    """
+
+    def __init__(self, pipeline_dir: str, router_factory, router,
+                 reload_interval_s: float = 60.0, clock=time.monotonic):
+        self.pipeline_dir = pipeline_dir
+        self.router_factory = router_factory
+        self.router = router
+        self.interval = reload_interval_s
+        self.clock = clock
+        self._sig = self._signature()
+        self._checked = clock()
+        self.reloads = 0
+        self.failed_reloads = 0
+
+    def _signature(self):
+        out = []
+        for name in sorted(os.listdir(self.pipeline_dir)):
+            p = os.path.join(self.pipeline_dir, name)
+            st = os.stat(p)
+            out.append((name, st.st_mtime_ns, st.st_size))
+        return tuple(out)
+
+    def current(self):
+        """The router to use for this micro-batch (reloading if due)."""
+        now = self.clock()
+        if now - self._checked < self.interval:
+            return self.router
+        self._checked = now
+        sig = self._signature()
+        if sig == self._sig:           # confirmed-same -> TTL reset only
+            return self.router
+        try:
+            self.router = self.router_factory()
+            self._sig = sig
+            self.reloads += 1
+        except Exception:              # reload failure -> keep stale
+            self.failed_reloads += 1
+        return self.router
 
 
 def stream_pipeline(spark: SparkSession, source_dir: str, schema,
                     router, catalog, checkpoint_dir: str,
-                    trigger_once: bool = True):
+                    trigger_once: bool = True,
+                    reloader: PipelineReloader | None = None):
     """File-source streaming run of a Router over arriving transcript
-    parquet files.  Returns the started StreamingQuery."""
+    parquet files.  Returns the started StreamingQuery.  Pass a
+    ``PipelineReloader`` to re-resolve pipeline definitions on the ES
+    60s-reload contract while the stream runs."""
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 8)
               .parquet(source_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        executed = router.execute(batch_df)
+        live = reloader.current() if reloader is not None else router
+        executed = live.execute(batch_df)
         executed = executed.persist()
         try:
-            router.write_fanout(executed, catalog,
-                                table=f"sinks_stream/batch={batch_id}")
-            catalog.write(router.sink_counts(executed),
+            live.write_fanout(executed, catalog,
+                              table=f"sinks_stream/batch={batch_id}")
+            catalog.write(live.sink_counts(executed),
                           f"sink_counts_stream/batch={batch_id}")
         finally:
             executed.unpersist()

@@ -155,3 +155,40 @@ def test_stream_flagship_counts_equal_batch_and_checkpoint_restart(spark):
     assert sum(first) > 0
     run_once()  # restart: checkpoint says the file is already committed
     assert seen == first
+
+
+def test_pipeline_reloader_es_semantics(tmp_path):
+    # ES CacheReloadService contract: interval gate, confirmed-same is a
+    # no-op, changed defs rebuild, failed rebuild keeps the stale router
+    from logstash_filter_elastic_integration_spark.streaming.stream import (
+        PipelineReloader)
+    d = tmp_path / "pipes"
+    d.mkdir()
+    (d / "p.json").write_text('{"processors": []}')
+    clock = {"t": 0.0}
+    built = {"n": 0}
+    fail = {"on": False}
+
+    def factory():
+        if fail["on"]:
+            raise RuntimeError("bad pipeline json")
+        built["n"] += 1
+        return f"router-v{built['n']}"
+
+    r = PipelineReloader(str(d), factory, "router-v0",
+                         reload_interval_s=60, clock=lambda: clock["t"])
+    assert r.current() == "router-v0"          # within interval
+    clock["t"] = 61
+    assert r.current() == "router-v0"          # due but confirmed-same
+    (d / "p.json").write_text('{"processors": [{"set": {"field": "x", "value": 1}}]}')
+    clock["t"] = 200
+    assert r.current() == "router-v1"          # changed -> rebuilt
+    assert r.reloads == 1
+    fail["on"] = True
+    (d / "p.json").write_text('{"processors": [BROKEN')
+    clock["t"] = 300
+    assert r.current() == "router-v1"          # failure -> keep stale
+    assert r.failed_reloads == 1
+    fail["on"] = False
+    clock["t"] = 400
+    assert r.current() == "router-v2"          # recovers on next tick
