@@ -179,7 +179,7 @@ def _split_stmts(src: str):
     return [s.strip() for s in out if s.strip()]
 
 
-_HDR = re.compile(r"^\s*(if|for|while|else\s+if|else|try|catch)\b\s*", re.S)
+_HDR = re.compile(r"^\s*(if|for|while|else\s+if|else|try|catch|do)\b\s*", re.S)
 # painless user-defined function header: `returnType name(typed params)`
 _FUNC_HDR = re.compile(
     r"^\s*(?:def|void|int|long|short|byte|double|float|boolean|char|String|"
@@ -212,7 +212,7 @@ def _transpile_block(src: str, indent: int, lines: list[str],
             kw = re.sub(r"\s+", " ", m.group(1))
             j = i + m.end()
             cond = None
-            if kw in ("else", "try"):
+            if kw in ("else", "try", "do"):
                 pass  # no (...) header
             elif kw == "catch":
                 # catch (ExceptionType e): capture the variable name
@@ -264,6 +264,29 @@ def _transpile_block(src: str, indent: int, lines: list[str],
                 lines.append(f"{pad}except Exception as {var}:")
                 lines.append(f"{pad}    {var} = _jexc({var})")
                 _sub_block(body, indent + 1, lines, counter)
+            elif kw == "do":
+                # do { body } while (cond); -> while True: body; if not cond: break
+                m2 = re.match(r"\s*while\s*\(", src[k:])
+                if not m2:
+                    raise UnsupportedScriptError(
+                        f"do-block needs a trailing while(...): {src[k:k+40]!r}")
+                j2 = k + m2.end()
+                depth2, k2 = 1, j2
+                while k2 < n and depth2:
+                    depth2 += {"(": 1, ")": -1}.get(src[k2], 0)
+                    k2 += 1
+                cond2 = src[j2:k2 - 1]
+                cap = f"__wcap{counter[0]}"
+                counter[0] += 1
+                lines.append(f"{pad}{cap} = 0")
+                lines.append(f"{pad}while True:")
+                lines.append(f"{pad}    {cap} += 1")
+                lines.append(f"{pad}    if {cap} > {_WHILE_CAP}: "
+                             f"raise RuntimeError('script do-while "
+                             f"exceeded {_WHILE_CAP} iterations (watchdog)')")
+                _transpile_block(body, indent + 1, lines, counter)
+                lines.append(f"{pad}    if not ({_rw_expr(cond2)}): break")
+                k = k2
             elif kw == "while":
                 cap = f"__wcap{counter[0]}"
                 counter[0] += 1
@@ -317,7 +340,7 @@ def _transpile_block(src: str, indent: int, lines: list[str],
             if j < n:  # a '{' follows: split off the trailing header
                 hm = None
                 for hmatch in re.finditer(
-                        r"(?:^|;)\s*((?:if|for|while|else|try|catch)\b.*)$", chunk,
+                        r"(?:^|;)\s*((?:if|for|while|else|try|catch|do)\b.*)$", chunk,
                         re.S):
                     hm = hmatch
                 if hm is None:

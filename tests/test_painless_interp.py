@@ -463,3 +463,16 @@ def test_instanceof_both_engines(spark, registry):
         [(1, "x"), (2, None)], "id long, a string")
     by = {r["id"]: r for r in rows}
     assert by[1]["t"] == "Y" and by[2]["t"] is None
+
+
+def test_do_while_loop():
+    cs = CompiledScript(
+        "int i = 0; def acc = []; do { acc.add(i); i++; } while (i < 3); "
+        "ctx.out = acc;")
+    assert cs.run_row({}) == {"out": [0, 1, 2]}
+
+
+def test_do_while_watchdog():
+    cs = CompiledScript("int i = 0; do { i++; } while (true); ctx.x = i;")
+    with pytest.raises(RuntimeError, match="watchdog"):
+        cs.run_row({})
