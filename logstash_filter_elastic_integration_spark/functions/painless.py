@@ -87,6 +87,11 @@ def _restore_literals(src: str, lits: list[str]) -> str:
 # NAME on the right of a plain `==` so the stdlib ast can parse it; both
 # engines special-case `_rx[mf]<N>` names back into regex semantics.
 _RX_OP = re.compile(r"(==~|=~)\s*/((?:\\.|[^/\n])*)/")
+# standalone Pattern literal in expression position: /re/.matcher(x) etc.
+# (lookbehind rejects identifier/closing-bracket/digit before '/' so
+# division expressions never match)
+_RX_METHOD = re.compile(
+    r"(?<![\w)\]])/((?:\\.|[^/\n])*)/\s*\.\s*(matcher|split)\s*\(")
 
 # Elvis operator `a ?: b` (null-coalesce).  Rewritten to `a |_EV| b`:
 # after `||` -> `or`, the single `|` is unused in Painless, and `_EV`
@@ -253,6 +258,15 @@ def _rewrite_lambdas(src: str) -> str:
 def _protect_regexes(src: str) -> tuple[str, list[tuple[str, str]]]:
     pats: list[tuple[str, str]] = []
 
+    def sub_method(m):
+        # standalone Pattern literal: /re/.matcher(x) | /re/.split(x) —
+        # becomes a placeholder NAME the interpreter binds to a compiled
+        # java.util.regex.Pattern stand-in
+        pats.append(("p", m.group(1)))
+        return f"_rxp{len(pats) - 1}.{m.group(2)}("
+
+    src = _RX_METHOD.sub(sub_method, src)
+
     def sub(m):
         kind = "m" if m.group(1) == "==~" else "f"
         pats.append((kind, m.group(2)))
@@ -402,6 +416,11 @@ def _field_path(node: ast.AST) -> str | None:
 
 def _is_string(dt) -> bool:
     return isinstance(dt, T.StringType)
+
+
+def _is_integral(dt) -> bool:
+    return isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                           T.ByteType))
 
 
 def _lambda_fn(lam: ast.Lambda, c: _Ctx, edt=None):
@@ -646,8 +665,14 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
         if isinstance(node.op, ast.Mult):
             return lv * rv, ldt or rdt
         if isinstance(node.op, ast.Div):
+            # Java semantics: int / int TRUNCATES toward zero (painless is
+            # Java); double->long cast truncates toward zero in Spark.
+            # Only when BOTH static dtypes are known-integral.
+            if _is_integral(ldt) and _is_integral(rdt):
+                return (lv / rv).cast("long"), T.LongType()
             return lv / rv, T.DoubleType()
         if isinstance(node.op, ast.Mod):
+            # Spark's % (Remainder) already matches Java: sign of dividend
             return lv % rv, ldt or rdt
         raise UnsupportedScriptError("unsupported binary op")
 

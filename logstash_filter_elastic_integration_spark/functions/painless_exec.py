@@ -855,6 +855,65 @@ class _RxMatch(_RxFind):
         return other is not None and bool(self._rx.fullmatch(str(other)))
 
 
+def _java_repl(rep: str) -> str:
+    """Java Matcher replacement `$1` -> python re `\\1`."""
+    return re.sub(r"\$(\d)", r"\\\1", str(rep))
+
+
+class _JMatcher:
+    """java.util.regex.Matcher stand-in for `/pat/.matcher(s)` scripts."""
+
+    def __init__(self, rx, s):
+        self._rx = rx
+        self._s = "" if s is None else str(s)
+        self._m = None
+        self._pos = 0
+
+    def find(self):
+        self._m = self._rx.search(self._s, self._pos)
+        if self._m is not None:
+            self._pos = max(self._m.end(), self._m.start() + 1)
+        return self._m is not None
+
+    def matches(self):
+        self._m = self._rx.fullmatch(self._s)
+        return self._m is not None
+
+    def group(self, i=0):
+        if self._m is None:
+            raise ValueError("No match available")
+        g = self._m.group(int(i))
+        return None if g is None else JStr(g)
+
+    def groupCount(self):          # noqa: N802
+        return self._rx.groups
+
+    def start(self):
+        return -1 if self._m is None else self._m.start()
+
+    def end(self):
+        return -1 if self._m is None else self._m.end()
+
+    def replaceAll(self, rep):     # noqa: N802
+        return JStr(self._rx.sub(_java_repl(rep), self._s))
+
+    def replaceFirst(self, rep):   # noqa: N802
+        return JStr(self._rx.sub(_java_repl(rep), self._s, count=1))
+
+
+class _JPattern:
+    """Compiled Pattern for a standalone regex literal (`_rxp<N>`)."""
+
+    def __init__(self, pat: str):
+        self._rx = re.compile(pat)
+
+    def matcher(self, s):
+        return _JMatcher(self._rx, s)
+
+    def split(self, s):
+        return _wrap([p for p in self._rx.split("" if s is None else str(s))])
+
+
 # tombstone distinguishing ctx.remove('f') (key gone -> containsKey false)
 # from ctx.f = null (key present-null -> containsKey true), like the
 # reference's mutable document map (IngestDuplexMarshaller.java:144-152)
@@ -1367,6 +1426,26 @@ class _ChronoUnit:
     DAYS = _ChronoField(86400)
 
 
+def _jdiv(a, b):
+    """Java division: int/int truncates toward ZERO (-7/2 = -3); any
+    double operand -> double division."""
+    if isinstance(a, int) and isinstance(b, int) \
+            and not isinstance(a, bool) and not isinstance(b, bool):
+        q = abs(a) // abs(b)
+        return q if (a < 0) == (b < 0) else -q
+    return a / b
+
+
+def _jmod(a, b):
+    """Java %: result has the sign of the DIVIDEND (python % floors)."""
+    if isinstance(a, int) and isinstance(b, int) \
+            and not isinstance(a, bool) and not isinstance(b, bool):
+        r = abs(a) % abs(b)
+        return r if a >= 0 else -r
+    import math
+    return math.fmod(a, b)
+
+
 _GLOBALS = {
     "ZonedDateTime": JZonedDateTime, "Instant": JInstant,
     "ZoneId": JZoneId, "ZoneOffset": _JZoneOffset,
@@ -1385,8 +1464,25 @@ _GLOBALS = {
     "_jtMap": _JType(dict), "_jtHashMap": _JType(dict),
     "_jtNumber": _JType(int, float, excl=(bool,)),
     "_jexc": _JavaException,
+    "_jdiv": _jdiv, "_jmod": _jmod,
     "__builtins__": {},
 }
+
+
+class _JavaArith(ast.NodeTransformer):
+    """Rewrite `/` and `%` BinOps to _jdiv/_jmod calls — Java numeric
+    semantics (truncating int division, dividend-sign remainder)."""
+
+    def visit_BinOp(self, node):   # noqa: N802
+        self.generic_visit(node)
+        if isinstance(node.op, ast.Div):
+            fn = "_jdiv"
+        elif isinstance(node.op, ast.Mod):
+            fn = "_jmod"
+        else:
+            return node
+        return ast.Call(func=ast.Name(id=fn, ctx=ast.Load()),
+                        args=[node.left, node.right], keywords=[])
 
 
 class _JStrLiterals(ast.NodeTransformer):
@@ -1421,9 +1517,12 @@ class CompiledScript:
         # any operand ('count=' + 5 -> 'count=5').  Rewrite str constants to
         # JStr AFTER path collection (which pattern-matches raw Constants).
         tree = _JStrLiterals().visit(tree)
+        tree = _JavaArith().visit(tree)
         ast.fix_missing_locations(tree)
         self._rx_env = {
-            f"_rx{kind}{i}": (_RxMatch(pat) if kind == "m" else _RxFind(pat))
+            f"_rx{kind}{i}": (_RxMatch(pat) if kind == "m"
+                              else _JPattern(pat) if kind == "p"
+                              else _RxFind(pat))
             for i, (kind, pat) in enumerate(regexes)}
         self._code = compile(tree, "<painless>", "exec")
 

@@ -476,3 +476,24 @@ def test_do_while_watchdog():
     cs = CompiledScript("int i = 0; do { i++; } while (true); ctx.x = i;")
     with pytest.raises(RuntimeError, match="watchdog"):
         cs.run_row({})
+
+
+def test_pattern_matcher_and_split():
+    cs = CompiledScript("""
+        def m = /v(\\d+)\\.(\\d+)/.matcher(ctx.s);
+        if (m.find()) { ctx.major = m.group(1); ctx.minor = m.group(2); }
+        ctx.clean = /[0-9]+/.matcher(ctx.s).replaceAll('N');
+        ctx.parts = /,\\s*/.split(ctx.csv);
+    """)
+    got = cs.run_row({"s": "app v42.7 here", "csv": "x, y,z"})
+    assert got["major"] == "42" and got["minor"] == "7"
+    assert got["clean"] == "app vN.N here"
+    assert got["parts"] == ["x", "y", "z"]
+
+
+def test_java_integer_division_and_remainder():
+    # Java: int/int truncates toward zero; % takes the dividend's sign
+    cs = CompiledScript(
+        "ctx.a = 7 / 2; ctx.b = -7 / 2; ctx.c = 7.0 / 2; "
+        "ctx.d = -7 % 3; ctx.e = 7 % 3;")
+    assert cs.run_row({}) == {"a": 3, "b": -3, "c": 3.5, "d": -1, "e": 1}
