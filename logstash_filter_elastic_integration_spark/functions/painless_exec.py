@@ -1484,6 +1484,18 @@ class _JavaArith(ast.NodeTransformer):
         return ast.Call(func=ast.Name(id=fn, ctx=ast.Load()),
                         args=[node.left, node.right], keywords=[])
 
+    def visit_AugAssign(self, node):  # noqa: N802
+        # x /= y  and  x %= y  carry the same Java semantics
+        self.generic_visit(node)
+        if not isinstance(node.op, (ast.Div, ast.Mod)):
+            return node
+        fn = "_jdiv" if isinstance(node.op, ast.Div) else "_jmod"
+        load = ast.parse(ast.unparse(node.target), mode="eval").body
+        return ast.Assign(
+            targets=[node.target],
+            value=ast.Call(func=ast.Name(id=fn, ctx=ast.Load()),
+                           args=[load, node.value], keywords=[]))
+
 
 class _JStrLiterals(ast.NodeTransformer):
     """Rewrite string Constant nodes to ``_JS('...')`` so literals carry

@@ -497,3 +497,9 @@ def test_java_integer_division_and_remainder():
         "ctx.a = 7 / 2; ctx.b = -7 / 2; ctx.c = 7.0 / 2; "
         "ctx.d = -7 % 3; ctx.e = 7 % 3;")
     assert cs.run_row({}) == {"a": 3, "b": -3, "c": 3.5, "d": -1, "e": 1}
+
+
+def test_java_compound_division():
+    cs = CompiledScript(
+        "int x = 7; x /= 2; ctx.a = x; int y = -7; y %= 3; ctx.b = y;")
+    assert cs.run_row({}) == {"a": 3, "b": -1}
