@@ -57,6 +57,7 @@ class SparkIngestFilter:
                  routing: dict[str, str] | None = None,
                  pipeline_name: str | None = None,
                  dims: dict[str, DataFrame] | None = None,
+                 geoip_database_directory: str | None = None,
                  max_hops: int = 3):
         self.registry = PipelineRegistry()
         if isinstance(pipelines, str):
@@ -66,11 +67,25 @@ class SparkIngestFilter:
                 self.registry.register(name, definition)
         if dims:
             self.registry.dims.update(dims)
+        # plugin option geoip_database_directory (elastic_integration.rb:99):
+        # every *.mmdb in the directory becomes a lookup dim keyed by its
+        # FILENAME — exactly how the reference matches a processor's
+        # database_file.  Loaded lazily on first filter() (needs a session).
+        self._geoip_dir = geoip_database_directory
         self.pipeline_name = pipeline_name  # sprintf template override
         self.router = Router(registry=self.registry, routing=routing or {},
                              max_hops=max_hops)
 
     def filter(self, df: DataFrame) -> DataFrame:
+        if self._geoip_dir is not None:
+            import os
+
+            from .sources.mmdb import load_mmdb_dim
+            for fn in sorted(os.listdir(self._geoip_dir)):
+                if fn.endswith(".mmdb") and fn not in self.registry.dims:
+                    self.registry.dims[fn] = load_mmdb_dim(
+                        df.sparkSession, os.path.join(self._geoip_dir, fn))
+            self._geoip_dir = None
         if self.pipeline_name is not None:
             return self._filter_by_template(df)
         return self.router.execute(df)

@@ -209,6 +209,11 @@ def p_geoip(df, spec, ctx):
         dims[db] = load_mmdb_dim(df.sparkSession,
                                  spec.config["database_path"])
         spec.config.setdefault("range_keys", ["lo", "hi"])
+    if ("range_keys" not in spec.config and db in dims
+            and {"lo", "hi"}.issubset(set(dims[db].columns))):
+        # a dim ingested from a real .mmdb (engine geoip_database_directory
+        # or load_mmdb_dim) carries lo/hi range columns — resolve by range
+        spec.config["range_keys"] = ["lo", "hi"]
     if "range_keys" in spec.config and db in dims:
         return _broadcast_range_lookup(
             df, spec, ctx, db,

@@ -94,3 +94,23 @@ def test_geoip_database_path_autoload(spark, registry, tmp_path):
     by = {r["ip"]: r for r in out}
     assert by["8.8.8.8"]["geo.country_iso_code"] == "US"
     assert by["10.9.9.9"]["geo.net"] == "corp"
+
+
+def test_engine_geoip_database_directory(spark, tmp_path):
+    # plugin option geoip_database_directory: every *.mmdb in the dir
+    # becomes a range dim keyed by filename; the geoip processor infers
+    # range resolution from the dim's lo/hi columns
+    from logstash_filter_elastic_integration_spark.engine import (
+        SparkIngestFilter)
+    _fixture(tmp_path / "GeoDir.mmdb")
+    eng = SparkIngestFilter(
+        pipelines={"p": {"processors": [
+            {"geoip": {"field": "ip", "database_file": "GeoDir.mmdb",
+                       "target_field": "geo"}}]}},
+        pipeline_name="p",
+        geoip_database_directory=str(tmp_path))
+    df = spark.createDataFrame([("8.8.8.8",)], "ip string")
+    row = eng.filter(df).collect()[0].asDict()
+    hits = {k: v for k, v in row.items()
+            if k.startswith("geo.") and v is not None}
+    assert hits, f"no geo fields resolved: {row}"
