@@ -661,6 +661,16 @@ def p_script(df, spec, ctx):
     Scripts neither engine accepts fail at compile (fail-loud parity)."""
     cfg = spec.config
     active = ctx.active(df, spec)
+    if "id" in cfg and "source" not in cfg:
+        # ES stored script: `id` resolves from the cluster's script store —
+        # here the registry-local analogue (PipelineRegistry.scripts)
+        stored = getattr(ctx.registry, "scripts", {})
+        if cfg["id"] not in stored:
+            return ctx.fail(df, active, spec,
+                            f"unable to find script [{cfg['id']}] in cluster state")
+        from dataclasses import replace
+        cfg = dict(cfg, source=stored[cfg["id"]])
+        spec = replace(spec, config=cfg)
     try:
         assignments = compile_script(
             cfg.get("source", ""), resolver_for(df), cfg.get("params"))

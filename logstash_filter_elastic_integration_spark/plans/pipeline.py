@@ -93,6 +93,9 @@ class PipelineRegistry:
         self.pipelines: dict[str, IngestPipeline] = {}
         # broadcast lookup dimensions (geoip/lookup processors): name -> DataFrame
         self.dims: dict[str, object] = {}
+        # stored scripts (ES _scripts store analogue): the script
+        # processor's `id` option resolves here instead of `source`
+        self.scripts: dict[str, str] = {}
         from ..operators import PROCESSOR_IMPLS  # late import: avoid cycle
         self.impls: dict[str, Callable] = dict(PROCESSOR_IMPLS)
 

@@ -779,3 +779,17 @@ def test_json_add_to_root(spark, registry):
         [(1, '{"color": "red", "size": "XL"}')], "id long, payload string")
     assert out2[0]["_extras"].get("color") == "red"
     assert out2[0]["copied"] == "red"
+
+
+def test_script_stored_id(spark, registry):
+    # ES stored scripts: `id` resolves from the script store (registry
+    # analogue); unknown id fails the document like the reference
+    registry.scripts["double_it"] = "ctx.twice = ctx.n * 2;"
+    out = run_one(spark, registry,
+                  [{"script": {"id": "double_it"}}],
+                  [(21,)], "n long")
+    assert out[0]["twice"] == 42
+    out2 = run_one(spark, registry,
+                   [{"script": {"id": "nope"}}],
+                   [(1,)], "n long")
+    assert (out2[0]["tags"] or []) != []
