@@ -334,8 +334,22 @@ _NAMED_RANGES = {
     "private": [("10.0.0.0", 8), ("172.16.0.0", 12), ("192.168.0.0", 16)],
     "loopback": [("127.0.0.0", 8)],
     "link_local_unicast": [("169.254.0.0", 16)],
+    "link_local_multicast": [("224.0.0.0", 24)],
+    "interface_local_multicast": [],           # IPv6-only (ff01::/16)
     "multicast": [("224.0.0.0", 4)],
+    "broadcast": [("255.255.255.255", 32)],
     "unspecified": [("0.0.0.0", 32)],
+}
+
+# composite named ranges = negation of a special-range union (the beats/ES
+# semantics: Go net.IP.IsGlobalUnicast for unicast; public additionally
+# excludes the RFC1918 private space)
+_COMPOSITE_RANGES = {
+    "unicast": ("unspecified", "loopback", "multicast", "link_local_unicast"),
+    "global_unicast": ("unspecified", "loopback", "multicast",
+                       "link_local_unicast"),
+    "public": ("private", "unspecified", "loopback", "multicast",
+               "link_local_unicast"),
 }
 
 
@@ -363,7 +377,10 @@ _NAMED_RANGES_V6 = {
     "private": ["fc", "fd"],                       # fc00::/7 ULA
     "loopback": ["0" * 31 + "1"],                  # ::1/128
     "link_local_unicast": ["fe8", "fe9", "fea", "feb"],  # fe80::/10
+    "link_local_multicast": ["ff02"],              # ff02::/16
+    "interface_local_multicast": ["ff01"],         # ff01::/16
     "multicast": ["ff"],                           # ff00::/8
+    "broadcast": [],                               # IPv4-only
     "unspecified": ["0" * 32],                     # ::/128
 }
 
@@ -435,8 +452,11 @@ def p_network_direction(df, spec, ctx):
     active = ctx.active(df, spec)
     cidrs: list[tuple[str, int]] = []
     v6_prefixes: list[str] = []
+    composites: list[str] = []
     for n in networks:
-        if n in _NAMED_RANGES:
+        if n in _COMPOSITE_RANGES:
+            composites.append(n)
+        elif n in _NAMED_RANGES:
             cidrs.extend(_NAMED_RANGES[n])
             v6_prefixes.extend(_NAMED_RANGES_V6.get(n, []))
         elif ":" in n:
@@ -459,15 +479,26 @@ def p_network_direction(df, spec, ctx):
             if networks_field not in df.columns:
                 return F.lit(False)
             return _dyn_in_nets(ip, fcol(networks_field))
-        v4 = _in_cidrs(_ip4_to_long(ip), cidrs)
-        if not v6_prefixes:
-            return F.when(ip.rlike(_IPV4_RX), v4).otherwise(F.lit(False))
-        hx = _ip6_hex(ip)
-        v6 = F.lit(False)
-        for pfx in v6_prefixes:
-            v6 = v6 | hx.startswith(pfx)
-        return F.when(ip.rlike(_IPV4_RX), v4) \
-            .otherwise(F.coalesce(v6, F.lit(False)))
+        def membership(c4, p6):
+            v4 = _in_cidrs(_ip4_to_long(ip), c4)
+            if not p6:
+                return F.when(ip.rlike(_IPV4_RX), v4).otherwise(F.lit(False))
+            hx = _ip6_hex(ip)
+            v6 = F.lit(False)
+            for pfx in p6:
+                v6 = v6 | hx.startswith(pfx)
+            return F.when(ip.rlike(_IPV4_RX), v4) \
+                .otherwise(F.coalesce(v6, F.lit(False)))
+
+        cond = membership(cidrs, v6_prefixes)
+        for comp in composites:
+            ex4: list[tuple[str, int]] = []
+            ex6: list[str] = []
+            for nn in _COMPOSITE_RANGES[comp]:
+                ex4.extend(_NAMED_RANGES[nn])
+                ex6.extend(_NAMED_RANGES_V6.get(nn, []))
+            cond = cond | (ip.isNotNull() & ~membership(ex4, ex6))
+        return cond
 
     src_in = _in_nets(src)
     dst_in = _in_nets(dst)

@@ -308,3 +308,41 @@ def test_foreach_inner_set_and_remove_on_structs(spark, registry):
     el = out[0]["items"][0]
     assert el["flag"] == "seen"
     assert el["tmp"] is None  # flat-model removal: null-out, schema stable
+
+
+# ----------------------------------------------- network_direction ranges --
+def test_network_direction_composite_ranges(spark, registry):
+    rows = [
+        ("8.8.8.8", "1.1.1.1"),        # both public
+        ("10.0.0.1", "8.8.8.8"),       # private src -> not public
+        ("127.0.0.1", "8.8.8.8"),      # loopback src -> not public
+        ("224.0.0.5", "8.8.8.8"),      # link-local multicast src
+    ]
+    out = run_one(
+        spark, registry,
+        [{"network_direction": {"internal_networks": ["public"],
+                                "source_ip": "sip",
+                                "destination_ip": "dip",
+                                "target_field": "dir"}}],
+        rows, "sip string, dip string")
+    assert [r["dir"] for r in out] == [
+        "internal", "inbound", "inbound", "inbound"]
+    out2 = run_one(
+        spark, registry,
+        [{"network_direction": {"internal_networks":
+                                ["link_local_multicast"],
+                                "source_ip": "sip",
+                                "destination_ip": "dip",
+                                "target_field": "dir"}}],
+        rows, "sip string, dip string")
+    assert [r["dir"] for r in out2] == [
+        "external", "external", "external", "outbound"]
+    out3 = run_one(
+        spark, registry,
+        [{"network_direction": {"internal_networks": ["unicast"],
+                                "source_ip": "sip",
+                                "destination_ip": "dip",
+                                "target_field": "dir"}}],
+        [("10.0.0.1", "224.0.0.5")], "sip string, dip string")
+    # Go IsGlobalUnicast: private IS unicast; multicast is NOT
+    assert out3[0]["dir"] == "outbound"
