@@ -576,22 +576,40 @@ def q_pipe_user_agent(spark, sf_dir):
         F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_11_6) "
               "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/51.0.2704.103 "
               "Safari/537.36")
+    ).when(
+        F.col("event_type") == "click",
+        F.lit("Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 "
+              "(KHTML, like Gecko) Chrome/112.0.5615.136 Mobile "
+              "Safari/537.36")
     ).otherwise(F.lit("curl/8.4.0"))
     df = ev.withColumn("ua", ua)
-    out = _pipe(spark, df, [{"user_agent": {"field": "ua"}}])
+    out = _pipe(spark, df, [{"user_agent": {"field": "ua",
+                                            "extract_device_type": True}}])
     return out.select("event_id",
                       fcol("user_agent.name").alias("ua_name"),
                       fcol("user_agent.version").alias("ua_version"),
                       fcol("user_agent.os.name").alias("ua_os"),
-                      fcol("user_agent.device.name").alias("ua_device"))
+                      fcol("user_agent.device.name").alias("ua_device"),
+                      fcol("user_agent.device.type").alias("ua_type"))
 
 
 O_USER_AGENT = """
 SELECT event_id,
-       CASE WHEN event_type = 'error' THEN 'Chrome' ELSE 'curl' END AS ua_name,
-       CASE WHEN event_type = 'error' THEN '51.0.2704.103' ELSE '8.4.0' END AS ua_version,
-       CASE WHEN event_type = 'error' THEN 'Mac OS X' ELSE 'Other' END AS ua_os,
-       CASE WHEN event_type = 'error' THEN 'Mac' ELSE 'Other' END AS ua_device
+       CASE WHEN event_type = 'error' THEN 'Chrome'
+            WHEN event_type = 'click' THEN 'Chrome Mobile'
+            ELSE 'curl' END AS ua_name,
+       CASE WHEN event_type = 'error' THEN '51.0.2704.103'
+            WHEN event_type = 'click' THEN '112.0.5615'
+            ELSE '8.4.0' END AS ua_version,
+       CASE WHEN event_type = 'error' THEN 'Mac OS X'
+            WHEN event_type = 'click' THEN 'Android'
+            ELSE 'Other' END AS ua_os,
+       CASE WHEN event_type = 'error' THEN 'Mac'
+            WHEN event_type = 'click' THEN 'Samsung SM-S918B'
+            ELSE 'Other' END AS ua_device,
+       CASE WHEN event_type = 'error' THEN 'Desktop'
+            WHEN event_type = 'click' THEN 'Phone'
+            ELSE 'Robot' END AS ua_type
 FROM events
 """
 
