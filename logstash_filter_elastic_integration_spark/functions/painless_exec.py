@@ -55,6 +55,8 @@ _TOKEN_REWRITES = [
     # .add/.put/.size on these
     (re.compile(r"\bnew\s+ArrayList\s*\(\s*\)"), "_jlist([])"),
     (re.compile(r"\bnew\s+HashMap\s*\(\s*\)"), "_jmap({})"),
+    (re.compile(r"\bnew\s+StringBuilder\s*\("), "_jsb("),
+    (re.compile(r"\bnew\s+String\s*\("), "_jstrnew("),
     # Java numeric-literal suffixes: 0L, 1.5f, 2.0d -> plain literals
     (re.compile(r"\b(\d+)[Ll]\b"), r"\1"),
     (re.compile(r"\b(\d+\.\d+)[FfDd]\b"), r"\1"),
@@ -508,6 +510,10 @@ class JStr(str):
     """str with Painless/Java method names.  ``+`` follows Java string
     concatenation: any operand type coerces (s + 3 -> 's3', s + null ->
     'snull'), unlike Python's TypeError."""
+
+    def getBytes(self, charset="UTF-8"):  # noqa: N802
+        return self.encode(str(charset).lower().replace("-", "_")
+                           .replace("utf_8", "utf-8"))
 
     def __add__(self, o):
         return JStr(str.__add__(self, o if isinstance(o, str)
@@ -1011,6 +1017,14 @@ class _JavaMath:
         return abs(x)
 
     @staticmethod
+    def floorMod(a, b):            # noqa: N802
+        return a % b               # python % IS Java floorMod for ints
+
+    @staticmethod
+    def floorDiv(a, b):            # noqa: N802
+        return a // b
+
+    @staticmethod
     def max(a, b):
         return max(a, b)
 
@@ -1049,11 +1063,105 @@ class _JavaInteger:
         return int(str(s).strip())
 
     @staticmethod
+    def parseLong(s):              # noqa: N802
+        return int(str(s).strip())
+
+    @staticmethod
     def toString(v):               # noqa: N802
         return JStr(str(int(v)))
 
     MAX_VALUE = 2 ** 31 - 1
     MIN_VALUE = -2 ** 31
+
+
+class _JavaCharacter:
+    @staticmethod
+    def isDigit(c):                # noqa: N802
+        return str(c).isdigit()
+
+    @staticmethod
+    def isLetter(c):               # noqa: N802
+        return str(c).isalpha()
+
+    @staticmethod
+    def isLetterOrDigit(c):        # noqa: N802
+        return str(c).isalnum()
+
+    @staticmethod
+    def isWhitespace(c):           # noqa: N802
+        return str(c).isspace()
+
+    @staticmethod
+    def isUpperCase(c):            # noqa: N802
+        return str(c).isupper()
+
+    @staticmethod
+    def isLowerCase(c):            # noqa: N802
+        return str(c).islower()
+
+    @staticmethod
+    def toUpperCase(c):            # noqa: N802
+        return JStr(str(c).upper())
+
+    @staticmethod
+    def toLowerCase(c):            # noqa: N802
+        return JStr(str(c).lower())
+
+
+class _JavaArrays:
+    @staticmethod
+    def asList(*xs):               # noqa: N802
+        return JList(xs)
+
+
+class _B64Encoder:
+    @staticmethod
+    def encodeToString(b):         # noqa: N802
+        import base64
+        if isinstance(b, str):
+            b = b.encode()
+        return JStr(base64.b64encode(bytes(b)).decode())
+
+
+class _B64Decoder:
+    @staticmethod
+    def decode(s):
+        import base64
+        return base64.b64decode(str(s))
+
+
+class _JavaBase64:
+    @staticmethod
+    def getEncoder():              # noqa: N802
+        return _B64Encoder
+
+    @staticmethod
+    def getDecoder():              # noqa: N802
+        return _B64Decoder
+
+
+class JStringBuilder:
+    """`new StringBuilder()` -> fluent append chain."""
+
+    def __init__(self, initial=""):
+        self._parts = [str(initial)]
+
+    def append(self, v):
+        self._parts.append("null" if v is None else str(v))
+        return self
+
+    def insert(self, i, v):
+        cur = "".join(self._parts)
+        self._parts = [cur[:int(i)] + str(v) + cur[int(i):]]
+        return self
+
+    def length(self):
+        return len("".join(self._parts))
+
+    def toString(self):            # noqa: N802
+        return JStr("".join(self._parts))
+
+    __str__ = toString
 
 
 class _JavaDouble:
@@ -1465,6 +1573,11 @@ _GLOBALS = {
     "_jtNumber": _JType(int, float, excl=(bool,)),
     "_jexc": _JavaException,
     "_jdiv": _jdiv, "_jmod": _jmod,
+    "Character": _JavaCharacter, "Arrays": _JavaArrays,
+    "Base64": _JavaBase64, "_jsb": JStringBuilder,
+    "_jstrnew": (lambda b=b"": JStr(
+        b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray))
+        else str(b))),
     "__builtins__": {},
 }
 

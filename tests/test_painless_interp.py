@@ -503,3 +503,18 @@ def test_java_compound_division():
     cs = CompiledScript(
         "int x = 7; x /= 2; ctx.a = x; int y = -7; y %= 3; ctx.b = y;")
     assert cs.run_row({}) == {"a": 3, "b": -1}
+
+
+def test_java_stdlib_statics():
+    cs = CompiledScript("""
+        ctx.b = Long.parseLong('99');
+        ctx.e = Math.floorMod(-7, 3);
+        ctx.f = Character.isDigit(ctx.s.charAt(0));
+        ctx.g = new StringBuilder().append('a').append(1).toString();
+        ctx.h = Base64.getEncoder().encodeToString(ctx.s.getBytes());
+        ctx.i = new String(Base64.getDecoder().decode('aGk='));
+        ctx.j = Arrays.asList(1,2,3).size();
+    """)
+    got = cs.run_row({"s": "5x"})
+    assert got == {"b": 99, "e": 2, "f": True, "g": "a1",
+                   "h": "NXg=", "i": "hi", "j": 3}
