@@ -279,15 +279,21 @@ def _transpile_block(src: str, indent: int, lines: list[str],
                     k2 += 1
                 cond2 = src[j2:k2 - 1]
                 cap = f"__wcap{counter[0]}"
+                first = f"__dwfirst{counter[0]}"
                 counter[0] += 1
+                # `while first or cond:` (not `while True: ...; if not
+                # cond: break`) so a `continue` in the body re-evaluates
+                # the condition like Java does, instead of looping
+                # unconditionally into the watchdog.
                 lines.append(f"{pad}{cap} = 0")
-                lines.append(f"{pad}while True:")
+                lines.append(f"{pad}{first} = True")
+                lines.append(f"{pad}while {first} or ({_rw_expr(cond2)}):")
+                lines.append(f"{pad}    {first} = False")
                 lines.append(f"{pad}    {cap} += 1")
                 lines.append(f"{pad}    if {cap} > {_WHILE_CAP}: "
                              f"raise RuntimeError('script do-while "
                              f"exceeded {_WHILE_CAP} iterations (watchdog)')")
                 _transpile_block(body, indent + 1, lines, counter)
-                lines.append(f"{pad}    if not ({_rw_expr(cond2)}): break")
                 k = k2
             elif kw == "while":
                 cap = f"__wcap{counter[0]}"
@@ -424,7 +430,7 @@ def validate(tree: ast.AST) -> None:
         if isinstance(node, ast.Attribute) and node.attr.startswith("_"):
             raise UnsupportedScriptError(f"attribute {node.attr!r} blocked")
         if isinstance(node, ast.Name) and node.id.startswith("__") \
-                and not node.id.startswith("__wcap"):
+                and not node.id.startswith(("__wcap", "__dwfirst")):
             raise UnsupportedScriptError(f"name {node.id!r} blocked")
 
 
@@ -754,11 +760,13 @@ class JMap(dict):
 
     def __getattr__(self, name):
         # Painless map-access shorthand: `map.key` == `map.get('key')`
-        # (real methods resolve through normal attribute lookup first)
-        try:
-            return self[name]
-        except KeyError:
-            raise AttributeError(name) from None
+        # (real methods resolve through normal attribute lookup first).
+        # Absent keys yield null, matching Map.get — null-guard scripts
+        # like `if (m.k == null)` must take the null branch, not fail.
+        # Dunder names still raise so copy/pickle protocols stay sane.
+        if name.startswith("__") and name.endswith("__"):
+            raise AttributeError(name)
+        return self.get(name)
 
     def put(self, k, v):
         prev = dict.get(self, k)
@@ -1520,10 +1528,12 @@ class _ChronoField:
         self._sp = seconds_per
 
     def between(self, a, b):
+        # Java ChronoUnit.between truncates toward zero (so MINUTES over
+        # -90s is -1, not floor's -2); int() on the quotient matches.
         delta = (b.dt - a.dt).total_seconds()
         if self._sp < 1:  # millis
             return int(delta * 1000)
-        return int(delta // self._sp)
+        return int(delta / self._sp)
 
 
 class _ChronoUnit:

@@ -343,13 +343,16 @@ _NAMED_RANGES = {
 
 # composite named ranges = negation of a special-range union (the beats/ES
 # semantics: Go net.IP.IsGlobalUnicast for unicast; public additionally
-# excludes the RFC1918 private space)
+# excludes the RFC1918 private space).  ES's isUnicast (and isPublic,
+# which requires isUnicast) also excludes the IPv4 limited-broadcast
+# address 255.255.255.255 (NetworkDirectionProcessor).
 _COMPOSITE_RANGES = {
-    "unicast": ("unspecified", "loopback", "multicast", "link_local_unicast"),
+    "unicast": ("unspecified", "loopback", "multicast",
+                "link_local_unicast", "broadcast"),
     "global_unicast": ("unspecified", "loopback", "multicast",
-                       "link_local_unicast"),
+                       "link_local_unicast", "broadcast"),
     "public": ("private", "unspecified", "loopback", "multicast",
-               "link_local_unicast"),
+               "link_local_unicast", "broadcast"),
 }
 
 
@@ -491,13 +494,18 @@ def p_network_direction(df, spec, ctx):
                 .otherwise(F.coalesce(v6, F.lit(False)))
 
         cond = membership(cidrs, v6_prefixes)
+        # composites are "NOT in the special union" — gate on the value
+        # actually parsing as an IP first, else garbage like "not-an-ip"
+        # would satisfy the negation and be classified internal (ES parses
+        # the IP and raises for invalid input instead)
+        parseable = ip.rlike(_IPV4_RX) | _ip6_hex(ip).isNotNull()
         for comp in composites:
             ex4: list[tuple[str, int]] = []
             ex6: list[str] = []
             for nn in _COMPOSITE_RANGES[comp]:
                 ex4.extend(_NAMED_RANGES[nn])
                 ex6.extend(_NAMED_RANGES_V6.get(nn, []))
-            cond = cond | (ip.isNotNull() & ~membership(ex4, ex6))
+            cond = cond | (parseable & ~membership(ex4, ex6))
         return cond
 
     src_in = _in_nets(src)

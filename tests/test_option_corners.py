@@ -346,3 +346,36 @@ def test_network_direction_composite_ranges(spark, registry):
         [("10.0.0.1", "224.0.0.5")], "sip string, dip string")
     # Go IsGlobalUnicast: private IS unicast; multicast is NOT
     assert out3[0]["dir"] == "outbound"
+
+
+def test_network_direction_broadcast_not_unicast(spark, registry):
+    """ADVICE r4: ES isUnicast/isPublic exclude 255.255.255.255 — a
+    broadcast source must NOT classify as internal under unicast/
+    global_unicast/public internal_networks."""
+    rows = [("255.255.255.255", "8.8.8.8"),
+            ("8.8.8.8", "255.255.255.255")]
+    for comp in ("unicast", "global_unicast", "public"):
+        out = run_one(
+            spark, registry,
+            [{"network_direction": {"internal_networks": [comp],
+                                    "source_ip": "sip",
+                                    "destination_ip": "dip",
+                                    "target_field": "dir"}}],
+            rows, "sip string, dip string")
+        assert [r["dir"] for r in out] == ["inbound", "outbound"], comp
+
+
+def test_network_direction_garbage_ip_not_composite(spark, registry):
+    """ADVICE r4: a value that parses as neither IPv4 nor IPv6 must not
+    satisfy the composite negation ("not in any special range") and be
+    classified internal."""
+    out = run_one(
+        spark, registry,
+        [{"network_direction": {"internal_networks": ["unicast"],
+                                "source_ip": "sip",
+                                "destination_ip": "dip",
+                                "target_field": "dir"}}],
+        [("not-an-ip", "8.8.8.8"), ("8.8.8.8", "garbage")],
+        "sip string, dip string")
+    # garbage side is external -> inbound / outbound (not internal)
+    assert [r["dir"] for r in out] == ["inbound", "outbound"]

@@ -518,3 +518,52 @@ def test_java_stdlib_statics():
     got = cs.run_row({"s": "5x"})
     assert got == {"b": 99, "e": 2, "f": True, "g": "a1",
                    "h": "NXg=", "i": "hi", "j": 3}
+
+
+# ------------------------------------------------------ ADVICE r4 fixes ----
+def test_map_dot_access_missing_key_is_null():
+    """Painless `map.key` == `map.get('key')`: absent keys yield null so
+    null-guard scripts take the null branch instead of failing the row."""
+    cs = CompiledScript("""
+        Map m = ['a': ['b': 1]];
+        if (m.c == null) { ctx.ok = true; }
+        if (m.a.b == 1) { ctx.inner = true; }
+        if (m.a.zz == null) { ctx.nested_ok = true; }
+    """)
+    assert cs.run_row({}) == {"ok": True, "inner": True, "nested_ok": True}
+
+
+def test_chronounit_between_truncates_toward_zero():
+    """Java ChronoUnit.between truncates toward zero: -90s is -1 minute
+    (floor division would give -2)."""
+    cs = CompiledScript("""
+        def a = ZonedDateTime.parse(ctx.a);
+        def b = ZonedDateTime.parse(ctx.b);
+        ctx.mins = ChronoUnit.MINUTES.between(a, b);
+        ctx.hours = ChronoUnit.HOURS.between(a, b);
+    """)
+    out = cs.run_row({"a": "2024-01-01T00:01:30Z", "b": "2024-01-01T00:00:00Z"})
+    assert out["mins"] == -1
+    assert out["hours"] == 0
+    fwd = cs.run_row({"a": "2024-01-01T00:00:00Z", "b": "2024-01-01T00:01:30Z"})
+    assert fwd["mins"] == 1
+
+
+def test_do_while_continue_reevaluates_condition():
+    """`continue` inside do-while must re-check the loop condition (Java
+    semantics), not spin unconditionally into the watchdog."""
+    cs = CompiledScript("""
+        int i = 0; int s = 0;
+        do {
+            i++;
+            if (i % 2 == 0) { continue; }
+            s += i;
+        } while (i < 5);
+        ctx.s = s; ctx.i = i;
+    """)
+    assert cs.run_row({}) == {"s": 9, "i": 5}
+
+
+def test_do_while_body_runs_once_when_condition_false():
+    cs = CompiledScript("int n = 0; do { n++; } while (false); ctx.n = n;")
+    assert cs.run_row({}) == {"n": 1}
