@@ -87,7 +87,8 @@ def main() -> None:
     flagship_s = min(passes)
 
     qtimes: dict[str, float] = {"flagship_pipeline": round(flagship_s, 3)}
-    headline = ["pipe_grok_typed", "pipe_mutate_chain", "route_fanout",
+    headline = ["pipe_grok_typed", "pipe_user_agent", "pipe_mutate_chain",
+                "route_fanout",
                 "agg_sink_counts", "dedup_exact", "dedup_minhash_lsh",
                 "dedup_simhash", "dedup_ngram_jaccard", "lang_id_trigram",
                 "doc_quality", "ann_cosine_topk", "ann_ivf",

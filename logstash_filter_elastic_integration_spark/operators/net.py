@@ -116,41 +116,56 @@ def p_html_strip(df, spec, ctx):
 
 
 # ------------------------------------------------------------ user_agent ---
-def _uap_tmpl(ua, tmpl, rx):
-    """Render a uap-core ``$N`` replacement template as a Column (the
-    ua-parser ``Parse*`` replacement contract)."""
+# The UA bank is lowered to SQL TEXT (one F.expr per chain), not
+# Column-by-Column: building ~550 when() branches through py4j costs
+# tens of thousands of gateway round-trips (~7-9 s of plan-build wall
+# per query — measured); generating the CASE text in Python and parsing
+# it once is ~100 ms for the same tree.
+_UA_SRC = "`__ua_src`"
+
+
+def _sql_lit(s: str) -> str:
+    """Spark SQL single-quoted string literal (escape-sequence mode)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_extract(rx: str, g: int) -> str:
+    return f"regexp_extract({_UA_SRC}, {_sql_lit(rx)}, {g})"
+
+
+def _sql_uap_tmpl(tmpl: str, rx: str) -> str:
+    """uap-core ``$N`` replacement template (the ua-parser ``Parse*``
+    replacement contract) as SQL."""
     if "$" not in tmpl:
-        return F.lit(tmpl)
+        return _sql_lit(tmpl)
     pieces = re.split(r"\$(\d)", tmpl)
-    cols = []
+    parts = []
     for i, piece in enumerate(pieces):
         if i % 2 == 0:
             if piece:
-                cols.append(F.lit(piece))
+                parts.append(_sql_lit(piece))
         else:
-            cols.append(F.regexp_extract(ua, rx, int(piece)))
-    return F.concat(*cols) if cols else F.lit("")
+            parts.append(_sql_extract(rx, int(piece)))
+    if not parts:
+        return "''"
+    return parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
 
 
-def _uap_version(ua, rx, vspecs, n_groups):
+def _sql_uap_version(rx: str, vspecs, n_groups: int) -> str:
     """v1..v4 = vN_replacement template else capture group N+1 (ua-parser
-    numbering: group 1 is the family slot), '.'-joined over present parts."""
+    numbering: group 1 is the family slot), '.'-joined over present
+    parts; null when every part is empty."""
     parts = []
     for i, spec in enumerate(vspecs):
         g = i + 2
         if spec is not None:
-            parts.append(_uap_tmpl(ua, spec, rx))
+            parts.append(_sql_uap_tmpl(spec, rx))
         elif n_groups >= g:
-            parts.append(F.regexp_extract(ua, rx, g))
-        else:
-            continue
+            parts.append(_sql_extract(rx, g))
     if not parts:
-        return F.lit(None).cast("string")
-    return F.when(
-        F.concat_ws(".", *[F.when(p.isNotNull() & (p != ""), p)
-                           for p in parts]) != "",
-        F.concat_ws(".", *[F.when(p.isNotNull() & (p != ""), p)
-                           for p in parts]))
+        return "CAST(NULL AS STRING)"
+    joined = ", ".join(f"nullif({p}, '')" for p in parts)
+    return f"nullif(concat_ws('.', {joined}), '')"
 
 
 # Browser/OS/device regex bank re-expressed from the public ua-parser
@@ -162,6 +177,61 @@ from .ua_bank import (UA_BROWSERS as _UA_BROWSERS,  # noqa: E402
                       UA_DEVICES as _UA_DEVICES,
                       UA_OS as _UA_OS,
                       WINDOWS_NT_VERSIONS as _WINDOWS_NT_VERSIONS)
+
+
+# branches per CASE segment.  The user_agent projection runs as a
+# STANDALONE per-operator-codegen Project (see the barrier below), where
+# Spark's expression codegen splits each CASE's branches into their own
+# small methods and the remaining per-CASE caller block is ~seg call
+# sites — comfortably under the 8 KB JIT HugeMethodLimit.  Segments are
+# composed with coalesce() (a matched segment's struct is always
+# non-null), so the coalesce caller is small too, and a full ~1200-entry
+# uap-core bank stays fully compiled + JIT-able.  Sized empirically with
+# tools/ua_codegen_probe.py.
+_UA_SEG = 48
+
+
+# Whole-stage-fusion barrier: from_json is CodegenFallback, so the
+# Project carrying the regex chains is NOT inlined into the fused
+# processNext() (where the whole bank would land in one giant method);
+# it runs as a standalone Project whose expression codegen splits CASE
+# branches into small JIT-able methods.  The input is always null at
+# runtime (never parsed — zero cost) but not provably null to the
+# optimizer — the guard is length(src) < 0, which no rule folds (an
+# isnull(src) guard gets constant-folded away when the source column
+# is non-nullable, which would silently re-fuse the Project).
+_UA_BARRIER_SQL = (f"from_json(CASE WHEN length({_UA_SRC}) < 0 "
+                   f"THEN {_UA_SRC} END, '__cgf INT') IS NOT NULL")
+
+
+def _segmented_first_match(pairs, barrier=False, seg=_UA_SEG):
+    """Ordered FIRST-match-wins over ``pairs`` [(cond_sql, value_sql)] as
+    one SQL expression: ``coalesce(seg_case_0, seg_case_1, ...)``.
+
+    Why not one monolithic CASE: whole-stage codegen inlines every
+    operator under a Project into ONE processNext() method, so a
+    ~270-branch chain generated a 47 KB method — beyond janino for the
+    full uap-core bank (observed live failure) and far beyond the 8 KB
+    JIT limit, silently degrading the stage.  Split per ``seg`` branches
+    and evaluated outside whole-stage fusion, every generated method
+    stays small.  Rows that matched an earlier segment — or are gated
+    off — short-circuit later segments (coalesce stops at the first
+    non-null; each segment's branch 1 returns null when gated)."""
+    if not pairs:
+        return None
+    segs = []
+    for s in range(0, len(pairs), seg):
+        off = "(NOT `__ua_act`)"
+        if barrier and s == 0:
+            off = f"({off} OR ({_UA_BARRIER_SQL}))"
+        body = [f"CASE WHEN {off} THEN NULL"]
+        for cond, val in pairs[s:s + seg]:
+            body.append(f"WHEN {cond} THEN {val}")
+        body.append("END")
+        segs.append(" ".join(body))
+    if len(segs) == 1:
+        return F.expr(segs[0])
+    return F.expr("coalesce(" + ", ".join(segs) + ")")
 
 
 def p_user_agent(df, spec, ctx):
@@ -192,105 +262,134 @@ def p_user_agent(df, spec, ctx):
         lit = "".join(out)
         return lit if len(lit) >= 4 else None
 
-    def _hit(rx: str):
+    def _hit(rx: str) -> str:
         lit = _prefix_literal(rx)
-        h = ua.rlike(rx)
-        return (ua.contains(lit) & h) if lit else h
+        h = f"{_UA_SRC} RLIKE {_sql_lit(rx)}"
+        if lit:
+            return f"(instr({_UA_SRC}, {_sql_lit(lit)}) > 0 AND {h})"
+        return f"({h})"
 
-    def _version_of(rx: str, start: int = 1):
+    def _version_of(rx: str, start: int = 1) -> str:
         # exact group count via Python re (the bank compiles identically
         # under re and Java — see ua_bank.py)
         n_groups = re.compile(rx).groups
         if n_groups < start:
-            return F.lit(None).cast("string")
-        parts = [F.regexp_extract(ua, rx, i)
-                 for i in range(start, n_groups + 1)]
-        return F.concat_ws(".", *[F.when(p != "", p) for p in parts])
+            return "CAST(NULL AS STRING)"
+        parts = ", ".join(f"nullif({_sql_extract(rx, i)}, '')"
+                          for i in range(start, n_groups + 1))
+        return f"concat_ws('.', {parts})"
 
-    def _family_of(tmpl: str, rx: str):
+    def _family_of(tmpl: str, rx: str) -> str:
         # uap-core family_replacement: "$1" -> capture group 1
         if "$1" not in tmpl:
-            return F.lit(tmpl)
+            return _sql_lit(tmpl)
         pre, _, post = tmpl.partition("$1")
-        g1 = F.regexp_extract(ua, rx, 1)
-        return F.concat(F.lit(pre), g1, F.lit(post))
+        parts = []
+        if pre:
+            parts.append(_sql_lit(pre))
+        parts.append(_sql_extract(rx, 1))
+        if post:
+            parts.append(_sql_lit(post))
+        return (parts[0] if len(parts) == 1
+                else f"concat({', '.join(parts)})")
+
+    # gate + source columns shared by every segment (computed once; each
+    # segment's branch 1 short-circuits rows the processor won't touch)
+    gate_col = "__ua_act"
+    df = df.withColumns({
+        gate_col: F.coalesce(active & ua.isNotNull(), F.lit(False)),
+        "__ua_src": ua,
+    })
+
+    def _ns(n_sql: str, v_sql: str) -> str:
+        return f"named_struct('n', {n_sql}, 'v', {v_sql})"
 
     if cfg.get("regex_file"):
         # ES regex_file option (docs/index.asciidoc:173-200): a full
         # uap-core regexes.yaml used WHOLESALE — exact ua-parser group
         # numbering ($N templates; group 1 = family/os/device slot,
-        # versions from group 2).  Same ordered-CASE lowering; a full
-        # ~1200-entry bank exceeds whole-stage-codegen's method budget so
-        # Spark evaluates the chain interpreted (documented trade for
-        # full fidelity vs the curated built-in bank).
+        # versions from group 2).  Same segmented lowering as the
+        # builtin bank, so a full ~1200-entry bank stays fully compiled.
         from .ua_bank import load_uap_regexes
         banks = load_uap_regexes(cfg["regex_file"])
-        name = F.when(F.lit(False), F.lit(None).cast("string"))
-        version = F.when(F.lit(False), F.lit(None).cast("string"))
+        b_pairs = []
         for e in banks["browsers"]:
             rx = e["regex"]
-            hit = _hit(rx)
             n_groups = re.compile(rx).groups
-            fam = (_uap_tmpl(ua, e["family"], rx) if e["family"] is not None
-                   else F.regexp_extract(ua, rx, 1))
-            name = name.when(hit, fam)
-            version = version.when(hit, _uap_version(ua, rx, e["v"], n_groups))
-        name = name.otherwise(F.lit("Other"))
-        version = version.otherwise(F.lit(None).cast("string"))
-        os_name = F.when(F.lit(False), F.lit(None).cast("string"))
-        os_version = F.when(F.lit(False), F.lit(None).cast("string"))
+            fam = (_sql_uap_tmpl(e["family"], rx) if e["family"] is not None
+                   else _sql_extract(rx, 1))
+            b_pairs.append((_hit(rx), _ns(
+                fam, _sql_uap_version(rx, e["v"], n_groups))))
+        o_pairs = []
         for e in banks["os"]:
             rx = e["regex"]
-            hit = _hit(rx)
             n_groups = re.compile(rx).groups
-            osn = (_uap_tmpl(ua, e["os"], rx) if e["os"] is not None
-                   else F.regexp_extract(ua, rx, 1))
-            os_name = os_name.when(hit, osn)
-            os_version = os_version.when(
-                hit, _uap_version(ua, rx, e["v"], n_groups))
-        os_name = os_name.otherwise(F.lit("Other"))
-        os_version = os_version.otherwise(F.lit(None).cast("string"))
-        device = F.when(F.lit(False), F.lit(None).cast("string"))
+            osn = (_sql_uap_tmpl(e["os"], rx) if e["os"] is not None
+                   else _sql_extract(rx, 1))
+            o_pairs.append((_hit(rx), _ns(
+                osn, _sql_uap_version(rx, e["v"], n_groups))))
+        d_pairs = []
         for e in banks["devices"]:
             rx = e["regex"]
-            dev = (F.trim(_uap_tmpl(ua, e["device"], rx))
+            dev = (f"trim({_sql_uap_tmpl(e['device'], rx)})"
                    if e["device"] is not None
-                   else F.regexp_extract(ua, rx, 1))
-            device = device.when(_hit(rx), dev)
-        device = device.otherwise(F.lit("Other"))
+                   else _sql_extract(rx, 1))
+            d_pairs.append((_hit(rx), f"named_struct('d', {dev})"))
     else:
-        # FORWARD-ordered CASE chains: first matching family wins AND
-        # codegen short-circuits — a Chrome UA only executes regexes up to
-        # the Chrome rule instead of the full bank
-        name = F.when(F.lit(False), F.lit(None).cast("string"))
-        version = F.when(F.lit(False), F.lit(None).cast("string"))
+        # FORWARD-ordered: first matching family wins AND short-circuits —
+        # a Chrome UA only executes regexes up to the Chrome rule
+        b_pairs = []
         for bname, rx in _UA_BROWSERS:
-            hit = _hit(rx)
-            name = name.when(hit, _family_of(bname, rx))
-            version = version.when(
-                hit, _version_of(rx, start=2 if "$1" in bname else 1))
-        name = name.otherwise(F.lit("Other"))
-        version = version.otherwise(F.lit(None).cast("string"))
+            b_pairs.append((_hit(rx), _ns(
+                _family_of(bname, rx),
+                _version_of(rx, start=2 if "$1" in bname else 1))))
 
-        nt = F.regexp_extract(ua, r"Windows NT (\d+\.\d+)", 1)
-        win_ver = F.when(F.lit(False), F.lit(None).cast("string"))
-        for kernel, marketing in _WINDOWS_NT_VERSIONS.items():
-            win_ver = win_ver.when(nt == kernel, F.lit(marketing))
-        win_ver = win_ver.otherwise(F.when(nt != "", nt))
-        os_name = F.when(F.lit(False), F.lit(None).cast("string"))
-        os_version = F.when(F.lit(False), F.lit(None).cast("string"))
+        nt = f"regexp_extract({_UA_SRC}, 'Windows NT (\\\\d+\\\\.\\\\d+)', 1)"
+        win_ver = "CASE " + " ".join(
+            f"WHEN {nt} = {_sql_lit(kernel)} THEN {_sql_lit(marketing)}"
+            for kernel, marketing in _WINDOWS_NT_VERSIONS.items()
+        ) + f" ELSE nullif({nt}, '') END"
+        o_pairs = []
         for oname, rx in _UA_OS:
-            hit = _hit(rx)
-            os_name = os_name.when(hit, F.lit(oname))
-            os_version = os_version.when(
-                hit, win_ver if oname == "Windows" else _version_of(rx))
-        os_name = os_name.otherwise(F.lit("Other"))
-        os_version = os_version.otherwise(F.lit(None).cast("string"))
+            o_pairs.append((_hit(rx), _ns(
+                _sql_lit(oname),
+                win_ver if oname == "Windows" else _version_of(rx))))
 
-        device = F.when(F.lit(False), F.lit(None).cast("string"))
-        for dname, drx in _UA_DEVICES:
-            device = device.when(_hit(drx), _family_of(dname, drx))
-        device = device.otherwise(F.lit("Other"))
+        d_pairs = [(_hit(drx),
+                    f"named_struct('d', {_family_of(dname, drx)})")
+                   for dname, drx in _UA_DEVICES]
+
+    chains = {}
+    b_chain = _segmented_first_match(b_pairs, barrier=True)
+    o_chain = _segmented_first_match(o_pairs)
+    d_chain = _segmented_first_match(d_pairs)
+    bcol = ocol = dcol = None
+    if b_chain is not None:
+        chains["__uab"] = b_chain
+        bcol = "__uab"
+    if o_chain is not None:
+        chains["__uao"] = o_chain
+        ocol = "__uao"
+    if d_chain is not None:
+        chains["__uad"] = d_chain
+        dcol = "__uad"
+    if chains:
+        df = df.withColumns(chains)
+    temps = [gate_col, "__ua_src"] + list(chains)
+
+    def _final(colname, field, default):
+        if colname is None:
+            return F.lit(default)
+        c = F.col(colname)
+        # CaseWhen contract preserved: a matched branch whose template
+        # rendered null stays null; "Other" only when NO branch matched
+        return F.when(c.isNotNull(), c[field]).otherwise(F.lit(default))
+
+    name = _final(bcol, "n", "Other")
+    version = F.col(bcol)["v"] if bcol else F.lit(None).cast("string")
+    os_name = _final(ocol, "n", "Other")
+    os_version = F.col(ocol)["v"] if ocol else F.lit(None).cast("string")
+    device = _final(dcol, "d", "Other")
     updates = {
         f"{target}.name": name,
         f"{target}.version": version,
@@ -326,7 +425,7 @@ def p_user_agent(df, spec, ctx):
             head = suffix.split(".")[0]
             return head in allowed or suffix in allowed
         updates = {k: v for k, v in updates.items() if keep(k)}
-    return guarded(df, active & ua.isNotNull(), updates)
+    return guarded(df, F.col(gate_col), updates).drop(*temps)
 
 
 # ----------------------------------------------------- network_direction ---

@@ -170,3 +170,87 @@ def test_decontaminate_plan_never_shuffles_corpus(spark):
     assert "BroadcastHashJoin" in plan
     # single partial+final agg: exactly one doc_id-keyed exchange
     assert plan.count("Exchange hashpartitioning(doc_id#") == 1
+
+
+# ------------------------------------------------- user_agent codegen ------
+def _ua_pipeline(spark, rows, cfg):
+    from logstash_filter_elastic_integration_spark.plans import (
+        PipelineRegistry, run_pipeline)
+    reg = PipelineRegistry()
+    reg.register("ua", {"processors": [{"user_agent": cfg}]})
+    df = spark.createDataFrame(rows, "ua string")
+    return run_pipeline(df, "ua", reg)
+
+
+_UA_ROWS = [
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",),
+    ("Mozilla/5.0 (compatible; Googlebot/2.1; "
+     "+http://www.google.com/bot.html)",),
+    ("curl/8.4.0",), (None,),
+]
+
+
+def test_user_agent_chain_outside_wholestage_codegen(spark):
+    """VERDICT r4 #1: the ~270-branch bank must NOT be inlined into a
+    fused processNext() (one 47KB method -> janino failure / silent
+    interpreted eval).  The chain Project runs standalone: its plan line
+    has no whole-stage `*(n)` marker."""
+    out = _ua_pipeline(spark, _UA_ROWS, {"field": "ua"})
+    plan = _executed_plan(out)
+    chain_lines = [ln for ln in plan.splitlines() if "coalesce(CASE WHEN" in ln]
+    assert chain_lines, "UA chain Project missing from plan"
+    for ln in chain_lines:
+        assert not ln.lstrip("+- ").startswith("*("), (
+            "UA chain fused into WholeStageCodegen:\n" + ln[:200])
+
+
+def test_user_agent_codegen_compiles_default_bank(spark):
+    """The standalone chain Project must COMPILE (branch-split small
+    methods), not fall back to interpreted eval: CODEGEN_ONLY factory
+    mode makes any expression-codegen failure a hard error."""
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        out = _ua_pipeline(spark, _UA_ROWS, {"field": "ua",
+                                             "extract_device_type": True})
+        rows = {r["ua"]: r for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    chrome = rows[_UA_ROWS[0][0]]
+    assert chrome["user_agent.name"] == "Chrome"
+    assert chrome["user_agent.os.name"] == "Windows"
+    assert rows[_UA_ROWS[1][0]]["user_agent.name"] == "Googlebot"
+
+
+def test_user_agent_codegen_compiles_full_scale_bank(spark, tmp_path):
+    """A wholesale ~1200-entry regex_file bank (uap-core scale) must stay
+    fully compiled too — every segment is its own small method."""
+    lines = ["user_agent_parsers:"]
+    for i in range(1150):
+        lines.append(f"  - regex: '(SynthAgent{i:04d})/(\\d+)\\.(\\d+)'")
+    lines.append("os_parsers:")
+    for i in range(120):
+        lines.append(f"  - regex: 'SynthOS{i:03d} (\\d+)'")
+        lines.append(f"    os_replacement: 'Synth OS {i}'")
+    lines.append("device_parsers:")
+    for i in range(80):
+        lines.append(f"  - regex: 'SynthDev{i:03d}'")
+        lines.append(f"    device_replacement: 'Device {i}'")
+    p = tmp_path / "big.yaml"
+    p.write_text("\n".join(lines) + "\n")
+    rows = [("SynthAgent1149/9.7 SynthOS119 42 SynthDev079",),
+            ("SynthAgent0000/1.0",), ("nothing-matches",)]
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        out = _ua_pipeline(spark, rows, {"field": "ua",
+                                         "regex_file": str(p)})
+        got = {r["ua"]: r for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    last = got["SynthAgent1149/9.7 SynthOS119 42 SynthDev079"]
+    assert last["user_agent.name"] == "SynthAgent1149"
+    assert last["user_agent.version"] == "9.7"
+    assert last["user_agent.os.name"] == "Synth OS 119"
+    assert last["user_agent.device.name"] == "Device 79"
+    assert got["SynthAgent0000/1.0"]["user_agent.name"] == "SynthAgent0000"
+    assert got["nothing-matches"]["user_agent.name"] == "Other"
