@@ -304,14 +304,19 @@ def p_user_agent(df, spec, ctx):
     def _ns(n_sql: str, v_sql: str) -> str:
         return f"named_struct('n', {n_sql}, 'v', {v_sql})"
 
-    if cfg.get("regex_file"):
+    # ES's DEFAULT bank is the full uap-core dataset; resolve an explicit
+    # regex_file first, else a wholesale default file if one is available
+    # ($SPARK_GRAFT_UAP_REGEXES or bundled data/regexes.yaml), else the
+    # curated builtin bank (see ua_bank.default_regex_file).
+    from .ua_bank import default_regex_file, load_uap_regexes_cached
+    regex_file = cfg.get("regex_file") or default_regex_file()
+    if regex_file:
         # ES regex_file option (docs/index.asciidoc:173-200): a full
         # uap-core regexes.yaml used WHOLESALE — exact ua-parser group
         # numbering ($N templates; group 1 = family/os/device slot,
         # versions from group 2).  Same segmented lowering as the
         # builtin bank, so a full ~1200-entry bank stays fully compiled.
-        from .ua_bank import load_uap_regexes
-        banks = load_uap_regexes(cfg["regex_file"])
+        banks = load_uap_regexes_cached(regex_file)
         b_pairs = []
         for e in banks["browsers"]:
             rx = e["regex"]

@@ -366,10 +366,11 @@ def load_uap_regexes(path: str) -> dict:
     behavioral contract).  ``regex_flag: i`` becomes an inline ``(?i)``.
     Every regex is compile-checked under python ``re``; group indexing is
     identical under Java, so the bank lowers to the same
-    rlike/regexp_extract CASE chain as the built-in bank.  Banks this size
-    (~1200 entries) exceed the whole-stage-codegen method limit — Spark
-    falls back to interpreted expression eval for the chain, which is the
-    documented cost of full-fidelity mode vs the curated default bank.
+    rlike/regexp_extract CASE chain as the built-in bank.  Banks this
+    size (~1200 entries) stay fully compiled: the chain is lowered in
+    coalesce-composed segments evaluated in a standalone Project outside
+    whole-stage fusion, so every generated method is small and JIT-able
+    (see operators/net.py _segmented_first_match).
     """
     import re
     import yaml
@@ -401,3 +402,41 @@ def load_uap_regexes(path: str) -> dict:
         "device": p.get("device_replacement"),
     } for p in data.get("device_parsers", [])]
     return {"browsers": browsers, "os": os_list, "devices": devices}
+
+
+# ------------------------------------------------- default-bank resolution --
+# ES ships the complete uap-core definitions as its DEFAULT user_agent
+# bank (reference docs/index.asciidoc:200).  This build environment has
+# no network and no bundled copy of the public regexes.yaml, so the
+# default resolves in order:
+#   1. $SPARK_GRAFT_UAP_REGEXES           (explicit override)
+#   2. <package>/data/regexes.yaml        (drop the public uap-core file
+#                                          here to get full-fidelity
+#                                          defaults, reference parity)
+#   3. the curated ~300-family bank above (UA_BROWSERS/UA_OS/UA_DEVICES)
+# A per-processor ``regex_file`` config always wins over all three.
+_BANK_CACHE: dict = {}
+
+
+def default_regex_file() -> str | None:
+    import os
+    cand = os.environ.get("SPARK_GRAFT_UAP_REGEXES")
+    if cand and os.path.exists(cand):
+        return cand
+    bundled = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "regexes.yaml")
+    if os.path.exists(bundled):
+        return bundled
+    return None
+
+
+def load_uap_regexes_cached(path: str) -> dict:
+    """load_uap_regexes memoized on (path, mtime): the yaml parse +
+    compile-check of a full bank is ~100 ms and would otherwise be paid
+    on every query construction."""
+    import os
+    key = (path, os.path.getmtime(path))
+    if key not in _BANK_CACHE:
+        _BANK_CACHE.clear()   # one bank live at a time
+        _BANK_CACHE[key] = load_uap_regexes(path)
+    return _BANK_CACHE[key]

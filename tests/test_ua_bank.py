@@ -120,3 +120,40 @@ def test_long_tail_families(spark, registry):
         if got[3] != device:
             errors.append(f"{key}: device {got[3]!r} != {device!r}")
     assert not errors, "\n".join(errors)
+
+
+def test_default_bank_resolution_order(tmp_path, monkeypatch):
+    """ES ships full uap-core as the DEFAULT; without network this build
+    resolves: $SPARK_GRAFT_UAP_REGEXES -> bundled data/regexes.yaml ->
+    curated bank.  An explicit regex_file config always wins (exercised
+    by test_user_agent_regex_file_wholesale)."""
+    from logstash_filter_elastic_integration_spark.operators import ua_bank
+    monkeypatch.delenv("SPARK_GRAFT_UAP_REGEXES", raising=False)
+    # no bundled file in this environment -> curated bank (None)
+    assert ua_bank.default_regex_file() is None
+    p = tmp_path / "regexes.yaml"
+    p.write_text("user_agent_parsers:\n  - regex: '(EnvUA)/(\\d+)'\n")
+    monkeypatch.setenv("SPARK_GRAFT_UAP_REGEXES", str(p))
+    assert ua_bank.default_regex_file() == str(p)
+    banks = ua_bank.load_uap_regexes_cached(str(p))
+    assert banks["browsers"][0]["regex"] == r"(EnvUA)/(\d+)"
+    # cache hit returns the same object
+    assert ua_bank.load_uap_regexes_cached(str(p)) is banks
+
+
+def test_default_env_bank_drives_processor(spark, registry, tmp_path,
+                                           monkeypatch):
+    p = tmp_path / "regexes.yaml"
+    p.write_text(
+        "user_agent_parsers:\n"
+        "  - regex: '(WholeUA)/(\\d+)\\.(\\d+)'\n"
+        "os_parsers:\n"
+        "  - regex: 'WholeOS/(\\d+)'\n"
+        "    os_replacement: 'Whole OS'\n"
+        "device_parsers: []\n")
+    monkeypatch.setenv("SPARK_GRAFT_UAP_REGEXES", str(p))
+    out = run_one(spark, registry, [{"user_agent": {"field": "ua"}}],
+                  [("WholeUA/4.2 WholeOS/9",)], "ua string")
+    assert out[0]["user_agent.name"] == "WholeUA"
+    assert out[0]["user_agent.version"] == "4.2"
+    assert out[0]["user_agent.os.name"] == "Whole OS"
