@@ -153,7 +153,16 @@ def p_grok(df, spec, ctx):
             pre = "" if pat.startswith("^") else r"\A(?s:.*?)"
             post = "" if pat.endswith("$") else r"(?s:.*)\z"
             packed = F.regexp_replace(gsrc, pre + java_rx + post, refs)
-            raw_parts = F.split(packed, "\x01", -1)
+            # a source row CONTAINING the \x01 separator would mis-split
+            # the packed column; such rows (vanishingly rare in real
+            # text) take a per-group regexp_extract branch instead —
+            # CASE evaluates lazily, so ordinary rows never pay the
+            # N-extract cost and \x01 rows are still exact
+            extracted = F.array(*[
+                F.regexp_extract(gsrc, java_rx, gidx[g])
+                for g, _ in groups])
+            raw_parts = F.when(gsrc.contains("\x01"), extracted) \
+                .otherwise(F.split(packed, "\x01", -1))
         else:
             raw_parts = F.array(*[
                 F.regexp_extract(gsrc, java_rx, gidx[g])

@@ -793,3 +793,57 @@ def test_script_stored_id(spark, registry):
                    [{"script": {"id": "nope"}}],
                    [(1,)], "n long")
     assert (out2[0]["tags"] or []) != []
+
+
+def test_grok_jvm_packed_separator_laden_input(spark, registry):
+    """VERDICT r4 #6: source text containing the \\x01 packing separator
+    must not mis-split the packed capture column — such rows take the
+    per-group extract branch and parse exactly."""
+    rows = [
+        ("alpha bravo 42",),
+        ("al\x01pha bravo 17",),          # \x01 inside a capture
+        ("\x01\x01alpha bravo 5\x01",),   # leading/trailing separators
+    ]
+    out = run_one(
+        spark, registry,
+        [{"grok": {"field": "m", "engine": "jvm",
+                   "patterns": [r"%{DATA:a} %{WORD:b} %{INT:c:int}"],
+                   "ignore_failure": True}}],
+        rows, "m string")
+    assert (out[0]["a"], out[0]["b"], out[0]["c"]) == ("alpha", "bravo", 42)
+    assert (out[1]["a"], out[1]["b"], out[1]["c"]) == ("al\x01pha", "bravo", 17)
+    assert out[2]["b"] == "bravo"
+    assert out[2]["c"] == 5
+
+
+def test_grok_jvm_packed_fuzz_vs_python_re(spark, registry):
+    """Deterministic fuzz: random printable text with \\x01 sprinkled in,
+    JVM packed grok vs a Python-re reference evaluation of the same
+    pattern.  One Spark job for all examples."""
+    import random
+    import re as _re
+    rnd = random.Random(20260817)
+    alphabet = "ab c1\x01-Z."
+    rows = ["".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 30)))
+            for _ in range(200)]
+    out = run_one(
+        spark, registry,
+        [{"grok": {"field": "m", "engine": "jvm",
+                   "patterns": [r"%{DATA:a}-%{DATA:b}-%{GREEDYDATA:c}"],
+                   "ignore_failure": True}}],
+        [(r,) for r in rows], "m string")
+    ref_rx = _re.compile(r"^(?P<a>.*?)-(?P<b>.*?)-(?P<c>.*)$", _re.DOTALL)
+
+    def norm(s):
+        # engine contract: empty captures land as null (regexp_extract
+        # cannot distinguish empty match from no match)
+        return s if s else None
+
+    for row, got in zip(rows, out):
+        m = ref_rx.search(row)
+        if m:
+            assert got["a"] == norm(m.group("a")), repr(row)
+            assert got["b"] == norm(m.group("b")), repr(row)
+            assert got["c"] == norm(m.group("c")), repr(row)
+        else:
+            assert got.get("a") is None, repr(row)
