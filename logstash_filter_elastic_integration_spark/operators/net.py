@@ -1046,6 +1046,14 @@ def p_fingerprint(df, spec, ctx):
             return ctx.fail(df, active, spec, "no fields to fingerprint")
         return df
     canonical = F.concat(*parts) if len(parts) > 1 else parts[0]
-    hex_hash = _FP_METHODS[method](canonical)
-    value = F.base64(F.unhex(hex_hash))
+    if method == "MurmurHash3":
+        # ES: MurmurHash3.hash128 seed 0, h1||h2 little-endian, base64
+        # (FingerprintProcessor).  No 128-bit murmur exists JVM-side, so
+        # the digest (only) runs as an Arrow-batched UDF over the
+        # JVM-serialized canonical bytes — see functions/murmur3.py.
+        from ..functions.murmur3 import murmur3_udf
+        value = F.base64(murmur3_udf()(F.when(active & present, canonical)))
+    else:
+        hex_hash = _FP_METHODS[method](canonical)
+        value = F.base64(F.unhex(hex_hash))
     return guarded(df, active & present, {target: value})

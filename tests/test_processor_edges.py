@@ -847,3 +847,31 @@ def test_grok_jvm_packed_fuzz_vs_python_re(spark, registry):
             assert got["c"] == norm(m.group("c")), repr(row)
         else:
             assert got.get("a") is None, repr(row)
+
+
+def test_fingerprint_murmurhash3_matches_guava(spark, registry):
+    """ES FingerprintProcessor `MurmurHash3` = MurmurHash3 x64_128 seed 0,
+    h1||h2 little-endian, base64.  Cross-check the pure-Python kernel
+    against Spark's shaded Guava murmur3_128 (same algorithm + layout),
+    then the processor end-to-end."""
+    import base64
+    from logstash_filter_elastic_integration_spark.functions.murmur3 import (
+        murmur3_x64_128)
+    jvm = spark.sparkContext._jvm
+    hashing = jvm.org.sparkproject.guava.hash.Hashing
+    for payload in [b"", b"a", b"foo", b"The quick brown fox", b"\x00" * 16,
+                    bytes(range(64)), "smörgåsbord".encode(), b"x" * 17]:
+        expect = bytes(hashing.murmur3_128(0).hashBytes(payload).asBytes())
+        assert murmur3_x64_128(payload) == expect, payload
+
+    out = run_one(
+        spark, registry,
+        [{"fingerprint": {"fields": ["v"], "method": "MurmurHash3"}}],
+        [("sequence",), (None,)], "v string")
+    # canonical bytes for a top-level string value: UTF-8 only (the same
+    # serialization every other method uses, golden-pinned in _es_fp_enc)
+    canon = b"sequence"
+    expect64 = base64.b64encode(
+        bytes(hashing.murmur3_128(0).hashBytes(canon).asBytes())).decode()
+    assert out[0]["fingerprint"] == expect64
+    assert out[1].get("fingerprint") is None
