@@ -12,7 +12,15 @@ pass straight through (plus the named formats ISO8601 / UNIX / UNIX_MS).
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, functions as F
+
+
+def _unquoted(fmt: str) -> str:
+    """The pattern with 'quoted literal' sections blanked out, so pattern
+    -letter scans don't false-positive on literal text."""
+    return _re.sub(r"'[^']*'", "", fmt)
 
 from ..plans.document import fcol, guarded
 from .common import template_column
@@ -63,6 +71,18 @@ def _parse_one(src: Column, fmt: str, tz: str) -> Column:
         if tz and tz != "UTC":
             parsed = F.to_utc_timestamp(parsed, tz)
         return parsed
+    # Spark >=3 refuses day-of-week letters (E/c) in parse patterns.
+    # The day name never determines the date (java.time only
+    # cross-checks it), so strip the token from the pattern and the
+    # English day name from the text — same result, Spark-parseable.
+    if _re.search(r"E+|c+", _unquoted(fmt)):
+        fmt = "".join(seg if seg.startswith("'")
+                      else _re.sub(r"E+|c+", "", seg)
+                      for seg in _re.split(r"('[^']*')", fmt))
+        src = F.regexp_replace(
+            src.cast("string"),
+            r"(?i)\b(Monday|Tuesday|Wednesday|Thursday|Friday|Saturday"
+            r"|Sunday|Mon|Tue|Wed|Thu|Fri|Sat|Sun)\b", "")
     parsed = F.try_to_timestamp(src.cast("string"), F.lit(fmt))
     # shift from the document timezone ONLY when the format itself carries
     # no zone info (ES semantics: an explicit offset in the text wins)
@@ -90,24 +110,33 @@ def _iso_with_offset(ts_utc: Column, tz: str) -> Column:
     return F.concat(body, offset)
 
 
-def _check_locale(cfg):
-    """Month/day-name parsing here is English (Spark's date_format parse
-    locale) — ES's `locale` option re-binds those names per language.
-    Accept the english/root locales it defaults to; anything else would
-    silently mis-parse, so fail loud at compile time."""
+def _localize(src: Column, cfg, formats) -> Column:
+    """Apply ES's `locale` option: month/day *names* in the source are
+    rewritten to English (pure-Column regexp_replace chain over public
+    CLDR name banks — see date_locales.py) so Spark's English-locale
+    to_timestamp parses them.  Unknown locales still fail loud at
+    compile time.  The rewrite is skipped entirely when no format in
+    the list carries a text field (MMM/LLL/E/c), so numeric formats pay
+    nothing."""
+    from . import date_locales
     loc = cfg.get("locale")
     if loc is None:
-        return
-    norm = str(loc).replace("-", "_").lower()
-    if norm not in ("en", "en_us", "en_gb", "english", "root", ""):
+        return src
+    if not date_locales.supported(loc):
         raise ValueError(
-            f"date locale [{loc}] is not supported (English month/day "
-            f"names only); drop the option or pre-normalize the field")
+            f"date locale [{loc}] is not supported (no CLDR name bank); "
+            f"drop the option or pre-normalize the field")
+    named = ("ISO8601", "UNIX", "UNIX_MS", "TAI64N", "week_date",
+             "weekyear_week_day", "ordinal_date",
+             "ordinal_date_time_no_millis")
+    if not any(_re.search(r"M{3}|L{3}|E|c", _unquoted(f))
+               for f in formats if f not in named):
+        return src
+    return date_locales.normalize_names(src, loc)
 
 
 def p_date(df, spec, ctx):
     cfg = spec.config
-    _check_locale(cfg)
     f_name = cfg["field"]
     formats = cfg.get("formats", ["ISO8601"])
     tz = cfg.get("timezone", "UTC")
@@ -117,7 +146,7 @@ def p_date(df, spec, ctx):
         df = ctx.fail(df, active, spec,
                       f"field [{f_name}] not present as part of path [{f_name}]")
         return df
-    src = fcol(f_name).cast("string")
+    src = _localize(fcol(f_name).cast("string"), cfg, formats)
     parsed = F.coalesce(*[_parse_one(src, fmt, tz) for fmt in formats])
     df = ctx.fail(df, active & src.isNotNull() & parsed.isNull(), spec,
                   f"unable to parse date [{f_name}]")
@@ -136,7 +165,6 @@ def p_date_index_name(df, spec, ctx):
     ES DateIndexNameProcessor:
     ``<prefix{formattedDate||/rounding{format|tz}}>``."""
     cfg = spec.config
-    _check_locale(cfg)
     f_name = cfg["field"]
     prefix = cfg.get("index_name_prefix", "")
     rounding = cfg["date_rounding"]
@@ -147,7 +175,7 @@ def p_date_index_name(df, spec, ctx):
     if f_name not in df.columns:
         return ctx.fail(df, active, spec,
                         f"field [{f_name}] not present as part of path [{f_name}]")
-    src = fcol(f_name).cast("string")
+    src = _localize(fcol(f_name).cast("string"), cfg, formats)
     parsed = F.coalesce(*[_parse_one(src, f, tz) for f in formats])
     df = ctx.fail(df, active & parsed.isNull(), spec,
                   f"unable to parse date [{f_name}]")

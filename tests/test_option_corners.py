@@ -166,7 +166,7 @@ def test_redact_trace_flag(spark, registry):
 
 
 # ------------------------------------------------------------------ date --
-def test_date_locale_english_ok_others_fail(spark, registry):
+def test_date_locale_english_ok_unknown_fail(spark, registry):
     out = run_one(
         spark, registry,
         [{"date": {"field": "d", "formats": ["yyyy-MM-dd"],
@@ -175,9 +175,59 @@ def test_date_locale_english_ok_others_fail(spark, registry):
     assert out[0]["@timestamp"].startswith("2024-05-06")
     with pytest.raises(Exception, match="locale"):
         run_one(spark, registry,
-                [{"date": {"field": "d", "formats": ["yyyy-MM-dd"],
-                           "locale": "fr-FR"}}],
-                [("2024-05-06",)], "d string")
+                [{"date": {"field": "d", "formats": ["d MMMM yyyy"],
+                           "locale": "xx-XX"}}],
+                [("6 May 2024",)], "d string")
+
+
+@pytest.mark.parametrize("loc,fmt,text,iso", [
+    # goldens cross-checked against java.time DateTimeFormatter
+    # .withLocale for each language (CLDR name data)
+    ("fr-FR", "d MMMM yyyy", "8 mars 2023", "2023-03-08"),
+    ("fr",    "d MMM yyyy",  "5 janv. 2023", "2023-01-05"),
+    ("de-DE", "d. MMMM yyyy", "8. März 2023", "2023-03-08"),
+    ("de",    "EEEE, d. MMMM yyyy", "Mittwoch, 8. März 2023",
+     "2023-03-08"),
+    ("es-ES", "d 'de' MMMM 'de' yyyy", "8 de marzo de 2023",
+     "2023-03-08"),
+    ("it-IT", "d MMMM yyyy", "8 marzo 2023", "2023-03-08"),
+    ("pt-BR", "d 'de' MMMM 'de' yyyy", "8 de dezembro de 2023",
+     "2023-12-08"),
+    ("nl",    "d MMMM yyyy", "8 augustus 2023", "2023-08-08"),
+    ("ru-RU", "d MMMM yyyy", "8 марта 2023", "2023-03-08"),
+    ("ru",    "d MMMM yyyy 'г.'", "8 августа 2023 г.", "2023-08-08"),
+    ("pl",    "d MMMM yyyy", "8 października 2023", "2023-10-08"),
+    ("zh-CN", "yyyy'年'MMMM d'日'", "2023年三月 8日", "2023-03-08"),
+])
+def test_date_locale_banks(spark, registry, loc, fmt, text, iso):
+    out = run_one(
+        spark, registry,
+        [{"date": {"field": "d", "formats": [fmt], "locale": loc}}],
+        [(text,)], "d string")
+    assert out[0]["@timestamp"].startswith(iso), (loc, out[0])
+
+
+def test_date_locale_numeric_format_untouched(spark, registry):
+    # no text field in the format -> the normalizer must not rewrite
+    # (and must not cost anything); value parses as-is
+    out = run_one(
+        spark, registry,
+        [{"date": {"field": "d", "formats": ["dd.MM.yyyy"],
+                   "locale": "de-DE"}}],
+        [("08.03.2023",)], "d string")
+    assert out[0]["@timestamp"].startswith("2023-03-08")
+
+
+def test_date_locale_case_insensitive(spark, registry):
+    # CLDR fr months are lowercase; accept any input casing like java
+    # .time's case-insensitive parser
+    out = run_one(
+        spark, registry,
+        [{"date": {"field": "d", "formats": ["d MMMM yyyy"],
+                   "locale": "fr"}}],
+        [("8 Mars 2023",), ("8 FÉVRIER 2023",)], "d string")
+    assert out[0]["@timestamp"].startswith("2023-03-08")
+    assert out[1]["@timestamp"].startswith("2023-02-08")
 
 
 # ------------------------------------------------------------------ grok --
