@@ -25,17 +25,144 @@ from ..plans.document import fcol, field_type, guarded
 
 def _lookup_key(df, cfg, f_name):
     """Probe-key column.  Array-valued fields follow the ES geoip
-    ``first_only`` contract (default true): resolve the FIRST element; the
-    multi-result mode (first_only=false emits one geo object per element)
-    is not expressible as a broadcast-join column update — fail loud."""
+    ``first_only`` contract (default true): resolve the FIRST element.
+    first_only=false takes the per-element multi path instead (see
+    _multi_exact / _multi_range) — callers branch before reaching here."""
     key = fcol(f_name)
     if isinstance(field_type(df, f_name), T.ArrayType):
-        if not cfg.get("first_only", True):
-            raise ValueError(
-                "first_only=false (one result per array element) is not "
-                "supported; resolve elements with foreach instead")
         key = F.element_at(key, 1)
     return key
+
+
+def _is_multi(df, cfg, f_name):
+    return (isinstance(field_type(df, f_name), T.ArrayType)
+            and not cfg.get("first_only", True))
+
+
+# Above this many dim entries the per-element lookup literal would bloat
+# the plan / break codegen; switch to a broadcast-variable pandas UDF.
+_MULTI_LITERAL_CAP = 1024
+
+
+def _multi_emit(df, active, target, looked):
+    """ES GeoIpProcessor list semantics (ingest-geoip GeoIpProcessor.java,
+    public ES source): one entry per input element, null placeholder for
+    elements that do not resolve, and the target is only set when at
+    least one element resolved."""
+    any_hit = F.exists(looked, lambda s: s.isNotNull())
+    return guarded(df, active & F.coalesce(any_hit, F.lit(False)),
+                   {target: looked})
+
+
+def _multi_exact(df, cfg, dim, key_col, props, f_name, target, active):
+    """first_only=false over an exact-key dim: per-element resolution.
+
+    Literal-sized dims compile to a map literal + ``transform`` — pure
+    Column, whole-stage codegen, zero shuffle.  Bigger dims ship as a
+    ``sparkContext.broadcast`` dict probed by an Arrow-batched pandas
+    UDF — the reference's shape exactly (ES loads the whole lookup
+    database into memory on every node) and still zero shuffle; only
+    rows taking the multi path pay the Python hop."""
+    rows = dim.collect()  # dim already deduped + localized (tiny or
+    # broadcast-sized by contract)
+    arr = fcol(f_name).cast("array<string>")
+    struct_t = T.StructType(
+        [T.StructField(p, dim.schema[p].dataType) for p in props])
+    if not rows:
+        looked = F.transform(
+            arr, lambda x: F.lit(None).cast(struct_t))
+    elif len(rows) <= _MULTI_LITERAL_CAP:
+        m = F.create_map(*[c for r in rows for c in (
+            F.lit(str(r[key_col])),
+            F.struct(*[F.lit(r[p]).cast(struct_t[p].dataType).alias(p)
+                       for p in props]))])
+        looked = F.transform(arr, lambda x: F.try_element_at(m, x))
+    else:
+        bc = df.sparkSession.sparkContext.broadcast(
+            {str(r[key_col]): {p: r[p] for p in props} for r in rows})
+
+        @F.pandas_udf(T.ArrayType(struct_t))
+        def _mlook(col):
+            mp = bc.value
+            return col.apply(
+                lambda xs: None if xs is None
+                else [mp.get(None if x is None else str(x)) for x in xs])
+
+        looked = _mlook(arr)
+    return _multi_emit(df, active, target, looked)
+
+
+def _multi_range(df, cfg, dim, lo, hi, props, f_name, target, active):
+    """first_only=false over a range dim (disjoint segments): literal
+    segment-array + per-element filter for small dims; numpy
+    searchsorted over broadcast sorted bounds for real .mmdb-sized ones."""
+    from .net import _ip4_to_long
+
+    rows = sorted(dim.collect(), key=lambda r: int(r[lo]))
+    arr = fcol(f_name).cast("array<string>")
+    struct_t = T.StructType(
+        [T.StructField(p, dim.schema[p].dataType) for p in props])
+
+    def _key_long(x):
+        return F.when(x.rlike(r"^(\d{1,3}\.){3}\d{1,3}$"),
+                      _ip4_to_long(x)).otherwise(x.try_cast("long"))
+
+    if not rows:
+        looked = F.transform(arr, lambda x: F.lit(None).cast(struct_t))
+    elif len(rows) <= _MULTI_LITERAL_CAP:
+        seg = F.array(*[F.struct(
+            F.lit(int(r[lo])).alias("lo"), F.lit(int(r[hi])).alias("hi"),
+            F.struct(*[F.lit(r[p]).cast(struct_t[p].dataType).alias(p)
+                       for p in props]).alias("v")) for r in rows])
+
+        def one(x):
+            kl = _key_long(x)
+            hit = F.filter(seg, lambda s: (kl >= s["lo"]) & (kl <= s["hi"]))
+            return F.get(hit, 0)["v"]
+
+        looked = F.transform(arr, one)
+    else:
+        import numpy as np
+        bc = df.sparkSession.sparkContext.broadcast((
+            np.array([int(r[lo]) for r in rows], dtype="int64"),
+            np.array([int(r[hi]) for r in rows], dtype="int64"),
+            [{p: r[p] for p in props} for r in rows]))
+
+        @F.pandas_udf(T.ArrayType(struct_t))
+        def _mlook(col):
+            import socket
+            import struct as _struct
+            los, his, vals = bc.value
+
+            def to_long(x):
+                if x is None:
+                    return None
+                try:
+                    return _struct.unpack(
+                        "!I", socket.inet_aton(str(x)))[0]
+                except OSError:
+                    try:
+                        return int(x)
+                    except ValueError:
+                        return None
+
+            def one(xs):
+                if xs is None:
+                    return None
+                out = []
+                for x in xs:
+                    k = to_long(x)
+                    if k is None:
+                        out.append(None)
+                        continue
+                    i = int(np.searchsorted(los, k, side="right")) - 1
+                    out.append(vals[i] if i >= 0 and k <= his[i] else None)
+                return out
+
+            return col.apply(one)
+
+        looked = _mlook(arr)
+    return _multi_emit(df, active, target, looked)
 
 
 def _prepared_dim(ctx, cache_key, dim, build):
@@ -132,6 +259,9 @@ def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
     dim = _prepared_dim(
         ctx, ("exact", dim_name, id(dim), key_col, tuple(props)), dim,
         lambda: _dedupe_dim(dim, key_col, props))
+    if _is_multi(df, cfg, f_name):
+        return _multi_exact(df, cfg, dim, key_col, props, f_name, target,
+                            active)
     joined = "__lk_" + dim_name
     renamed = dim.select(
         F.col(key_col).alias(joined),
@@ -172,6 +302,9 @@ def _broadcast_range_lookup(df, spec, ctx, dim_name: str, default_target: str):
     dim = _prepared_dim(
         ctx, ("range", dim_name, id(dim), lo, hi, tuple(props)), dim,
         lambda: _disjoint_narrowest(dim, lo, hi, props))
+    if _is_multi(df, cfg, f_name):
+        return _multi_range(df, cfg, dim, lo, hi, props, f_name, target,
+                            active)
     joined = "__rlk_" + dim_name.replace(".", "_")
     renamed = dim.select(
         F.col(lo).alias(f"{joined}_lo"), F.col(hi).alias(f"{joined}_hi"),

@@ -142,15 +142,56 @@ def test_geoip_first_only_takes_first_element(spark, registry):
     assert out[0]["geo.country"] == "US"
 
 
-def test_geoip_first_only_false_fails_loud(spark, registry):
+def test_geoip_first_only_false_exact_dim(spark, registry):
+    # ES GeoIpProcessor list semantics: one entry per element, null
+    # placeholder for misses, target unset when nothing resolved
     dim = spark.createDataFrame(
-        [("1.2.3.4", "US")], "ip string, country string")
+        [("1.2.3.4", "US", "Dallas"), ("5.6.7.8", "DE", "Berlin")],
+        "ip string, country string, city string")
     registry.dims["GeoLite2-City.mmdb"] = dim
-    with pytest.raises(Exception, match="first_only"):
-        run_one(spark, registry,
-                [{"geoip": {"field": "ips", "target_field": "geo",
-                            "first_only": False}}],
-                [(["1.2.3.4"],)], "ips array<string>")
+    out = run_one(
+        spark, registry,
+        [{"geoip": {"field": "ips", "target_field": "geo",
+                    "first_only": False}}],
+        [(["1.2.3.4", "9.9.9.9", "5.6.7.8"],), (["9.9.9.9"],), (None,)],
+        "ips array<string>")
+    geos = out[0]["geo"]
+    assert [g and g["country"] for g in geos] == ["US", None, "DE"]
+    assert geos[2]["city"] == "Berlin"
+    assert out[1]["geo"] is None  # no element resolved -> target unset
+    assert out[2]["geo"] is None
+
+
+def test_geoip_first_only_false_range_dim(spark, registry):
+    # 1.2.3.0/24 and 10.0.0.0/8 as (lo, hi) long ranges
+    dim = spark.createDataFrame(
+        [(16909056, 16909311, "US"), (167772160, 184549375, "PRIVATE")],
+        "lo long, hi long, country string")
+    registry.dims["GeoLite2-City.mmdb"] = dim
+    out = run_one(
+        spark, registry,
+        [{"geoip": {"field": "ips", "target_field": "geo",
+                    "first_only": False, "range_keys": ["lo", "hi"]}}],
+        [(["1.2.3.200", "8.8.8.8", "10.1.2.3", "garbage"],)],
+        "ips array<string>")
+    geos = out[0]["geo"]
+    assert [g and g["country"] for g in geos] == \
+        ["US", None, "PRIVATE", None]
+
+
+def test_geoip_first_only_false_big_dim_broadcast_path(spark, registry):
+    # >_MULTI_LITERAL_CAP entries forces the broadcast-dict pandas path
+    rows = [(f"10.0.{i // 256}.{i % 256}", f"C{i}") for i in range(1500)]
+    dim = spark.createDataFrame(rows, "ip string, country string")
+    registry.dims["GeoLite2-City.mmdb"] = dim
+    out = run_one(
+        spark, registry,
+        [{"geoip": {"field": "ips", "target_field": "geo",
+                    "first_only": False}}],
+        [(["10.0.1.44", "nope"],)], "ips array<string>")
+    geos = out[0]["geo"]
+    assert geos[0]["country"] == "C300"
+    assert geos[1] is None
 
 
 # ---------------------------------------------------------------- redact --
