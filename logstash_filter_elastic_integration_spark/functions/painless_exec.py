@@ -978,7 +978,13 @@ class _CtxNode:
         if k in self._cache:
             return self._cache[k]
         if k in self._row:
-            w = _wrap(self._row[k])
+            v = self._row[k]
+            # per-row append parity: an array-promoted column whose row is
+            # registered in __scalarset is semantically still the scalar
+            if (isinstance(v, (list, tuple))
+                    and k in (self._row.get("__scalarset") or ())):
+                return _wrap(v[0]) if v else None
+            w = _wrap(v)
             if isinstance(w, (JList, JMap)):
                 self._cache[k] = w
             return w

@@ -12,8 +12,9 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 from pyspark.sql import types as T
 
-from ..plans.document import (DROPPED, TERMINATED, fcol, field_type, guarded,
-                              nullset_update, present_expr, resolver_for)
+from ..plans.document import (DROPPED, SCALARSET, TERMINATED, fcol,
+                              field_type, guarded, nullset_update,
+                              present_expr, resolver_for, scalarset_update)
 from ..functions.painless import UnsupportedScriptError, compile_script
 from .common import str_targets, template_column
 
@@ -222,7 +223,14 @@ def p_convert(df, spec, ctx):
 
 def p_append(df, spec, ctx):
     """spec/integration/elastic_integration_spec.rb:129-152: scalar existing
-    value is promoted to a list; value may be scalar or list."""
+    value is promoted to a list; value may be scalar or list.
+
+    Per-row parity (IngestDocument.appendFieldValue — the document is a
+    per-row mutable map): only rows the append TOUCHES become lists; the
+    column's physical type still promotes to array for all rows, but
+    untouched rows register the field in the ``__scalarset`` registry and
+    read/render back as their original scalar (document.row_is_scalar,
+    painless interpreter unwrap)."""
     cfg = spec.config
     f_name = cfg["field"]
     values = cfg["value"] if isinstance(cfg["value"], list) else [cfg["value"]]
@@ -241,13 +249,18 @@ def p_append(df, spec, ctx):
         new = F.concat(existing, add)
     else:
         new = F.array_union(existing, add)
-    # static-schema note: scalar promotion applies to the column type for
-    # ALL rows (inactive rows hold their old value as a 1-element array);
-    # failed rows are still restored to the pristine scalar at finalize.
     if dt is not None and not isinstance(dt, T.ArrayType):
         keep = F.when(fcol(f_name).isNotNull(), F.array(fcol(f_name)))
-        return df.withColumn(f_name, F.when(active, new).otherwise(keep))
-    return guarded(df, active, {f_name: new})
+        df = df.withColumn(f_name, F.when(active, new).otherwise(keep))
+        return scalarset_update(df, f_name,
+                                added=~F.coalesce(active, F.lit(False)),
+                                cleared=active)
+    df = guarded(df, active, {f_name: new})
+    if SCALARSET in df.columns:
+        # appending onto a previously-promoted column makes the touched
+        # rows genuinely lists again
+        df = scalarset_update(df, f_name, added=F.lit(False), cleared=active)
+    return df
 
 
 def p_trim(df, spec, ctx):
@@ -628,6 +641,8 @@ def _script_interpreted(df, spec, ctx, active):
           for p in dyn_reads],
         *([fcol(NULLSET).alias("__nullset")]
           if NULLSET in df.columns else []),
+        *([fcol(SCALARSET).alias("__scalarset")]
+          if SCALARSET in df.columns else []),
         F.coalesce(active, F.lit(False)).alias("__active"))
     df = df.withColumn("__script", udf(in_struct))
     err = fcol("__script")["__perr"]

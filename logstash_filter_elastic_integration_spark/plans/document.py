@@ -25,8 +25,11 @@ REROUTED = "__rerouted"        # bool: `reroute` fired -> ends current pipeline
 PRISTINE = "__pristine"        # struct snapshot of the pre-pipeline row
 INDEX_HISTORY = "__index_history"  # array<string>: visited _index values (cycle det.)
 NULLSET = "__nullset"          # array<string>: fields EXPLICITLY written null
+SCALARSET = "__scalarset"      # array<string>: fields whose value in an
+# array-promoted column is semantically still a SCALAR for this row
+# (append's per-row parity — see p_append)
 RESERVED = (FAILURE, TERMINATED, DROPPED, REROUTED, PRISTINE, INDEX_HISTORY,
-            NULLSET)
+            NULLSET, SCALARSET)
 
 FAILURE_TYPE = T.StructType([
     T.StructField("pipeline", T.StringType()),
@@ -104,6 +107,39 @@ def nullset_update(df: DataFrame, path: str, added: Column,
                  F.array_remove(base, path))
            .otherwise(base))
     return df.withColumn(NULLSET, upd)
+
+
+def scalarset_update(df: DataFrame, path: str, added: Column,
+                     cleared: Column) -> DataFrame:
+    """Maintain the per-row scalar registry for array-promoted columns.
+
+    The reference document is a per-row mutable map: ``append`` on a
+    scalar field turns THAT row's value into a list, while other rows
+    keep their scalar (IngestDocument.appendFieldValue).  A typed
+    columnar schema must promote the whole column to array, so rows the
+    append did NOT touch record their path here; readers (painless
+    interpreter, per-row renderings) unwrap a registered 1-element array
+    back to its scalar.  Rows a later append DOES touch are cleared —
+    their value is genuinely a list from then on."""
+    base = fcol(SCALARSET) if SCALARSET in df.columns \
+        else F.array().cast(_EMPTY_STRS)
+    base = F.coalesce(base, F.array().cast(_EMPTY_STRS))
+    upd = (F.when(F.coalesce(added, F.lit(False)),
+                  F.array_union(base, F.array(F.lit(path))))
+           .when(F.coalesce(cleared, F.lit(False)),
+                 F.array_remove(base, path))
+           .otherwise(base))
+    return df.withColumn(SCALARSET, upd)
+
+
+def row_is_scalar(df: DataFrame, path: str) -> Column:
+    """Per-row: does this row hold `path` as a semantic scalar despite an
+    array-typed column?  False everywhere when no promotion happened."""
+    if SCALARSET not in df.columns:
+        return F.lit(False)
+    return F.array_contains(
+        F.coalesce(fcol(SCALARSET), F.array().cast(_EMPTY_STRS)),
+        F.lit(path))
 
 
 def resolver_for(df: DataFrame):

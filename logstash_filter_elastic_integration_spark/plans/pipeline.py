@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 
 from .document import (
     DROPPED, FAILURE, FAILURE_TYPE, INDEX_HISTORY, PRISTINE, REROUTED,
-    RESERVED, TERMINATED, fcol, guarded, resolver_for,
+    RESERVED, TERMINATED, fcol, guarded, resolver_for, scalarset_update,
 )
 from ..functions.painless import compile_condition
 
@@ -281,6 +281,7 @@ def finalize(df: DataFrame) -> DataFrame:
     pristine_dt = {f.name: f.dataType for f in df.schema[PRISTINE].dataType.fields}
     current_dt = {f.name: f.dataType for f in df.schema.fields}
     updates: dict[str, Column] = {}
+    rewrapped: list[str] = []
     for c in df.columns:
         if c in RESERVED or c == "tags":
             continue
@@ -293,6 +294,7 @@ def finalize(df: DataFrame) -> DataFrame:
                 if (isinstance(cur, T.ArrayType)
                         and cur.elementType == pristine_dt[c]):
                     restored = F.when(restored.isNotNull(), F.array(restored))
+                    rewrapped.append(c)
                 else:
                     restored = restored.cast(cur)
             updates[c] = F.when(failed, restored).otherwise(fcol(c))
@@ -306,6 +308,10 @@ def finalize(df: DataFrame) -> DataFrame:
                       F.array(F.lit("_ingest_pipeline_failure"))),
     ).otherwise(fcol("tags"))
     df = df.withColumns(updates)
+    for c in rewrapped:
+        # restored pristine value is a wrapped scalar — per-row registry
+        # keeps it rendering/reading as the scalar it was
+        df = scalarset_update(df, c, added=failed, cleared=F.lit(False))
     df = df.withColumn(
         "_ingest_pipeline_failure",
         F.when(failed, F.struct(

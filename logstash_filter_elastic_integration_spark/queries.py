@@ -194,24 +194,39 @@ FROM events
 
 def q_pipe_append(spark, sf_dir):
     """append: array concat with allow_duplicates=False (array_union order
-    semantics) AND scalar->array promotion in one pipeline."""
+    semantics), scalar->array promotion, AND per-row conditional append
+    (__scalarset registry: untouched rows keep scalar semantics —
+    IngestDocument.appendFieldValue per-row map parity)."""
+    from .plans.document import row_is_scalar
+
     ev = load(spark, sf_dir, "events")
-    df = ev.withColumn("arr", F.array(F.col("event_type")))
+    df = ev.withColumn("arr", F.array(F.col("event_type"))) \
+           .withColumn("status", F.col("props"))
     out = _pipe(spark, df, [
         {"append": {"field": "arr", "value": ["x1", "x2", "{{event_type}}"],
                     "allow_duplicates": False}},
         {"append": {"field": "event_type", "value": ["extra"]}},
+        # touches only 1 row in 5: the other rows must render their
+        # original scalar, not a 1-element array
+        {"append": {"field": "status", "value": ["flagged"],
+                    "if": "ctx.user_id % 5 == 0"}},
     ])
     # scalar renderings, not array<string>: the driver's canonicalizer
     # sorts a pandas frame and list cells are unhashable (r2 red row)
+    status = F.when(row_is_scalar(out, "status"),
+                    F.element_at(F.col("status"), 1)) \
+        .otherwise(F.array_join("status", "|"))
     return out.select("event_id",
                       F.array_join("arr", "|").alias("arr"),
-                      F.array_join("event_type", "|").alias("etype_arr"))
+                      F.array_join("event_type", "|").alias("etype_arr"),
+                      status.alias("status_r"))
 
 
 O_APPEND = """
 SELECT event_id, array_to_string([event_type, 'x1', 'x2'], '|') AS arr,
-       array_to_string([event_type, 'extra'], '|') AS etype_arr
+       array_to_string([event_type, 'extra'], '|') AS etype_arr,
+       CASE WHEN user_id % 5 = 0 THEN props || '|flagged' ELSE props END
+           AS status_r
 FROM events
 """
 

@@ -16,6 +16,62 @@ def test_append(spark, registry):  # spec :129-152
     assert out[0]["append_field"] == ["Append to me.", "integration", "test"]
 
 
+def test_append_per_row_scalarset(spark, registry):
+    """Conditional append: only touched rows become lists; untouched rows
+    register in __scalarset and read back as their scalar (per-row map
+    parity, IngestDocument.appendFieldValue)."""
+    out = run_one(
+        spark, registry,
+        [{"append": {"field": "status", "value": ["flagged"],
+                     "if": "ctx.n % 2 == 0"}},
+         # interpreter reads the field per row: touched rows see a List,
+         # untouched rows see the original scalar String
+         {"script": {"source":
+                     "for (int i = 0; i < 1; i++) { "
+                     "ctx.seen = ctx.status instanceof List "
+                     "? 'list:' + ctx.status.size() "
+                     ": 'scalar:' + ctx.status }"}}],
+        [(0, "ok"), (1, "warn"), (2, None)],
+        "n int, status string")
+    by_n = {r["n"]: r for r in out}
+    assert by_n[0]["status"] == ["ok", "flagged"]
+    assert by_n[0]["seen"] == "list:2"
+    assert by_n[1]["status"] == ["warn"]          # physical promotion...
+    assert "status" in (by_n[1]["__scalarset"] or [])  # ...but per-row scalar
+    assert by_n[1]["seen"] == "scalar:warn"
+    assert by_n[2]["status"] == ["flagged"]       # null scalar -> new list
+    assert by_n[2]["seen"] == "list:1"
+
+
+def test_append_second_append_clears_scalarset(spark, registry):
+    out = run_one(
+        spark, registry,
+        [{"append": {"field": "s", "value": ["a"], "if": "ctx.n == 0"}},
+         {"append": {"field": "s", "value": ["b"], "if": "ctx.n == 1"}}],
+        [(0, "x"), (1, "y"), (2, "z")], "n int, s string")
+    by_n = {r["n"]: r for r in out}
+    assert by_n[0]["s"] == ["x", "a"]
+    assert by_n[1]["s"] == ["y", "b"]
+    assert "s" not in (by_n[1]["__scalarset"] or [])
+    assert by_n[2]["s"] == ["z"]
+    assert "s" in (by_n[2]["__scalarset"] or [])
+
+
+def test_append_failed_row_restores_scalar(spark, registry):
+    # row 1 fails downstream -> pristine scalar restored (wrapped) and
+    # re-registered as per-row scalar
+    out = run_one(
+        spark, registry,
+        [{"append": {"field": "s", "value": ["a"]}},
+         {"fail": {"message": "boom", "if": "ctx.n == 1"}}],
+        [(0, "x"), (1, "y")], "n int, s string")
+    by_n = {r["n"]: r for r in out}
+    assert by_n[0]["s"] == ["x", "a"]
+    assert "s" not in (by_n[0]["__scalarset"] or [])
+    assert by_n[1]["s"] == ["y"]
+    assert "s" in (by_n[1]["__scalarset"] or [])
+
+
 def test_bytes(spark, registry):  # spec :154-175
     out = run_one(spark, registry,
                   [{"bytes": {"field": "size"}}],
