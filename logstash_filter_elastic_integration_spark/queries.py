@@ -1849,11 +1849,20 @@ def _events_stream_dir(sf_dir: str, copies: int = 1) -> str:
 
 
 def q_stream_window(spark, sf_dir):
-    """Structured Streaming watermarked event-time WINDOWED aggregation
-    (readStream -> withWatermark -> groupBy(window) -> complete), run
-    availableNow over the events table.  Unlike the stateful sessionizer,
-    windowed counts ARE SQL-expressible, so streaming gets a full
-    value-hash oracle: per (1-hour window, event_type) row counts."""
+    """TWO streaming legs under one value-hash oracle:
+
+    - watermarked event-time WINDOWED aggregation (readStream ->
+      withWatermark -> groupBy(window) -> complete): kind='win' rows;
+    - the CUSTOM STATEFUL sessionizer (applyInPandasWithState with
+      event-time timeouts, streaming/stream.py sessionize_stream):
+      kind='sess' rows — per-user session count plus a boundary
+      checksum SUM(start_epoch + end_epoch + n_events) over its closed
+      sessions, which pins every session's start, end and size.  A
+      far-future sentinel user drives the watermark past every real
+      session's timeout so state fully drains inside the availableNow
+      run; the sentinel's own (still-open) session is excluded.  The
+      DuckDB oracle recomputes the sessions with gaps-and-islands SQL —
+      the stateful operator is value-hash-gated, not rows-only."""
     import uuid
 
     name = "q" + uuid.uuid4().hex[:10]
@@ -1869,16 +1878,96 @@ def q_stream_window(spark, sf_dir):
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(300)
-    return (spark.table(name)
-            .select(F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")
-                    .alias("win_start"), "event_type",
-                    F.col("n").cast("long").alias("n")))
+    win = (spark.table(name)
+           .select(F.lit("win").alias("kind"),
+                   F.concat(F.date_format("win_start",
+                                          "yyyy-MM-dd HH:mm:ss"),
+                            F.lit("|"), "event_type").alias("key"),
+                   F.col("n").cast("long").alias("a"),
+                   F.lit(0).cast("long").alias("b")))
+
+    from .streaming.stream import sessionize_stream
+
+    name2 = "q" + uuid.uuid4().hex[:10]
+    sdir = _sessionize_stream_dir(spark, sf_dir)
+    s_src = spark.readStream.schema("user_id long, ts timestamp") \
+        .parquet(sdir)
+    sess_out = sessionize_stream(s_src, gap_s=21600, watermark="0 seconds")
+    q2 = (sess_out.writeStream.format("memory").queryName(name2)
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(300)
+    sess = (spark.table(name2)
+            .filter(F.col("user_id") >= 0)  # drop the sentinel user
+            .select("user_id",
+                    F.unix_timestamp("session_start").alias("s"),
+                    F.unix_timestamp("session_end").alias("e"),
+                    "n_events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("a"),
+                 F.sum(F.col("s") + F.col("e") + F.col("n_events"))
+                 .alias("b"))
+            .select(F.lit("sess").alias("kind"),
+                    F.col("user_id").cast("string").alias("key"),
+                    F.col("a").cast("long"), F.col("b").cast("long")))
+    return win.unionByName(sess)
+
+
+def _sessionize_stream_dir(spark, sf_dir: str) -> str:
+    """Stream-source dir for the sessionizer: the events file plus a tiny
+    sentinel parquet (user_id=-1 at a fixed far-future instant) whose
+    only job is to advance the global watermark so every real session's
+    event-time timeout fires before availableNow drains."""
+    import hashlib
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    key = hashlib.sha1(src.encode()).hexdigest()[:12]
+    d = f"/tmp/spark_graft_stream/{key}_sess"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "part-0.parquet")
+    if os.path.islink(link) and os.readlink(link) != src:
+        os.unlink(link)
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sentinel = os.path.join(d, "sentinel")
+    if not os.path.isdir(sentinel):
+        spark.createDataFrame(
+            [(-1,)], "user_id long"
+        ).select("user_id",
+                 F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts")) \
+            .coalesce(1).write.mode("overwrite").parquet(sentinel + ".tmp")
+        os.rename(sentinel + ".tmp", sentinel)
+    # file source ignores subdirs unless globbed; expose the sentinel file
+    flink = os.path.join(d, "part-1.parquet")
+    if not os.path.exists(flink):
+        part = [f for f in os.listdir(sentinel)
+                if f.endswith(".parquet")][0]
+        os.symlink(os.path.join(sentinel, part), flink)
+    return d
 
 
 O_STREAM_WINDOW = """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-       event_type, CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY 1, 2
+SELECT 'win' AS kind,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') || '|'
+           || event_type AS key,
+       CAST(COUNT(*) AS BIGINT) AS a, CAST(0 AS BIGINT) AS b
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'sess', CAST(user_id AS VARCHAR),
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(st + en + n) AS BIGINT)
+FROM (
+  SELECT user_id, sid, MIN(t) AS st, MAX(t) AS en, COUNT(*) AS n
+  FROM (
+    SELECT user_id, t,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM (
+      SELECT user_id, t,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                  > 21600 THEN 1 ELSE 0 END AS brk
+      FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events)
+    )
+  ) GROUP BY 1, 2
+) GROUP BY 2
 """
 
 
