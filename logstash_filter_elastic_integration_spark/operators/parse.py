@@ -137,15 +137,19 @@ def p_grok(df, spec, ctx):
         # \A(?s:.*?) ... (?s:.*)\z so the single match consumes the whole
         # string without changing `.` semantics INSIDE the user pattern.
         #
-        # MATERIALIZATION BARRIER: the result is staged through ONE
-        # __grok_packed column gated by a nondeterministic rand() guard.
-        # Without it, CollapseProject inlines the regex expression into
-        # every downstream reference (convert/fingerprint/route
-        # conditions...) and the regex re-executes per reference —
-        # measured 5x flagship wall blowup at 8M rows.  The pandas engine
-        # never had the problem because ArrowEvalPython is itself a
-        # barrier.  With the barrier: 8M rows/local[32] flagship matches
-        # the pandas engine within noise, with zero Python in the plan.
+        # MATERIALIZATION STAGING: the regex result lands in ONE
+        # __grok_parts column.  Spark >= 3.3 (SPARK-36718) keeps it
+        # staged: CollapseProject refuses to inline a non-cheap producer
+        # expression (regexp_replace/rlike) that downstream projections
+        # reference more than once, so the regex tree exists exactly once
+        # in the physical plan and runs once per row — without this the
+        # regex would re-execute per downstream reference
+        # (convert/fingerprint/route conditions...), a measured 5x
+        # flagship wall blowup at 8M rows.  Earlier rounds forced the
+        # staging with a nondeterministic rand() guard; Spark 4.1
+        # constant-folds that guard away (plan showed no rand), proving
+        # the CollapseProject rule is what actually protects the plan.
+        # tests/test_plan_shape.py pins single-execution (RLIKE count).
         pat = compiled.java_patterns[0]
         if len(groups) >= 3:
             # packed: ONE regexp_replace -> \x01-joined captures -> split
@@ -167,11 +171,10 @@ def p_grok(df, spec, ctx):
             raw_parts = F.array(*[
                 F.regexp_extract(gsrc, java_rx, gidx[g])
                 for g, _ in groups])
-        # stage 1 — the regex output lands in ONE array column behind a
-        # nondeterministic guard, so the regex tree exists exactly once in
-        # the plan and CollapseProject cannot inline it downstream
-        df = df.withColumn("__grok_parts", F.when(
-            F.rand() >= -1.0, F.when(matched_raw, raw_parts)))
+        # stage 1 — the regex output lands in ONE array column; the
+        # non-cheap CASE/regex tree is multi-referenced downstream, so
+        # CollapseProject keeps it staged (see note above)
+        df = df.withColumn("__grok_parts", F.when(matched_raw, raw_parts))
         pcol = fcol("__grok_parts")
         matched = pcol.isNotNull()
 

@@ -44,6 +44,35 @@ def test_grok_jvm_engine_has_no_python_nodes(spark, tmp_path):
     assert "EvalPython" not in _executed_plan(out)
 
 
+def test_grok_jvm_regex_executes_once_despite_downstream_refs(spark):
+    """The staged __grok_parts projection must NOT be inlined into
+    downstream references (SPARK-36718: CollapseProject keeps non-cheap
+    multi-referenced producer expressions staged).  Regression pin for
+    the measured 5x blowup when the regex re-executes per reference —
+    and for the removal of the legacy rand() pseudo-barrier, which
+    Spark 4.1 constant-folds away anyway."""
+    from logstash_filter_elastic_integration_spark.plans import (
+        PipelineRegistry, run_pipeline)
+    df = spark.createDataFrame(
+        [("1 ok 2",), ("7 go 9",)], ["msg"])
+    reg = PipelineRegistry()
+    reg.register("once", {"processors": [
+        {"grok": {"field": "msg", "engine": "jvm",
+                  "patterns": ["^%{INT:uid:int} %{WORD:etype} %{INT:val:int}$"]}},
+        # three downstream references to the grok outputs = the
+        # inlining pressure that used to duplicate the regex
+        {"set": {"field": "combo", "value": "{{uid}}-{{etype}}-{{val}}"}},
+    ]})
+    out = run_pipeline(df, "once", reg).select("uid", "etype", "val", "combo")
+    plan = _executed_plan(out)
+    # the match predicate runs exactly once per row
+    assert plan.count("RLIKE") == 1, plan
+    # the packed rewrite runs exactly once per row
+    assert plan.count("regexp_replace") == 1, plan
+    # the nondeterministic pseudo-barrier is gone for good
+    assert "rand(" not in plan, plan
+
+
 def test_sink_counts_is_partial_final_hash_agg(spark, tmp_path):
     src = str(tmp_path / "t2")
     transcripts(spark, 500).write.parquet(src)
