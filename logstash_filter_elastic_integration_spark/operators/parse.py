@@ -446,11 +446,15 @@ def p_json(df, spec, ctx):
     src = fcol(f_name).cast("string")
     add_to_root = cfg.get("add_to_root", False)
     strict = cfg.get("strict_json_parsing", True)
-    # allow_duplicate_keys=true (last duplicate wins) is the native
-    # behavior of from_json/parse_json, nothing to do; the ES strict
-    # default (fail on duplicates) is not detectable JVM-side without a
-    # second parse, so duplicate-key docs silently last-win either way
-    # (README Known divergences).
+    allow_dup = cfg.get("allow_duplicate_keys", False)
+    if allow_dup:
+        # ES allow_duplicate_keys=true: last duplicate wins.  Jackson
+        # (from_json) natively last-wins; the variant parser rejects
+        # duplicates unless the session conf says otherwise — flip it
+        # here (strict mode below stays exact under EITHER conf state,
+        # so this cannot corrupt other pipelines in the session).
+        df.sparkSession.conf.set(
+            "spark.sql.variant.allowDuplicateKeys", "true")
     # Spark's json parser is natively LENIENT exactly like ES's
     # strict_json_parsing=false (first value parsed, trailing characters
     # ignored: "123 junk" -> 123 — verified against try_parse_json and
@@ -475,6 +479,27 @@ def p_json(df, spec, ctx):
     else:
         parsed = F.try_parse_json(src)
         ok = parsed.isNotNull()
+        if not allow_dup and strict:
+            # ES default allow_duplicate_keys=false fails the doc on a
+            # duplicate key (JsonProcessor -> XContent strict dup check).
+            # try_parse_json already rejects duplicates when the session
+            # conf spark.sql.variant.allowDuplicateKeys is false, but an
+            # allow_duplicate_keys:true pipeline elsewhere in the session
+            # flips that conf — so detect explicitly: duplicate keys
+            # collapse when the parsed variant is re-serialized, so the
+            # key-token counts of source vs round-trip differ.  A quoted
+            # string followed by ':' is a key token iff the text is one
+            # valid JSON value, which the strict full-consumption check
+            # above guarantees (string VALUES are followed by ,}]).
+            # Exact for nested dups and colon/escape-laden values
+            # (tests/test_parse.py::test_json_duplicate_keys).  Lenient
+            # mode (strict_json_parsing=false) skips this — trailing
+            # junk would miscount — and relies on the conf state
+            # (README Known divergences).
+            key_rx = F.lit(r'"([^"\\]|\\.)*"\s*:')
+            no_dup = (F.regexp_count(src, key_rx)
+                      == F.regexp_count(F.to_json(parsed), key_rx))
+            ok = ok & no_dup
     if strict_ok is not None:
         ok = ok & strict_ok
     df = ctx.fail(df, active & src.isNotNull() & ~ok, spec,

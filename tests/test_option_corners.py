@@ -86,6 +86,46 @@ def test_json_add_to_root_merge_strategy_dynamic(spark, registry):
     assert '"a"' in ex["meta"] and '"b"' in ex["meta"]
 
 
+def test_json_duplicate_keys_strict_default_rejects(spark, registry):
+    # ES allow_duplicate_keys defaults to false: duplicate keys fail the
+    # doc (JsonProcessor strict XContent dup check).  Nested same-name
+    # keys at different levels and colons inside string values must NOT
+    # trip the detector.
+    out = run_one(
+        spark, registry,
+        [{"json": {"field": "raw", "target_field": "parsed"}}],
+        [('{"a":1,"a":2}',),
+         ('{"a":1,"b":{"c":1,"c":2}}',),
+         ('{"a":{"a":1},"b":2}',),
+         ('{"a":"x:y","b":"he said \\"c\\": ok"}',)],
+        "raw string")
+    def failed(r):
+        return any("fail" in t.lower() for t in (r["tags"] or []))
+    assert failed(out[0]) and failed(out[1])
+    assert not failed(out[2]) and not failed(out[3])
+
+
+def test_json_allow_duplicate_keys_last_wins_then_strict_still_exact(
+        spark, registry):
+    # allow_duplicate_keys: true -> last duplicate wins (flips the
+    # session variant conf) ...
+    out = run_one(
+        spark, registry,
+        [{"json": {"field": "raw", "target_field": "parsed",
+                   "allow_duplicate_keys": True}}],
+        [('{"a":1,"a":2}',)], "raw string")
+    assert (out[0]["tags"] or []) == []
+    assert '"a":2' in str(out[0]["parsed"]).replace(" ", "")
+    # ... and a strict-default pipeline built AFTERWARDS in the same
+    # session must still reject duplicates despite the flipped conf.
+    out2 = run_one(
+        spark, registry,
+        [{"json": {"field": "raw", "target_field": "parsed"}}],
+        [('{"a":1,"a":2}',), ('{"a":1}',)], "raw string")
+    assert any("fail" in t.lower() for t in (out2[0]["tags"] or []))
+    assert (out2[1]["tags"] or []) == []
+
+
 def test_json_conflict_strategy_validated(spark, registry):
     with pytest.raises(Exception, match="conflict"):
         run_one(spark, registry,
