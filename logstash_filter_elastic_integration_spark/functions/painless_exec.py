@@ -50,24 +50,104 @@ _TOKEN_REWRITES = [
     (re.compile(r"\bnull\b"), "None"),
     (re.compile(r"\btrue\b"), "True"),
     (re.compile(r"\bfalse\b"), "False"),
-    (re.compile(r"\?\."), "."),
+    # null-safe `a?.b`: marker attribute the _NullSafe AST pass lowers to
+    # _nsget/_nscall (short-circuits to null like Java, instead of the old
+    # plain-`.` rewrite that NPE'd on a null receiver)
+    (re.compile(r"\?\."), ".NSAFE."),
     # Java-method-capable wrappers, not bare []/{}: scripts call
-    # .add/.put/.size on these
-    (re.compile(r"\bnew\s+ArrayList\s*\(\s*\)"), "_jlist([])"),
-    (re.compile(r"\bnew\s+HashMap\s*\(\s*\)"), "_jmap({})"),
+    # .add/.put/.size on these.  Constructors accept an optional source
+    # collection/capacity argument (`new ArrayList(other)`).
+    (re.compile(r"\bnew\s+(?:ArrayList|LinkedList|ArrayDeque|Stack|Vector)"
+                r"\s*\("), "_jlist_new("),
+    (re.compile(r"\bnew\s+(?:HashMap|LinkedHashMap)\s*\("), "_jmap_new("),
+    (re.compile(r"\bnew\s+TreeMap\s*\("), "_jtreemap_new("),
+    (re.compile(r"\bnew\s+(?:HashSet|LinkedHashSet)\s*\("), "_jset_new("),
+    (re.compile(r"\bnew\s+TreeSet\s*\("), "_jtreeset_new("),
     (re.compile(r"\bnew\s+StringBuilder\s*\("), "_jsb("),
     (re.compile(r"\bnew\s+String\s*\("), "_jstrnew("),
+    # `throw new SomeException(msg)` -> raise of a catchable _JThrown
+    # carrying the Java type name (typed catch blocks filter on it)
+    (re.compile(r"\bnew\s+(\w*(?:Exception|Error))\s*\(\s*\)"),
+     r"_jexc_new('\1')"),
+    (re.compile(r"\bnew\s+(\w*(?:Exception|Error))\s*\("), r"_jexc_new('\1', "),
+    (re.compile(r"\bthrow\b"), "raise"),
+    # unsigned right shift: reflected-operator trick (a >>> b is not
+    # Python); _USHR.__rrshift__ captures the left operand
+    (re.compile(r">>>"), " >> _USHR >> "),
     # Java numeric-literal suffixes: 0L, 1.5f, 2.0d -> plain literals
     (re.compile(r"\b(\d+)[Ll]\b"), r"\1"),
     (re.compile(r"\b(\d+\.\d+)[FfDd]\b"), r"\1"),
 ]
+# a local declaration's leading type: the known primitives/def/var plus ANY
+# Capitalized type name (painless allows arbitrary allowlisted classes —
+# StringBuilder, ZonedDateTime, Set, DateTimeFormatter ...), optionally
+# generic (`Map<String, Object>`), dotted (`Map.Entry`) or array (`int[]`).
+# The lookahead requires `ident =` or a bare trailing ident so expression
+# statements like `Objects.equals(a, b)` are never mistaken for decls.
 _DECL = re.compile(
-    r"^(?:def|var|int|long|short|byte|double|float|boolean|char|String|"
-    r"Object|List|Map|ArrayList|HashMap)\s+(?=[A-Za-z_])")
+    r"^(?:def|var|int|long|short|byte|double|float|boolean|char|"
+    r"[A-Z]\w*(?:\.\w+)?)(?:\s*<[^<>;=]*(?:<[^<>;=]*>)?[^<>;=]*>)?"
+    r"(?:\s*\[\s*\])?\s+(?=[A-Za-z_]\w*\s*(?:=(?!=)|$))")
 _INCR = re.compile(r"^(?P<t>.+?)\+\+$")
 _DECR = re.compile(r"^(?P<t>.+?)--$")
 _TERN = re.compile(r"^(?P<c>[^?]+)\?(?P<a>[^:?]+):(?P<b>.+)$")
 _WHILE_CAP = 100_000
+
+
+# Java cast `(Type) expr`: rewritten to `_CAST_Type @ expr`.  `@` binds
+# tighter than every binary operator except unary minus and `**` — the
+# same precedence Java gives a cast — and the postfix chain after the
+# operand (calls, attribute access) binds tighter still, so
+# `(int) ctx.s.charAt(0) + 1` applies the cast to the charAt result and
+# then adds, exactly like Java.  Chained casts compose through
+# _CastOp.__matmul__.
+_CAST_RX = re.compile(
+    r"\(\s*(int|long|short|byte|float|double|boolean|char|String|"
+    r"CharSequence|Integer|Long|Short|Byte|Float|Double|Boolean|Character|"
+    r"Number|Object|def|List|ArrayList|Map|HashMap)\s*\)\s*(?=[\w(])")
+
+
+def _rewrite_casts(src: str) -> str:
+    return _CAST_RX.sub(lambda m: f"_CAST_{m.group(1)} @ ", src)
+
+
+_ARR_NEW_RX = re.compile(r"\bnew\s+(\w+)\s*\[")
+
+
+def _rewrite_array_news(src: str) -> str:
+    """``new T[n]`` -> default-filled JList; ``new T[] {a, b}`` /
+    ``new def[]{a, b}`` -> _jarr_lit(a, b) (varargs, so the brace
+    initializer needs no bracket-literal interplay)."""
+    out, i = [], 0
+    while True:
+        m = _ARR_NEW_RX.search(src, i)
+        if not m:
+            out.append(src[i:])
+            break
+        out.append(src[i:m.start()])
+        j, depth, n = m.end(), 1, len(src)
+        while j < n and depth:
+            depth += {"[": 1, "]": -1}.get(src[j], 0)
+            j += 1
+        inner = src[m.end():j - 1].strip()
+        if inner:                           # sized: new T[n]
+            out.append(f"_jarr_new('{m.group(1)}', {inner})")
+            i = j
+            continue
+        k = j
+        while k < n and src[k] in " \t\r\n":
+            k += 1
+        if k < n and src[k] == "{":         # initializer: new T[] {...}
+            depth, e = 1, k + 1
+            while e < n and depth:
+                depth += {"{": 1, "}": -1}.get(src[e], 0)
+                e += 1
+            out.append(f"_jarr_lit({src[k + 1:e - 1]})")
+            i = e
+        else:                               # bare new T[]
+            out.append("_jarr_lit()")
+            i = j
+    return "".join(out)
 
 
 def _rw_expr(e: str) -> str:
@@ -150,13 +230,24 @@ def _stmt_py(stmt: str) -> str:
     # transpiled Python statement must be ONE line (literals are
     # placeholder-protected, so embedded newlines can't be content)
     stmt = re.sub(r"\s*\n\s*", " ", stmt)
-    stmt = _DECL.sub("", stmt.strip())
+    stripped = _DECL.sub("", stmt.strip())
+    if stripped != stmt.strip() and re.fullmatch(r"[A-Za-z_]\w*", stripped):
+        # declaration without initializer (`int i;`): bind to null so a
+        # later conditional assignment has a name to write
+        return f"{stripped} = None"
+    stmt = stripped
     m = _INCR.match(stmt)
     if m:
         return f"{m.group('t').strip()} += 1"
     m = _DECR.match(stmt)
     if m:
         return f"{m.group('t').strip()} -= 1"
+    m = re.match(r"^\+\+\s*(?P<t>[A-Za-z_]\w*)$", stmt)
+    if m:
+        return f"{m.group('t')} += 1"
+    m = re.match(r"^--\s*(?P<t>[A-Za-z_]\w*)$", stmt)
+    if m:
+        return f"{m.group('t')} -= 1"
     lhs, rhs = _split_assign(stmt)
     if lhs is not None:
         return f"{lhs} {_rw_expr(rhs)}"
@@ -262,8 +353,17 @@ def _transpile_block(src: str, indent: int, lines: list[str],
                 # (every painless exception type maps to Python Exception;
                 # the watchdog RuntimeError deliberately remains catchable,
                 # matching the reference where scripts can catch anything)
-                var = cond.split()[-1] if cond and cond.split() else "_e"
+                toks = cond.split() if cond else []
+                var = toks[-1] if toks else "_e"
+                etype = toks[0] if len(toks) > 1 else "Exception"
                 lines.append(f"{pad}except Exception as {var}:")
+                if etype not in ("Exception", "Throwable", "Error"):
+                    # Java catch is TYPED: a catch(NumberFormatException e)
+                    # must not swallow an IndexOutOfBounds — re-raise
+                    # non-matching exceptions so an outer handler (or the
+                    # row failure channel) sees them
+                    lines.append(f"{pad}    if not _exc_is({var}, "
+                                 f"'{etype}'): raise")
                 lines.append(f"{pad}    {var} = _jexc({var})")
                 _sub_block(body, indent + 1, lines, counter)
             elif kw == "do":
@@ -320,8 +420,15 @@ def _transpile_block(src: str, indent: int, lines: list[str],
                                  f"(watchdog)')")
                     _transpile_block(body, indent + 1, lines, counter)
                     lines.append(f"{pad}    {_stmt_py(parts[2])}")
-                elif len(parts) == 1 and ":" in parts[0]:  # for-each
-                    var, _, it = parts[0].partition(":")
+                elif len(parts) == 1 and (
+                        ":" in parts[0]
+                        or re.search(r"\bin\b", parts[0])):  # for-each
+                    # painless has BOTH for-each forms: `for (def x : it)`
+                    # and `for (x in it)` (Groovy-style)
+                    if ":" in parts[0]:
+                        var, _, it = parts[0].partition(":")
+                    else:
+                        var, it = re.split(r"\bin\b", parts[0], maxsplit=1)
                     var = _DECL.sub("", var.strip())
                     lines.append(f"{pad}for {var} in ({_rw_expr(it)}):")
                     _sub_block(body, indent + 1, lines, counter)
@@ -398,6 +505,9 @@ def transpile(source: str) -> tuple[str, list[tuple[str, str]]]:
         src = rx.sub(rep, src)
     src = _rewrite_method_refs(src)
     src = _rewrite_lambdas(src)
+    src = _rewrite_casts(src)       # after lambdas: typed params are gone
+    src = _rewrite_array_news(src)  # before collection literals: `[]` in
+    #                                 `new T[]` must not read as a literal
     src = _rewrite_elvis(src)
     src = _rewrite_instanceof(src)
     src = _rewrite_collection_literals(src, wrap=True)
@@ -439,7 +549,9 @@ def validate(tree: ast.AST) -> None:
 # — the reference mutates the live ctx map, so these paths must be shipped
 # back out of the UDF like any assignment.
 _MUTATOR_METHODS = {"add", "addAll", "remove", "removeAll", "clear",
-                    "put", "putAll", "sort", "removeIf", "replaceAll"}
+                    "put", "putAll", "sort", "removeIf", "replaceAll",
+                    "putIfAbsent", "merge", "compute", "computeIfAbsent",
+                    "computeIfPresent", "replace", "set", "retainAll"}
 
 
 def collect_ctx_paths(tree: ast.AST):
@@ -463,6 +575,14 @@ def collect_ctx_paths(tree: ast.AST):
         return None
 
     for node in ast.walk(tree):
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
+                and node.func.id in ("_nsget", "_nscall") and node.args:
+            # lowered null-safe access `ctx.a?.b`: a READ of a.b
+            base = path_of(node.args[0])
+            if base is not None and len(node.args) > 1 \
+                    and isinstance(node.args[1], ast.Constant):
+                reads.add(f"{base}.{node.args[1].value}" if base
+                          else str(node.args[1].value))
         if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute):
             recv = node.func.value
             base = path_of(recv)  # "" when the receiver is ctx itself
@@ -532,8 +652,8 @@ class JStr(str):
     def substring(self, a, b=None):
         return JStr(self[a:] if b is None else self[a:b])
 
-    def indexOf(self, s):          # noqa: N802  (java name)
-        return self.find(s)
+    def indexOf(self, s, frm=0):   # noqa: N802  (java name)
+        return self.find(s, frm)
 
     def contains(self, s):
         return s in self
@@ -556,7 +676,11 @@ class JStr(str):
     def length(self):
         return len(self)
 
-    def splitOnToken(self, s):     # noqa: N802
+    def splitOnToken(self, s, limit=0):  # noqa: N802
+        # limit > 0 caps the part count, the last part keeping the rest
+        # (java.lang.String.split limit semantics)
+        if limit and limit > 0:
+            return JList(JStr(x) for x in self.split(s, limit - 1))
         return JList(JStr(x) for x in self.split(s))
 
     def replace(self, a, b):
@@ -592,6 +716,27 @@ class JStr(str):
     def compareToIgnoreCase(self, o):  # noqa: N802
         a, b = self.lower(), str(o).lower()
         return (a > b) - (a < b)
+
+    def equals(self, o):
+        return isinstance(o, str) and str(self) == str(o)
+
+    def contentEquals(self, o):    # noqa: N802
+        return str(self) == str(o)
+
+    def codePointAt(self, i):      # noqa: N802
+        return ord(self[i])
+
+    def toCharArray(self):         # noqa: N802
+        return JList(JStr(c) for c in self)
+
+    def repeat(self, n):
+        return JStr(str(self) * int(n))
+
+    def isBlank(self):             # noqa: N802
+        return not self.strip()
+
+    def chars(self):
+        return _JStream([ord(c) for c in self])
 
 
 class JList(list):
@@ -659,6 +804,179 @@ class JList(list):
         for x in self:
             fn(x)
 
+    def subList(self, a, b):       # noqa: N802
+        # Java returns a VIEW; scripts read it or copy it — a copy covers
+        # the read patterns (writes through the view are not supported)
+        return JList(self[int(a):int(b)])
+
+    def set(self, i, v):
+        prev = self[int(i)]
+        self[int(i)] = v
+        return prev
+
+    def lastIndexOf(self, x):      # noqa: N802
+        for i in range(len(self) - 1, -1, -1):
+            if self[i] == x:
+                return i
+        return -1
+
+    def toArray(self):             # noqa: N802
+        return JList(self)
+
+    def retainAll(self, xs):       # noqa: N802
+        keep = set(map(_hkey, xs))
+        kept = [x for x in self if _hkey(x) in keep]
+        changed = len(kept) != len(self)
+        self[:] = kept
+        return changed
+
+    def removeAll(self, xs):       # noqa: N802
+        drop = set(map(_hkey, xs))
+        kept = [x for x in self if _hkey(x) not in drop]
+        changed = len(kept) != len(self)
+        self[:] = kept
+        return changed
+
+    def containsAll(self, xs):     # noqa: N802
+        return all(x in self for x in xs)
+
+    def iterator(self):
+        return iter(self)
+
+    def toString(self):            # noqa: N802
+        # AbstractCollection.toString rendering: [a, b, null]
+        return JStr("[" + ", ".join(
+            "null" if x is None else
+            (str(x) if isinstance(x, str) else _jrender(x))
+            for x in self) + "]")
+
+    @property
+    def length(self):
+        # Java ARRAYS expose `.length` as a field; painless arrays land
+        # here as JList (`new String[] {..}.length`)
+        return len(self)
+
+
+def _hkey(v):
+    """Hashable identity for retainAll/removeAll set membership (lists and
+    maps hash by value snapshot)."""
+    if isinstance(v, (list, tuple)):
+        return ("__l", tuple(_hkey(x) for x in v))
+    if isinstance(v, dict):
+        return ("__m", tuple(sorted((k, _hkey(x)) for k, x in v.items())))
+    return v
+
+
+class JSet:
+    """java.util.Set stand-in: insertion-ordered (HashSet iteration order
+    is unspecified in Java, so a deterministic order is legal AND keeps
+    Spark-side results reproducible); TreeSet variant iterates sorted."""
+
+    def __init__(self, items=(), sorted_=False):
+        self._d = dict.fromkeys(items)
+        self._sorted = sorted_
+
+    def _iterkeys(self):
+        return sorted(self._d) if self._sorted else list(self._d)
+
+    def add(self, x):
+        if x in self._d:
+            return False
+        self._d[x] = None
+        return True
+
+    def addAll(self, xs):          # noqa: N802
+        changed = False
+        for x in xs:
+            changed = self.add(x) or changed
+        return changed
+
+    def remove(self, x):
+        if x in self._d:
+            del self._d[x]
+            return True
+        return False
+
+    def contains(self, x):
+        return x in self._d
+
+    def containsAll(self, xs):     # noqa: N802
+        return all(x in self._d for x in xs)
+
+    def size(self):
+        return len(self._d)
+
+    def isEmpty(self):             # noqa: N802
+        return not self._d
+
+    def clear(self):
+        self._d.clear()
+
+    def stream(self):
+        return _JStream(self._iterkeys())
+
+    def forEach(self, fn):         # noqa: N802
+        for x in self._iterkeys():
+            fn(x)
+
+    def removeIf(self, pred):      # noqa: N802
+        drop = [x for x in self._d if pred(x)]
+        for x in drop:
+            del self._d[x]
+        return bool(drop)
+
+    def retainAll(self, xs):       # noqa: N802
+        keep = set(xs)
+        drop = [x for x in self._d if x not in keep]
+        for x in drop:
+            del self._d[x]
+        return bool(drop)
+
+    def toArray(self):             # noqa: N802
+        return JList(self._iterkeys())
+
+    def __iter__(self):
+        return iter(self._iterkeys())
+
+    def __len__(self):
+        return len(self._d)
+
+    def __contains__(self, x):
+        return x in self._d
+
+    def __eq__(self, o):
+        if isinstance(o, JSet):
+            return set(self._d) == set(o._d)
+        if isinstance(o, (set, frozenset)):
+            return set(self._d) == o
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(frozenset(self._d))
+
+    def __repr__(self):
+        return f"JSet({self._iterkeys()!r})"
+
+
+class _JEntry:
+    """Live Map.Entry over a backing JMap (setValue writes through)."""
+
+    __slots__ = ("_m", "_k")
+
+    def __init__(self, m, k):
+        self._m, self._k = m, k
+
+    def getKey(self):              # noqa: N802
+        return self._k
+
+    def getValue(self):            # noqa: N802
+        return dict.get(self._m, self._k)
+
+    def setValue(self, v):         # noqa: N802
+        prev = dict.get(self._m, self._k)
+        self._m[self._k] = v
+        return prev
+
 
 class _JStream:
     """Streams-lite: the eager subset of java.util.stream painless
@@ -711,7 +1029,31 @@ class _JStream:
         return not any(p(x) for x in self._items)
 
     def findFirst(self):           # noqa: N802
-        return self._items[0] if self._items else None
+        return _JOptional(self._items[0] if self._items else None)
+
+    def findAny(self):             # noqa: N802
+        return self.findFirst()
+
+    def max(self, cmp=None):
+        if not self._items:
+            return _JOptional(None)
+        if cmp is None:
+            return _JOptional(max(self._items))
+        import functools
+        return _JOptional(max(self._items, key=functools.cmp_to_key(cmp)))
+
+    def min(self, cmp=None):
+        if not self._items:
+            return _JOptional(None)
+        if cmp is None:
+            return _JOptional(min(self._items))
+        import functools
+        return _JOptional(min(self._items, key=functools.cmp_to_key(cmp)))
+
+    def average(self):
+        if not self._items:
+            return _JOptional(None)
+        return _JOptional(sum(self._items) / len(self._items))
 
     def toList(self):              # noqa: N802
         return JList(self._items)
@@ -720,16 +1062,96 @@ class _JStream:
         return collector(self._items)
 
     def mapToInt(self, f):         # noqa: N802
-        return self.map(f)
+        return _JStream([int(f(x)) for x in self._items])
+
+    def mapToLong(self, f):        # noqa: N802
+        return self.mapToInt(f)
+
+    def mapToDouble(self, f):      # noqa: N802
+        return _JStream([float(f(x)) for x in self._items])
 
     def mapToObj(self, f):         # noqa: N802
         return self.map(f)
 
-    def reduce(self, identity, op):
+    def boxed(self):
+        return self
+
+    def flatMap(self, f):          # noqa: N802
+        out = []
+        for x in self._items:
+            r = f(x)
+            out.extend(r._items if isinstance(r, _JStream) else r)
+        return _JStream(out)
+
+    def peek(self, f):
+        for x in self._items:
+            f(x)
+        return _JStream(self._items)
+
+    def forEach(self, f):          # noqa: N802
+        for x in self._items:
+            f(x)
+
+    def toArray(self):             # noqa: N802
+        return JList(self._items)
+
+    def reduce(self, identity, op=None):
+        # one-arg form returns Optional (java.util.stream.Stream#reduce)
+        if op is None:
+            op = identity
+            if not self._items:
+                return _JOptional(None)
+            acc = self._items[0]
+            for x in self._items[1:]:
+                acc = op(acc, x)
+            return _JOptional(acc)
         acc = identity
         for x in self._items:
             acc = op(acc, x)
         return acc
+
+
+class _JOptional:
+    """java.util.Optional / OptionalInt / OptionalDouble (empty == the
+    wrapped value is None, which painless can't distinguish from
+    Optional.of(null) — Java forbids the latter anyway)."""
+
+    __slots__ = ("_v",)
+
+    def __init__(self, v):
+        self._v = v
+
+    def isPresent(self):           # noqa: N802
+        return self._v is not None
+
+    def isEmpty(self):             # noqa: N802
+        return self._v is None
+
+    def get(self):
+        if self._v is None:
+            raise ValueError("NoSuchElementException: No value present")
+        return self._v
+
+    getAsInt = get                 # OptionalInt surface
+    getAsLong = get
+    getAsDouble = get
+
+    def orElse(self, d):           # noqa: N802
+        return self._v if self._v is not None else d
+
+    def orElseGet(self, fn):       # noqa: N802
+        return self._v if self._v is not None else fn()
+
+    def ifPresent(self, fn):       # noqa: N802
+        if self._v is not None:
+            fn(self._v)
+
+    def map(self, fn):
+        return _JOptional(None if self._v is None else fn(self._v))
+
+    def filter(self, pred):
+        return self if (self._v is not None and pred(self._v)) \
+            else _JOptional(None)
 
 
 class _Collectors:
@@ -752,7 +1174,68 @@ class _Collectors:
     @staticmethod
     def joining(sep="", prefix="", suffix=""):
         return lambda items: JStr(
-            prefix + str(sep).join(str(x) for x in items) + suffix)
+            prefix + str(sep).join(_jrender(x) if not isinstance(x, str)
+                                   else str(x) for x in items) + suffix)
+
+    @staticmethod
+    def counting():
+        return len
+
+    @staticmethod
+    def groupingBy(classifier, downstream=None):  # noqa: N802
+        def c(items):
+            groups = JMap()
+            for x in items:
+                k = classifier(x)
+                groups.setdefault(k, []).append(x)
+            if downstream is None:
+                return JMap({k: JList(v) for k, v in groups.items()})
+            return JMap({k: downstream(v) for k, v in groups.items()})
+        return c
+
+    @staticmethod
+    def partitioningBy(pred, downstream=None):  # noqa: N802
+        def c(items):
+            t = [x for x in items if pred(x)]
+            f = [x for x in items if not pred(x)]
+            fin = (lambda v: JList(v)) if downstream is None else downstream
+            return JMap({False: fin(f), True: fin(t)})
+        return c
+
+    @staticmethod
+    def toMap(kf, vf):             # noqa: N802
+        def c(items):
+            out = JMap()
+            for x in items:
+                k = kf(x)
+                if k in out:
+                    raise ValueError(
+                        f"IllegalStateException: duplicate key {k!r}")
+                out[k] = vf(x)
+            return out
+        return c
+
+    @staticmethod
+    def summingInt(f):             # noqa: N802
+        return lambda items: sum(int(f(x)) for x in items)
+
+    summingLong = summingInt
+
+    @staticmethod
+    def summingDouble(f):          # noqa: N802
+        return lambda items: float(sum(float(f(x)) for x in items))
+
+    @staticmethod
+    def averagingInt(f):           # noqa: N802
+        return lambda items: (sum(float(f(x)) for x in items) / len(items)
+                              if items else 0.0)
+
+    averagingLong = averagingInt
+    averagingDouble = averagingInt
+
+    @staticmethod
+    def mapping(f, downstream):
+        return lambda items: downstream([f(x) for x in items])
 
 
 class JMap(dict):
@@ -766,7 +1249,13 @@ class JMap(dict):
         # Dunder names still raise so copy/pickle protocols stay sane.
         if name.startswith("__") and name.endswith("__"):
             raise AttributeError(name)
-        return self.get(name)
+        v = self.get(name)
+        w = _wrap(v)
+        if w is not v and isinstance(w, (JList, JMap)):
+            # keep identity so in-place mutation through the dot path
+            # (`m.inner.add(x)`) hits the live nested object
+            self[name] = w
+        return w
 
     def put(self, k, v):
         prev = dict.get(self, k)
@@ -797,13 +1286,118 @@ class JMap(dict):
     def keySet(self):              # noqa: N802
         return JList(self.keys())
 
+    def values(self):
+        return JList(dict.values(self))
 
-class _JavaException:
+    def entrySet(self):            # noqa: N802
+        return JList(_JEntry(self, k) for k in list(self.keys()))
+
+    def forEach(self, fn):         # noqa: N802
+        for k in list(self.keys()):
+            fn(k, dict.get(self, k))
+
+    def putIfAbsent(self, k, v):   # noqa: N802
+        cur = dict.get(self, k)
+        if cur is None:
+            self[k] = v
+        return cur
+
+    def replace(self, k, v):
+        if k in self:
+            prev = dict.get(self, k)
+            self[k] = v
+            return prev
+        return None
+
+    def replaceAll(self, fn):      # noqa: N802
+        for k in list(self.keys()):
+            self[k] = fn(k, dict.get(self, k))
+
+    def compute(self, k, fn):
+        v = fn(k, dict.get(self, k))
+        if v is None:
+            self.pop(k, None)
+        else:
+            self[k] = v
+        return v
+
+    def computeIfAbsent(self, k, fn):  # noqa: N802
+        cur = dict.get(self, k)
+        if cur is not None:
+            return cur
+        v = fn(k)
+        if v is not None:
+            self[k] = v
+        return v
+
+    def computeIfPresent(self, k, fn):  # noqa: N802
+        cur = dict.get(self, k)
+        if cur is None:
+            return None
+        v = fn(k, cur)
+        if v is None:
+            self.pop(k, None)
+        else:
+            self[k] = v
+        return v
+
+    def merge(self, k, v, fn):
+        cur = dict.get(self, k)
+        new = v if cur is None else fn(cur, v)
+        if new is None:
+            self.pop(k, None)
+        else:
+            self[k] = new
+        return new
+
+    def toString(self):            # noqa: N802
+        # AbstractMap.toString rendering: {k=v, k2=v2}
+        def r(x):
+            if x is None:
+                return "null"
+            return str(x) if isinstance(x, str) else _jrender(x)
+        return JStr("{" + ", ".join(
+            f"{r(k)}={r(dict.get(self, k))}" for k in self.keys()) + "}")
+
+
+class JTreeMap(JMap):
+    """TreeMap: iteration in key order (painless scripts relying on
+    sorted traversal)."""
+
+    def keys(self):
+        return sorted(dict.keys(self))
+
+    def items(self):
+        return [(k, dict.get(self, k)) for k in self.keys()]
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def keySet(self):              # noqa: N802
+        return JList(self.keys())
+
+    def values(self):
+        return JList(dict.get(self, k) for k in self.keys())
+
+    def entrySet(self):            # noqa: N802
+        return JList(_JEntry(self, k) for k in self.keys())
+
+
+class _JavaException(Exception):
     """Caught-exception bridge: painless `e.getMessage()` works on the
-    Python exception bound by a transpiled catch block."""
+    Python exception bound by a transpiled catch block.  Subclasses
+    Exception so a rethrow (`throw e`) transpiles to a working raise."""
 
     def __init__(self, e):
-        self.message = f"{type(e).__name__}: {e}"
+        if type(e).__name__ == "_JThrown":
+            # script-thrown: getMessage() is the constructor argument,
+            # exactly as Java reports it
+            self.message = e.msg if e.msg is not None else e.jtype
+        elif isinstance(e, _JavaException):
+            self.message = e.message
+        else:
+            self.message = f"{type(e).__name__}: {e}"
+        super().__init__(self.message)
 
     def getMessage(self):          # noqa: N802
         return JStr(self.message)
@@ -1070,22 +1664,440 @@ class _JavaMath:
     def pow(a, b):
         return float(a) ** b
 
+    @staticmethod
+    def log(x):
+        import math
+        return math.log(x)
+
+    @staticmethod
+    def log10(x):
+        import math
+        return math.log10(x)
+
+    @staticmethod
+    def exp(x):
+        import math
+        return math.exp(x)
+
+    @staticmethod
+    def cbrt(x):
+        return -((-x) ** (1.0 / 3)) if x < 0 else x ** (1.0 / 3)
+
+    @staticmethod
+    def hypot(a, b):
+        import math
+        return math.hypot(a, b)
+
+    @staticmethod
+    def atan2(y, x):
+        import math
+        return math.atan2(y, x)
+
+    @staticmethod
+    def sin(x):
+        import math
+        return math.sin(x)
+
+    @staticmethod
+    def cos(x):
+        import math
+        return math.cos(x)
+
+    @staticmethod
+    def tan(x):
+        import math
+        return math.tan(x)
+
+    @staticmethod
+    def asin(x):
+        import math
+        return math.asin(x)
+
+    @staticmethod
+    def acos(x):
+        import math
+        return math.acos(x)
+
+    @staticmethod
+    def atan(x):
+        import math
+        return math.atan(x)
+
+    @staticmethod
+    def signum(x):
+        return float((x > 0) - (x < 0))
+
+    @staticmethod
+    def toRadians(x):              # noqa: N802
+        import math
+        return math.radians(x)
+
+    @staticmethod
+    def toDegrees(x):              # noqa: N802
+        import math
+        return math.degrees(x)
+
+    @staticmethod
+    def toIntExact(x):             # noqa: N802
+        v = int(x)
+        if not (-2 ** 31 <= v <= 2 ** 31 - 1):
+            raise ArithmeticError("integer overflow")
+        return v
+
+    @staticmethod
+    def addExact(a, b):            # noqa: N802
+        return a + b
+
+    @staticmethod
+    def subtractExact(a, b):       # noqa: N802
+        return a - b
+
+    @staticmethod
+    def multiplyExact(a, b):       # noqa: N802
+        return a * b
+
+    @staticmethod
+    def random():
+        # deliberately unsupported: a nondeterministic per-row value breaks
+        # Spark task-retry reproducibility; reference scripts needing
+        # entropy should key off document fields instead
+        raise RuntimeError(
+            "Math.random() is unsupported (nondeterministic per-row "
+            "values break task-retry reproducibility)")
+
+
+def _parse_int_radix(s, radix=10):
+    s = str(s).strip()
+    if radix == 10:
+        return int(s)
+    return int(s, int(radix))
+
 
 class _JavaInteger:
     @staticmethod
-    def parseInt(s):               # noqa: N802
-        return int(str(s).strip())
+    def parseInt(s, radix=10):     # noqa: N802
+        return _parse_int_radix(s, radix)
 
     @staticmethod
-    def parseLong(s):              # noqa: N802
-        return int(str(s).strip())
+    def parseLong(s, radix=10):    # noqa: N802
+        return _parse_int_radix(s, radix)
 
     @staticmethod
-    def toString(v):               # noqa: N802
-        return JStr(str(int(v)))
+    def valueOf(v):                # noqa: N802
+        return int(str(v).strip()) if isinstance(v, str) else int(v)
+
+    @staticmethod
+    def toString(v, radix=10):     # noqa: N802
+        v, radix = int(v), int(radix)
+        if radix == 10:
+            return JStr(str(v))
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+        neg, v = v < 0, abs(v)
+        out = ""
+        while True:
+            out = digits[v % radix] + out
+            v //= radix
+            if not v:
+                break
+        return JStr(("-" if neg else "") + out)
+
+    @staticmethod
+    def toHexString(v):            # noqa: N802
+        return JStr(format(int(v) & 0xFFFFFFFF, "x"))
+
+    @staticmethod
+    def toBinaryString(v):         # noqa: N802
+        return JStr(format(int(v) & 0xFFFFFFFF, "b"))
+
+    @staticmethod
+    def toOctalString(v):          # noqa: N802
+        return JStr(format(int(v) & 0xFFFFFFFF, "o"))
+
+    @staticmethod
+    def compare(a, b):
+        return (a > b) - (a < b)
+
+    @staticmethod
+    def signum(v):
+        return (v > 0) - (v < 0)
+
+    @staticmethod
+    def bitCount(v):               # noqa: N802
+        return bin(int(v) & 0xFFFFFFFF).count("1")
 
     MAX_VALUE = 2 ** 31 - 1
     MIN_VALUE = -2 ** 31
+    SIZE = 32
+
+
+class _JavaLong(_JavaInteger):
+    MAX_VALUE = 2 ** 63 - 1
+    MIN_VALUE = -2 ** 63
+    SIZE = 64
+
+    @staticmethod
+    def toHexString(v):            # noqa: N802
+        return JStr(format(int(v) & 0xFFFFFFFFFFFFFFFF, "x"))
+
+    @staticmethod
+    def toBinaryString(v):         # noqa: N802
+        return JStr(format(int(v) & 0xFFFFFFFFFFFFFFFF, "b"))
+
+    @staticmethod
+    def toOctalString(v):          # noqa: N802
+        return JStr(format(int(v) & 0xFFFFFFFFFFFFFFFF, "o"))
+
+    @staticmethod
+    def bitCount(v):               # noqa: N802
+        return bin(int(v) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+class _JavaBoolean:
+    TRUE, FALSE = True, False
+
+    @staticmethod
+    def parseBoolean(s):           # noqa: N802
+        return str(s).lower() == "true"
+
+    @staticmethod
+    def valueOf(v):                # noqa: N802
+        if isinstance(v, bool):
+            return v
+        return str(v).lower() == "true"
+
+    @staticmethod
+    def toString(b):               # noqa: N802
+        return JStr("true" if b else "false")
+
+    @staticmethod
+    def compare(a, b):
+        return (bool(a) > bool(b)) - (bool(a) < bool(b))
+
+
+class _JavaObjects:
+    @staticmethod
+    def equals(a, b):
+        if a is None or b is None:
+            return a is b
+        return a == b
+
+    @staticmethod
+    def isNull(v):                 # noqa: N802
+        return v is None
+
+    @staticmethod
+    def nonNull(v):                # noqa: N802
+        return v is not None
+
+    @staticmethod
+    def requireNonNull(v, msg=None):  # noqa: N802
+        if v is None:
+            raise AttributeError(
+                f"NullPointerException: {msg or 'null'}")
+        return v
+
+    @staticmethod
+    def requireNonNullElse(v, d):  # noqa: N802
+        return v if v is not None else d
+
+    @staticmethod
+    def toString(v, d="null"):     # noqa: N802
+        return JStr(d) if v is None else _jm_toString(v)
+
+
+class _JavaUUID:
+    """java.util.UUID.  nameUUIDFromBytes is Java-exact (MD5 type-3);
+    randomUUID delegates to uuid4 — nondeterministic by contract, same as
+    the reference executing the script per document."""
+
+    @staticmethod
+    def nameUUIDFromBytes(b):      # noqa: N802
+        import uuid as _uuid
+        import hashlib
+        if isinstance(b, str):
+            b = b.encode()
+        digest = hashlib.md5(bytes(b)).digest()
+        raw = bytearray(digest)
+        raw[6] = (raw[6] & 0x0F) | 0x30   # version 3
+        raw[8] = (raw[8] & 0x3F) | 0x80   # IETF variant
+        return JStr(str(_uuid.UUID(bytes=bytes(raw))))
+
+    @staticmethod
+    def fromString(s):             # noqa: N802
+        import uuid as _uuid
+        return JStr(str(_uuid.UUID(str(s))))
+
+    @staticmethod
+    def randomUUID():              # noqa: N802
+        import uuid as _uuid
+        return JStr(str(_uuid.uuid4()))
+
+
+class _JDuration:
+    """java.time.Duration value (nanosecond-backed)."""
+
+    __slots__ = ("_ns",)
+
+    def __init__(self, ns):
+        self._ns = int(ns)
+
+    def getSeconds(self):          # noqa: N802
+        return self._ns // 1_000_000_000
+
+    def toMillis(self):            # noqa: N802
+        return self._ns // 1_000_000
+
+    def toSeconds(self):           # noqa: N802
+        return self._ns // 1_000_000_000
+
+    def toMinutes(self):           # noqa: N802
+        return self._ns // 60_000_000_000
+
+    def toHours(self):             # noqa: N802
+        return self._ns // 3_600_000_000_000
+
+    def toDays(self):              # noqa: N802
+        return self._ns // 86_400_000_000_000
+
+    def getNano(self):             # noqa: N802
+        return self._ns % 1_000_000_000
+
+    def isNegative(self):          # noqa: N802
+        return self._ns < 0
+
+    def isZero(self):              # noqa: N802
+        return self._ns == 0
+
+    def abs(self):
+        return _JDuration(abs(self._ns))
+
+    def negated(self):
+        return _JDuration(-self._ns)
+
+    def plus(self, o):
+        return _JDuration(self._ns + o._ns)
+
+    def minus(self, o):
+        return _JDuration(self._ns - o._ns)
+
+    def compareTo(self, o):        # noqa: N802
+        return (self._ns > o._ns) - (self._ns < o._ns)
+
+    def toString(self):            # noqa: N802
+        # ISO-8601 (PT1H30M / PT2.5S), the Java rendering
+        s, ns = divmod(abs(self._ns), 1_000_000_000)
+        h, rem = divmod(s, 3600)
+        m, sec = divmod(rem, 60)
+        out = "PT"
+        if h:
+            out += f"{h}H"
+        if m:
+            out += f"{m}M"
+        if sec or ns or (not h and not m):
+            frac = f".{ns:09d}".rstrip("0") if ns else ""
+            out += f"{sec}{frac}S"
+        return JStr(("-" if self._ns < 0 else "") + out)
+
+    __str__ = toString
+
+
+class _JavaDuration:
+    @staticmethod
+    def ofDays(n):                 # noqa: N802
+        return _JDuration(int(n) * 86_400_000_000_000)
+
+    @staticmethod
+    def ofHours(n):                # noqa: N802
+        return _JDuration(int(n) * 3_600_000_000_000)
+
+    @staticmethod
+    def ofMinutes(n):              # noqa: N802
+        return _JDuration(int(n) * 60_000_000_000)
+
+    @staticmethod
+    def ofSeconds(n):              # noqa: N802
+        return _JDuration(int(n) * 1_000_000_000)
+
+    @staticmethod
+    def ofMillis(n):               # noqa: N802
+        return _JDuration(int(n) * 1_000_000)
+
+    @staticmethod
+    def ofNanos(n):                # noqa: N802
+        return _JDuration(int(n))
+
+    @staticmethod
+    def between(a, b):
+        return _JDuration(round((b.dt - a.dt).total_seconds() * 1e9))
+
+    ZERO = None  # assigned after class creation
+
+
+_JavaDuration.ZERO = _JDuration(0)
+
+
+class _JavaCollections:
+    @staticmethod
+    def sort(lst, cmp=None):
+        if cmp is None:
+            list.sort(lst)
+        else:
+            import functools
+            list.sort(lst, key=functools.cmp_to_key(cmp))
+
+    @staticmethod
+    def reverse(lst):
+        lst.reverse()
+
+    @staticmethod
+    def max(coll, cmp=None):
+        if cmp is None:
+            return max(coll)
+        import functools
+        return max(coll, key=functools.cmp_to_key(cmp))
+
+    @staticmethod
+    def min(coll, cmp=None):
+        if cmp is None:
+            return min(coll)
+        import functools
+        return min(coll, key=functools.cmp_to_key(cmp))
+
+    @staticmethod
+    def emptyList():               # noqa: N802
+        return JList()
+
+    @staticmethod
+    def emptyMap():                # noqa: N802
+        return JMap()
+
+    @staticmethod
+    def singletonList(v):          # noqa: N802
+        return JList([v])
+
+    @staticmethod
+    def singleton(v):
+        return JSet([v])
+
+    @staticmethod
+    def unmodifiableList(lst):     # noqa: N802
+        return JList(lst)
+
+    @staticmethod
+    def unmodifiableMap(m):        # noqa: N802
+        return JMap(m)
+
+    @staticmethod
+    def unmodifiableSet(s):        # noqa: N802
+        return JSet(s)
+
+    @staticmethod
+    def frequency(coll, v):
+        return sum(1 for x in coll if x == v)
+
+    @staticmethod
+    def nCopies(n, v):             # noqa: N802
+        return JList([v] * int(n))
 
 
 class _JavaCharacter:
@@ -1121,11 +2133,52 @@ class _JavaCharacter:
     def toLowerCase(c):            # noqa: N802
         return JStr(str(c).lower())
 
+    @staticmethod
+    def getNumericValue(c):        # noqa: N802
+        c = str(c)
+        if c.isdigit():
+            return int(c)
+        if c.isalpha() and c.isascii():
+            return ord(c.lower()) - ord("a") + 10
+        return -1
+
+    @staticmethod
+    def digit(c, radix):
+        try:
+            return int(str(c), int(radix))
+        except ValueError:
+            return -1
+
+    @staticmethod
+    def isAlphabetic(c):           # noqa: N802
+        return str(c).isalpha()
+
+    @staticmethod
+    def toString(c):               # noqa: N802
+        return JStr(str(c))
+
 
 class _JavaArrays:
     @staticmethod
     def asList(*xs):               # noqa: N802
+        if len(xs) == 1 and isinstance(xs[0], (list, tuple)):
+            return JList(xs[0])
         return JList(xs)
+
+    @staticmethod
+    def stream(arr):
+        return _JStream(arr)
+
+    @staticmethod
+    def sort(arr, cmp=None):
+        _JavaCollections.sort(arr, cmp)
+
+    @staticmethod
+    def toString(arr):             # noqa: N802
+        return JStr("[" + ", ".join(
+            "null" if x is None else
+            (str(x) if isinstance(x, str) else _jrender(x))
+            for x in arr) + "]")
 
 
 class _B64Encoder:
@@ -1179,9 +2232,47 @@ class JStringBuilder:
 
 
 class _JavaDouble:
+    MAX_VALUE = 1.7976931348623157e308
+    MIN_VALUE = 4.9e-324
+    POSITIVE_INFINITY = float("inf")
+    NEGATIVE_INFINITY = float("-inf")
+    NaN = float("nan")
+
     @staticmethod
     def parseDouble(s):            # noqa: N802
         return float(str(s).strip())
+
+    @staticmethod
+    def valueOf(v):                # noqa: N802
+        return float(str(v).strip()) if isinstance(v, str) else float(v)
+
+    @staticmethod
+    def isNaN(v):                  # noqa: N802
+        return v != v
+
+    @staticmethod
+    def isInfinite(v):             # noqa: N802
+        return v in (float("inf"), float("-inf"))
+
+    @staticmethod
+    def compare(a, b):
+        return (a > b) - (a < b)
+
+    @staticmethod
+    def toString(v):               # noqa: N802
+        return JStr(_jrender(float(v)))
+
+
+class _JavaFloat(_JavaDouble):
+    MAX_VALUE = 3.4028234663852886e38
+    MIN_VALUE = 1.401298464324817e-45
+
+    @staticmethod
+    def parseFloat(s):             # noqa: N802
+        return float(str(s).strip())
+
+
+_JFMT_SPEC = re.compile(r"%(\d+\$)?([-#+ 0,]*)(\d+)?(\.\d+)?([a-zA-Z%])")
 
 
 class _JavaString:
@@ -1192,8 +2283,61 @@ class _JavaString:
         return JStr(str(v))
 
     @staticmethod
-    def join(sep, parts):
-        return JStr(sep.join(str(p) for p in parts))
+    def join(sep, *parts):
+        if len(parts) == 1 and isinstance(parts[0], (list, tuple)):
+            parts = parts[0]
+        return JStr(str(sep).join(
+            str(p) if isinstance(p, str) else _jrender(p) for p in parts))
+
+    @staticmethod
+    def format(fmt, args):
+        """java.lang.String.format — painless signature takes a def[]
+        (an array literal after the `new def[]{...}` lowering).  The
+        common conversions map 1:1 onto Python %-formatting; %b renders
+        Java booleans, %n a newline."""
+        if not isinstance(args, (list, tuple)):
+            args = [args]
+        it = iter(args)
+        out = []
+        pos = 0
+        for m in _JFMT_SPEC.finditer(str(fmt)):
+            out.append(str(fmt)[pos:m.start()])
+            pos = m.end()
+            idx, flags, width, prec, conv = m.groups()
+            if conv == "%":
+                out.append("%")
+                continue
+            if conv == "n":
+                out.append("\n")
+                continue
+            arg = args[int(idx[:-1]) - 1] if idx else next(it)
+            flags = (flags or "").replace(",", "")
+            pyspec = "%" + flags + (width or "") + (prec or "")
+            if conv in ("b", "B"):
+                s = "true" if arg else "false"
+                out.append(pyspec % s if width else s)
+                continue
+            if conv in ("s", "S"):
+                s = arg if isinstance(arg, str) else _jrender(arg)
+                s = (pyspec + "s") % s
+                out.append(s.upper() if conv == "S" else s)
+                continue
+            if conv == "c":
+                out.append((pyspec + "c") % (chr(arg) if isinstance(
+                    arg, int) and not isinstance(arg, bool) else str(arg)))
+                continue
+            if conv == "d":
+                out.append((pyspec + "d") % int(arg))
+                continue
+            if conv in "xXo":
+                out.append((pyspec + conv) % int(arg))
+                continue
+            if conv in "eEfgG":
+                out.append((pyspec + conv) % float(arg))
+                continue
+            raise ValueError(f"UnknownFormatConversionException: %{conv}")
+        out.append(str(fmt)[pos:])
+        return JStr("".join(out))
 
 
 class _Processors:
@@ -1362,11 +2506,156 @@ class JDateTimeFormatter:
         return JDateTimeFormatter(str(p))
 
     def format(self, temporal):
+        if isinstance(temporal, (JLocalDate, JLocalDateTime)):
+            return temporal.format(self)
         return JStr(_java_format(temporal.dt, self.pattern))
 
 
 JDateTimeFormatter.ISO_OFFSET_DATE_TIME = JDateTimeFormatter(
     "yyyy-MM-dd'T'HH:mm:ssXXX")
+JDateTimeFormatter.ISO_LOCAL_DATE = JDateTimeFormatter("yyyy-MM-dd")
+JDateTimeFormatter.ISO_LOCAL_DATE_TIME = JDateTimeFormatter(
+    "yyyy-MM-dd'T'HH:mm:ss")
+
+_STRPTIME_MAP = [("yyyy", "%Y"), ("yy", "%y"), ("MMM", "%b"),
+                 ("MM", "%m"), ("dd", "%d"), ("HH", "%H"), ("hh", "%I"),
+                 ("mm", "%M"), ("ss", "%S"), ("SSS", "%f"), ("a", "%p"),
+                 ("EEE", "%a")]
+
+
+def _pattern_to_strptime(pattern: str) -> str:
+    out, i = [], 0
+    n = len(pattern)
+    while i < n:
+        if pattern[i] == "'":       # quoted literal
+            j = pattern.find("'", i + 1)
+            j = n if j < 0 else j
+            out.append(pattern[i + 1:j])
+            i = j + 1
+            continue
+        for tok, py in _STRPTIME_MAP:
+            if pattern.startswith(tok, i):
+                out.append(py)
+                i += len(tok)
+                break
+        else:
+            out.append(pattern[i])
+            i += 1
+    return "".join(out)
+
+
+class JLocalDate:
+    """java.time.LocalDate (date-only temporal painless scripts parse
+    with a DateTimeFormatter pattern)."""
+
+    __slots__ = ("d",)
+
+    def __init__(self, d):
+        self.d = d
+
+    @staticmethod
+    def parse(s, formatter=None):
+        if formatter is None:
+            return JLocalDate(_datetime.date.fromisoformat(str(s)))
+        fmt = _pattern_to_strptime(formatter.pattern)
+        return JLocalDate(
+            _datetime.datetime.strptime(str(s), fmt).date())
+
+    @staticmethod
+    def of(y, m, d):
+        return JLocalDate(_datetime.date(int(y), int(m), int(d)))
+
+    def getYear(self):             # noqa: N802
+        return self.d.year
+
+    def getMonthValue(self):       # noqa: N802
+        return self.d.month
+
+    def getDayOfMonth(self):       # noqa: N802
+        return self.d.day
+
+    def getDayOfWeek(self):        # noqa: N802
+        return _JDayOfWeek(self.d.isoweekday())
+
+    def getDayOfYear(self):        # noqa: N802
+        return self.d.timetuple().tm_yday
+
+    def plusDays(self, n):         # noqa: N802
+        return JLocalDate(self.d + _datetime.timedelta(days=int(n)))
+
+    def minusDays(self, n):        # noqa: N802
+        return JLocalDate(self.d - _datetime.timedelta(days=int(n)))
+
+    def atStartOfDay(self, zone=None):  # noqa: N802
+        tz = zone.tz if zone is not None else _datetime.timezone.utc
+        return JZonedDateTime(_datetime.datetime(
+            self.d.year, self.d.month, self.d.day, tzinfo=tz))
+
+    def isBefore(self, o):         # noqa: N802
+        return self.d < o.d
+
+    def isAfter(self, o):          # noqa: N802
+        return self.d > o.d
+
+    def isEqual(self, o):          # noqa: N802
+        return self.d == o.d
+
+    def format(self, formatter):
+        return JStr(_java_format(
+            _datetime.datetime(self.d.year, self.d.month, self.d.day,
+                               tzinfo=_datetime.timezone.utc),
+            formatter.pattern))
+
+    def __str__(self):
+        return self.d.isoformat()
+
+    toString = __str__
+
+
+class JLocalDateTime:
+    """java.time.LocalDateTime — parse/format with patterns; zone-free."""
+
+    __slots__ = ("dt",)
+
+    def __init__(self, dt):
+        self.dt = dt
+
+    @staticmethod
+    def parse(s, formatter=None):
+        if formatter is None:
+            return JLocalDateTime(
+                _datetime.datetime.fromisoformat(str(s)))
+        fmt = _pattern_to_strptime(formatter.pattern)
+        return JLocalDateTime(_datetime.datetime.strptime(str(s), fmt))
+
+    def atZone(self, zone):        # noqa: N802
+        return JZonedDateTime(self.dt.replace(tzinfo=zone.tz))
+
+    def getYear(self):             # noqa: N802
+        return self.dt.year
+
+    def getMonthValue(self):       # noqa: N802
+        return self.dt.month
+
+    def getDayOfMonth(self):       # noqa: N802
+        return self.dt.day
+
+    def getHour(self):             # noqa: N802
+        return self.dt.hour
+
+    def getMinute(self):           # noqa: N802
+        return self.dt.minute
+
+    def getSecond(self):           # noqa: N802
+        return self.dt.second
+
+    def format(self, formatter):
+        return JStr(_java_format(self.dt, formatter.pattern))
+
+    def __str__(self):
+        return self.dt.isoformat()
+
+    toString = __str__
 
 
 class JInstant:
@@ -1570,12 +2859,298 @@ def _jmod(a, b):
     return math.fmod(a, b)
 
 
+# ------------------------------------------------ casts & glue helpers --
+
+class _CastOp:
+    """`(int) expr` lowers to `_CAST_int @ expr` (see _rewrite_casts).
+    Chained casts `(long)(double) x` arrive left-associated as
+    `(_CAST_long @ _CAST_double) @ x` — composing two ops."""
+
+    __slots__ = ("_fn",)
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def __matmul__(self, other):
+        if isinstance(other, _CastOp):
+            a, b = self._fn, other._fn
+            return _CastOp(lambda v: a(b(v)))
+        return self._fn(other)
+
+
+def _c_to_int(v):
+    if v is None:
+        raise AttributeError("NullPointerException: cast of null to int")
+    if isinstance(v, str):
+        # (int) char -> code point; charAt returns a 1-char JStr
+        if len(v) == 1:
+            return ord(v)
+        raise TypeError(f"ClassCastException: String {v!r} to int")
+    if isinstance(v, bool):
+        raise TypeError("ClassCastException: boolean to int")
+    return int(v)  # float truncates toward zero, like Java
+
+
+def _c_to_float(v):
+    if v is None:
+        raise AttributeError("NullPointerException: cast of null to double")
+    if isinstance(v, str) and len(v) == 1:
+        return float(ord(v))
+    return float(v)
+
+
+def _c_to_bool(v):
+    if isinstance(v, bool):
+        return v
+    raise TypeError(f"ClassCastException: {type(v).__name__} to boolean")
+
+
+def _c_to_char(v):
+    if v is None:
+        raise AttributeError("NullPointerException: cast of null to char")
+    if isinstance(v, int) and not isinstance(v, bool):
+        return JStr(chr(v))
+    s = str(v)
+    if len(s) == 1:
+        return JStr(s)
+    raise TypeError(f"ClassCastException: {v!r} to char")
+
+
+def _c_to_str(v):
+    if v is None:
+        return None                # (String) null is null in Java
+    if isinstance(v, str):
+        return JStr(v)
+    raise TypeError(f"ClassCastException: {type(v).__name__} to String")
+
+
+_CAST_IDENT = _CastOp(lambda v: v)
+_CASTS = {
+    "int": _CastOp(_c_to_int), "long": _CastOp(_c_to_int),
+    "short": _CastOp(_c_to_int), "byte": _CastOp(_c_to_int),
+    "Integer": _CastOp(_c_to_int), "Long": _CastOp(_c_to_int),
+    "Short": _CastOp(_c_to_int), "Byte": _CastOp(_c_to_int),
+    "float": _CastOp(_c_to_float), "double": _CastOp(_c_to_float),
+    "Float": _CastOp(_c_to_float), "Double": _CastOp(_c_to_float),
+    "boolean": _CastOp(_c_to_bool), "Boolean": _CastOp(_c_to_bool),
+    "char": _CastOp(_c_to_char), "Character": _CastOp(_c_to_char),
+    "String": _CastOp(_c_to_str), "CharSequence": _CastOp(_c_to_str),
+    "Number": _CAST_IDENT, "Object": _CAST_IDENT, "def": _CAST_IDENT,
+    "List": _CAST_IDENT, "ArrayList": _CAST_IDENT,
+    "Map": _CAST_IDENT, "HashMap": _CAST_IDENT,
+}
+
+
+class _UShr:
+    """Reflected-operator pair for `a >>> b` (rewritten to
+    `a >> _USHR >> b`): Java's unsigned right shift at int (32-bit) width
+    for values in int range, long (64-bit) width otherwise."""
+
+    def __rrshift__(self, left):
+        return _UShrPartial(left)
+
+
+class _UShrPartial:
+    __slots__ = ("left",)
+
+    def __init__(self, left):
+        self.left = left
+
+    def __rshift__(self, n):
+        v = self.left
+        mask = 0xFFFFFFFF if -2 ** 31 <= v <= 2 ** 31 - 1 \
+            else 0xFFFFFFFFFFFFFFFF
+        return (v & mask) >> n
+
+
+class _JThrown(Exception):
+    """A script-thrown Java exception (`throw new X(msg)`): carries the
+    declared type name so typed catch blocks can filter."""
+
+    def __init__(self, jtype, msg=None):
+        super().__init__(msg if msg is not None else jtype)
+        self.jtype = jtype
+        self.msg = msg
+
+
+def _jexc_new(jtype, msg=None):
+    return _JThrown(str(jtype), None if msg is None else str(msg))
+
+
+# Java exception hierarchy (child -> ancestors) for typed catch filtering
+_EXC_ANCESTORS = {
+    "NumberFormatException": {"IllegalArgumentException",
+                              "RuntimeException"},
+    "IllegalArgumentException": {"RuntimeException"},
+    "IllegalStateException": {"RuntimeException"},
+    "NullPointerException": {"RuntimeException"},
+    "ClassCastException": {"RuntimeException"},
+    "ArithmeticException": {"RuntimeException"},
+    "UnsupportedOperationException": {"RuntimeException"},
+    "IndexOutOfBoundsException": {"RuntimeException"},
+    "ArrayIndexOutOfBoundsException": {"IndexOutOfBoundsException",
+                                       "RuntimeException"},
+    "StringIndexOutOfBoundsException": {"IndexOutOfBoundsException",
+                                        "RuntimeException"},
+    "NoSuchElementException": {"RuntimeException"},
+}
+# Python runtime exception -> the Java type it stands in for
+_PY_TO_JAVA_EXC = (
+    (ZeroDivisionError, "ArithmeticException"),
+    (IndexError, "IndexOutOfBoundsException"),
+    (AttributeError, "NullPointerException"),
+    (TypeError, "ClassCastException"),
+    (ValueError, "NumberFormatException"),
+    (KeyError, "NoSuchElementException"),
+)
+
+
+def _exc_is(exc, jtype):
+    """Does a caught exception match a painless catch's declared type?"""
+    if jtype in ("Exception", "Throwable", "Error", "RuntimeException"):
+        return True
+    if isinstance(exc, _JThrown):
+        name = exc.jtype
+    else:
+        name = next((j for t, j in _PY_TO_JAVA_EXC
+                     if isinstance(exc, t)), None)
+        if name is None:
+            return jtype == "Exception"
+    return name == jtype or jtype in _EXC_ANCESTORS.get(name, ())
+
+
+def _nsget(v, name):
+    """`a?.b` — null receiver short-circuits to null."""
+    if v is None:
+        return None
+    try:
+        return getattr(v, name)
+    except AttributeError:
+        if isinstance(v, dict):
+            return _wrap(v.get(name))
+        raise
+
+
+def _nscall(v, name, *args):
+    """`a?.m(x)` — null receiver short-circuits without invoking."""
+    if v is None:
+        return None
+    return getattr(v, name)(*args)
+
+
+def _jm_toString(v):               # noqa: N802
+    if v is None:
+        raise AttributeError("NullPointerException: toString on null")
+    m = getattr(v, "toString", None)
+    if m is not None:
+        return m()
+    if isinstance(v, bool):
+        return JStr("true" if v else "false")
+    if isinstance(v, float):
+        return JStr(_jrender(v))
+    return JStr(str(v))
+
+
+def _jm_value(conv):
+    def m(v):
+        if v is None:
+            raise AttributeError("NullPointerException")
+        return conv(v)
+    return m
+
+
+_jm_intValue = _jm_value(int)
+_jm_longValue = _jm_value(int)
+_jm_shortValue = _jm_value(int)
+_jm_byteValue = _jm_value(int)
+_jm_doubleValue = _jm_value(float)
+_jm_floatValue = _jm_value(float)
+_jm_booleanValue = _jm_value(bool)
+
+
+def _jm_equals(a, b):
+    if a is None:
+        raise AttributeError("NullPointerException: equals on null")
+    m = getattr(a, "equals", None)
+    if m is not None:
+        return m(b)
+    return a == b
+
+
+def _jm_compareTo(a, b):           # noqa: N802
+    if a is None:
+        raise AttributeError("NullPointerException: compareTo on null")
+    m = getattr(a, "compareTo", None)
+    if m is not None:
+        return m(b)
+    return (a > b) - (a < b)
+
+
+def _jlist_new(src=None):
+    if src is None:
+        return JList()
+    if isinstance(src, int) and not isinstance(src, bool):
+        return JList()             # capacity hint, not contents
+    return JList(src)
+
+
+def _jmap_new(src=None):
+    if src is None or (isinstance(src, int) and not isinstance(src, bool)):
+        return JMap()
+    return JMap(src)
+
+
+def _jtreemap_new(src=None):
+    if src is None or (isinstance(src, int) and not isinstance(src, bool)):
+        return JTreeMap()
+    return JTreeMap(src)
+
+
+def _jset_new(src=None):
+    if src is None or (isinstance(src, int) and not isinstance(src, bool)):
+        return JSet()
+    return JSet(src)
+
+
+def _jtreeset_new(src=None):
+    if src is None or (isinstance(src, int) and not isinstance(src, bool)):
+        return JSet(sorted_=True)
+    return JSet(src, sorted_=True)
+
+
+_ARR_DEFAULTS = {"int": 0, "long": 0, "short": 0, "byte": 0,
+                 "float": 0.0, "double": 0.0, "boolean": False,
+                 "char": "\0"}
+
+
+def _jarr_new(jtype, n):
+    return JList([_ARR_DEFAULTS.get(jtype)] * int(n))
+
+
+def _jarr_lit(*items):
+    return JList(items)
+
+
+def _jstrnew_full(data=b"", charset="UTF-8"):
+    if isinstance(data, (bytes, bytearray)):
+        enc = str(charset).lower().replace("_", "-")
+        return JStr(bytes(data).decode(
+            enc if enc in ("utf-8", "ascii", "latin-1", "iso-8859-1")
+            else "utf-8", "replace"))
+    return JStr(str(data))
+
+
 _GLOBALS = {
     "ZonedDateTime": JZonedDateTime, "Instant": JInstant,
     "ZoneId": JZoneId, "ZoneOffset": _JZoneOffset,
     "DateTimeFormatter": JDateTimeFormatter, "ChronoUnit": _ChronoUnit,
-    "Math": _JavaMath, "Integer": _JavaInteger, "Long": _JavaInteger,
-    "Double": _JavaDouble, "Float": _JavaDouble, "String": _JavaString,
+    "Math": _JavaMath, "Integer": _JavaInteger, "Long": _JavaLong,
+    "Short": _JavaInteger, "Byte": _JavaInteger,
+    "Double": _JavaDouble, "Float": _JavaFloat, "String": _JavaString,
+    "Boolean": _JavaBoolean, "Objects": _JavaObjects, "UUID": _JavaUUID,
+    "Duration": _JavaDuration, "Collections": _JavaCollections,
+    "Optional": _JOptional, "LocalDate": JLocalDate,
+    "LocalDateTime": JLocalDateTime,
     "Processors": _Processors, "Collectors": _Collectors,
     "range": range, "len": len, "abs": abs,
     "min": min, "max": max, "dict": dict, "RuntimeError": RuntimeError,
@@ -1587,15 +3162,42 @@ _GLOBALS = {
     "_jtList": _JType(list), "_jtArrayList": _JType(list),
     "_jtMap": _JType(dict), "_jtHashMap": _JType(dict),
     "_jtNumber": _JType(int, float, excl=(bool,)),
+    "_jtSet": _JType(JSet), "_jtHashSet": _JType(JSet),
+    "_jtCharSequence": _JType(str),
     "_jexc": _JavaException,
     "_jdiv": _jdiv, "_jmod": _jmod,
     "Character": _JavaCharacter, "Arrays": _JavaArrays,
     "Base64": _JavaBase64, "_jsb": JStringBuilder,
-    "_jstrnew": (lambda b=b"": JStr(
-        b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray))
-        else str(b))),
-    "__builtins__": {},
+    "_jstrnew": _jstrnew_full,
+    "_jlist_new": _jlist_new, "_jmap_new": _jmap_new,
+    "_jtreemap_new": _jtreemap_new, "_jset_new": _jset_new,
+    "_jtreeset_new": _jtreeset_new,
+    "_jarr_new": _jarr_new, "_jarr_lit": _jarr_lit,
+    "_jexc_new": _jexc_new, "_exc_is": _exc_is,
+    "_nsget": _nsget, "_nscall": _nscall,
+    "_USHR": _UShr(),
+    "_jm_toString": _jm_toString, "_jm_intValue": _jm_intValue,
+    "_jm_longValue": _jm_longValue, "_jm_shortValue": _jm_shortValue,
+    "_jm_byteValue": _jm_byteValue, "_jm_doubleValue": _jm_doubleValue,
+    "_jm_floatValue": _jm_floatValue,
+    "_jm_booleanValue": _jm_booleanValue,
+    "_jm_equals": _jm_equals, "_jm_compareTo": _jm_compareTo,
 }
+for _ct, _cv in _CASTS.items():
+    _GLOBALS[f"_CAST_{_ct}"] = _cv
+_GLOBALS["__builtins__"] = {}
+
+# class names whose method calls are STATIC (never rewritten by
+# _JavaMethods): everything bound as a class-like global above
+_STATIC_NAMES = {k for k, v in _GLOBALS.items()
+                 if isinstance(v, type) or k in (
+                     "Math", "Integer", "Long", "Short", "Byte", "Double",
+                     "Float", "String", "Boolean", "Objects", "UUID",
+                     "Duration", "Collections", "Collectors", "Character",
+                     "Arrays", "Base64", "Processors", "ZonedDateTime",
+                     "Instant", "ZoneId", "ZoneOffset", "DateTimeFormatter",
+                     "ChronoUnit", "LocalDate", "LocalDateTime",
+                     "Optional")}
 
 
 class _JavaArith(ast.NodeTransformer):
@@ -1638,6 +3240,68 @@ class _JStrLiterals(ast.NodeTransformer):
         return node
 
 
+class _NullSafe(ast.NodeTransformer):
+    """Lower the `.NSAFE.` marker the `?.` token rewrite left behind:
+    `a?.b` -> _nsget(a, 'b') (None receiver -> None), `a?.m(x)` ->
+    _nscall(a, 'm', x) (None receiver -> None, like Java's null-safe
+    dereference returning null without invoking)."""
+
+    def visit_Call(self, node):    # noqa: N802
+        f = node.func
+        if (isinstance(f, ast.Attribute)
+                and isinstance(f.value, ast.Attribute)
+                and f.value.attr == "NSAFE"):
+            return ast.Call(
+                func=ast.Name(id="_nscall", ctx=ast.Load()),
+                args=[self.visit(f.value.value),
+                      ast.Constant(value=f.attr),
+                      *[self.visit(a) for a in node.args]],
+                keywords=[])
+        self.generic_visit(node)
+        return node
+
+    def visit_Attribute(self, node):  # noqa: N802
+        if (isinstance(node.value, ast.Attribute)
+                and node.value.attr == "NSAFE"):
+            return ast.Call(
+                func=ast.Name(id="_nsget", ctx=ast.Load()),
+                args=[self.visit(node.value.value),
+                      ast.Constant(value=node.attr)],
+                keywords=[])
+        self.generic_visit(node)
+        return node
+
+
+# zero-arg Java value/conversion methods valid on ANY receiver (painless
+# autoboxes: `5.toString()`, `x.intValue()`); one-arg universal methods
+# (equals/compareTo).  Lowered to dispatch helpers because Python ints
+# and floats don't carry these attributes.
+_JM_ZERO = {"toString", "intValue", "longValue", "doubleValue",
+            "floatValue", "shortValue", "byteValue", "booleanValue"}
+_JM_ONE = {"equals", "compareTo"}
+
+
+class _JavaMethods(ast.NodeTransformer):
+    def visit_Call(self, node):    # noqa: N802
+        self.generic_visit(node)
+        f = node.func
+        if isinstance(f, ast.Attribute):
+            # never rewrite STATIC calls (Integer.toString(v, 16)): the
+            # receiver being a known class Name is the discriminator
+            static_recv = (isinstance(f.value, ast.Name)
+                           and f.value.id in _STATIC_NAMES)
+            if not static_recv:
+                if f.attr in _JM_ZERO and not node.args:
+                    return ast.Call(
+                        func=ast.Name(id=f"_jm_{f.attr}", ctx=ast.Load()),
+                        args=[f.value], keywords=[])
+                if f.attr in _JM_ONE and len(node.args) == 1:
+                    return ast.Call(
+                        func=ast.Name(id=f"_jm_{f.attr}", ctx=ast.Load()),
+                        args=[f.value, node.args[0]], keywords=[])
+        return node
+
+
 class CompiledScript:
     """Transpiled + validated + compiled Painless statements, executable
     per row.  Pickles by source (code objects recompile per worker)."""
@@ -1651,12 +3315,16 @@ class CompiledScript:
         except SyntaxError as e:
             raise UnsupportedScriptError(
                 f"cannot transpile painless: {e}: {py[:200]!r}") from e
+        tree = _NullSafe().visit(tree)  # before path collection: the
+        #                                 NSAFE marker must not leak into
+        #                                 ctx paths
         validate(tree)
         self.python_source = py
         self.reads, self.writes = collect_ctx_paths(tree)
         # Painless string literals are Java Strings: '+' concatenates with
         # any operand ('count=' + 5 -> 'count=5').  Rewrite str constants to
         # JStr AFTER path collection (which pattern-matches raw Constants).
+        tree = _JavaMethods().visit(tree)
         tree = _JStrLiterals().visit(tree)
         tree = _JavaArith().visit(tree)
         ast.fix_missing_locations(tree)
@@ -1703,9 +3371,15 @@ class CompiledScript:
         def out(v):
             if v is _REMOVED:
                 return None
-            if isinstance(v, (JZonedDateTime, JInstant)):
+            if isinstance(v, (JZonedDateTime, JInstant, JLocalDate,
+                              JLocalDateTime, _JDuration)):
                 # temporal ctx values serialize as ISO strings in the
                 # document, matching ES's index-time rendering
+                return str(v)
+            if isinstance(v, JSet):
+                # XContent renders a Set as a JSON array
+                return JList(v)
+            if isinstance(v, JStringBuilder):
                 return str(v)
             return v
         return ({k: out(v) for k, v in writes.items()}, nulled)

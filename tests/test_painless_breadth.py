@@ -1,0 +1,313 @@
+"""Painless interpreter breadth: realistic ingest-pipeline script
+patterns (the reference executes arbitrary Painless via its bundled
+script engine — docs/index.asciidoc:192, SmokeTest.java pipelines use
+set/script combos).  Each case asserts Java-exact values.
+
+Covers the round-5 transpiler additions (arbitrary typed local decls,
+casts, prefix ++/--, >>>, throw/typed catch, array news, for-each `in`,
+null-safe `?.`) and the stdlib additions (Map compute/merge/entrySet,
+List subList/removeIf, Set, Optional, Collectors.groupingBy/joining,
+Boolean/Float/Long/Objects/UUID/Duration/Collections statics,
+String.format, Integer radix methods, universal toString/intValue)."""
+import pytest
+
+from logstash_filter_elastic_integration_spark.functions.painless import (
+    UnsupportedScriptError)
+from logstash_filter_elastic_integration_spark.functions.painless_exec \
+    import CompiledScript
+
+
+def run(src, doc=None):
+    return CompiledScript(src).run_row(dict(doc or {}))
+
+
+# ---------------------------------------------------------------- casts --
+
+def test_cast_char_to_int_and_back():
+    out = run("ctx.a = (int) ctx.msg.charAt(0); ctx.b = (char) 98;",
+              {"msg": "abc"})
+    assert out == {"a": 97, "b": "b"}
+
+
+def test_cast_chain_truncates_toward_zero():
+    out = run("ctx.a = (long)(double) ctx.x; ctx.b = (int) ctx.y;",
+              {"x": 3.9, "y": -3.9})
+    assert out == {"a": 3, "b": -3}
+
+
+def test_cast_in_arithmetic_binds_like_java():
+    # (int) 3.9 + 1 is ((int)3.9)+1 = 4, not (int)4.9
+    assert run("ctx.a = (int) ctx.x + 1;", {"x": 3.9}) == {"a": 4}
+
+
+def test_cast_number_box_then_value_method():
+    out = run("ctx.a = ((Number) ctx.x).floatValue(); "
+              "ctx.b = ctx.x.intValue();", {"x": 3.7})
+    assert out == {"a": 3.7, "b": 3}
+
+
+def test_cast_string_of_null_stays_null():
+    assert run("ctx.a = (String) ctx.missing; ctx.b = 1;", {}) == {
+        "a": None, "b": 1}
+
+
+# --------------------------------------------------- typed declarations --
+
+def test_arbitrary_typed_locals():
+    out = run("""
+        StringBuilder sb = new StringBuilder();
+        sb.append('a'); sb.insert(0, 'b');
+        Set s = new HashSet(); s.add(1); s.add(1); s.add(2);
+        ctx.a = sb.toString(); ctx.b = s.size();
+    """)
+    assert out == {"a": "ba", "b": 2}
+
+
+def test_decl_without_initializer():
+    assert run("int i; if (ctx.x > 1) { i = 5; } else { i = 7; } "
+               "ctx.a = i;", {"x": 2}) == {"a": 5}
+
+
+def test_constructor_with_source_collection():
+    out = run("def l = new ArrayList(ctx.l); l.removeIf(x -> x < 2); "
+              "l.sort((a, b) -> b - a); ctx.a = l;", {"l": [1, 2, 3]})
+    assert out == {"a": [3, 2]}
+
+
+# ------------------------------------------------------- control flow --
+
+def test_prefix_increment_for_loop():
+    assert run("def t = 0; for (int i = 0; i < 5; ++i) { t += i; } "
+               "ctx.a = t;") == {"a": 10}
+
+
+def test_foreach_in_form_over_entryset():
+    out = run("""
+        def out = [];
+        for (e in ctx.m.entrySet()) {
+            out.add(e.getKey() + '=' + e.getValue());
+        }
+        Collections.sort(out);
+        ctx.a = out;
+    """, {"m": {"x": 1, "y": 2}})
+    assert out["a"] == ["x=1", "y=2"]
+
+
+def test_throw_and_typed_catch():
+    out = run("""
+        try {
+            throw new IllegalArgumentException('boom');
+        } catch (IllegalArgumentException e) {
+            ctx.a = e.getMessage();
+        }
+    """)
+    assert out == {"a": "boom"}
+
+
+def test_typed_catch_does_not_swallow_other_types():
+    # an IndexOutOfBounds must fly PAST catch(NumberFormatException)
+    with pytest.raises(Exception):
+        run("""
+            try {
+                ctx.a = ctx.l.get(99);
+            } catch (NumberFormatException e) {
+                ctx.a = -1;
+            }
+        """, {"l": [1]})
+
+
+def test_catch_hierarchy_nfe_is_illegal_argument():
+    # NumberFormatException extends IllegalArgumentException
+    out = run("""
+        try {
+            ctx.a = Integer.parseInt('zz');
+        } catch (IllegalArgumentException e) {
+            ctx.a = -1;
+        }
+    """)
+    assert out == {"a": -1}
+
+
+# ------------------------------------------------------------- arrays --
+
+def test_array_new_sized_and_literal():
+    out = run("""
+        def a = new int[3]; a[0] = 1; a[1] = 2;
+        def b = new String[] {'x', 'y'};
+        ctx.a = a[0] + a[1] + a[2]; ctx.b = b[1]; ctx.c = b.length;
+    """)
+    assert out == {"a": 3, "b": "y", "c": 2}
+
+
+def test_bit_ops_including_unsigned_shift():
+    out = run("ctx.a = ctx.x << 2; ctx.b = ctx.x >>> 1; "
+              "ctx.c = -8 >>> 1; ctx.d = ctx.x & 5; ctx.e = ctx.x ^ 5;",
+              {"x": 12})
+    # Java: -8 >>> 1 at int width = 2147483644
+    assert out == {"a": 48, "b": 6, "c": 2147483644, "d": 4, "e": 9}
+
+
+# ------------------------------------------------------- null safety --
+
+def test_null_safe_chain_short_circuits():
+    assert run("ctx.a = ctx.m?.k?.toUpperCase(); ctx.b = 1;",
+               {"m": None}) == {"a": None, "b": 1}
+
+
+def test_null_safe_on_present_value():
+    assert run("ctx.a = ctx.m?.k?.toUpperCase();",
+               {"m": {"k": "ab"}}) == {"a": "AB"}
+
+
+# ------------------------------------------------------------- maps --
+
+def test_map_compute_merge_putifabsent():
+    out = run("""
+        ctx.m.compute('x', (k, v) -> v == null ? 1 : v + 1);
+        ctx.m.merge('y', 5, (a, b) -> a + b);
+        ctx.m.putIfAbsent('z', 9);
+        ctx.m.putIfAbsent('x', 99);
+        ctx.a = ctx.m.getOrDefault('w', -1);
+    """, {"m": {"x": 1}})
+    assert out["m"] == {"x": 2, "y": 5, "z": 9} and out["a"] == -1
+
+
+def test_map_tostring_java_rendering():
+    assert run("ctx.a = ctx.m.toString();", {"m": {"x": 1}}) == {
+        "a": "{x=1}"}
+
+
+# ------------------------------------------------------------ streams --
+
+def test_stream_maptoint_sum_max():
+    out = run("ctx.a = ctx.l.stream().mapToInt(x -> x).sum(); "
+              "ctx.b = ctx.l.stream().mapToInt(x -> x).max().getAsInt();",
+              {"l": [1, 2, 3]})
+    assert out == {"a": 6, "b": 3}
+
+
+def test_stream_optional_orelse():
+    out = run("ctx.a = ctx.l.stream().filter(x -> x > 10)"
+              ".findFirst().orElse(-1);", {"l": [1, 2]})
+    assert out == {"a": -1}
+
+
+def test_collectors_grouping_and_joining():
+    out = run("""
+        def g = ctx.l.stream().collect(Collectors.groupingBy(x -> x % 2));
+        ctx.a = g.get(0); ctx.b = g.get(1);
+        ctx.c = ctx.l.stream().map(x -> x.toString())
+                     .collect(Collectors.joining(','));
+    """, {"l": [1, 2, 3, 4]})
+    assert out == {"a": [2, 4], "b": [1, 3], "c": "1,2,3,4"}
+
+
+def test_collectors_tomap_counting():
+    out = run("""
+        ctx.a = ctx.l.stream().collect(
+            Collectors.toMap(x -> x, x -> x * 10));
+        ctx.b = ctx.l.stream().collect(Collectors.counting());
+    """, {"l": [1, 2]})
+    assert out == {"a": {1: 10, 2: 20}, "b": 2}
+
+
+# ------------------------------------------------------------ statics --
+
+def test_boolean_objects_statics():
+    out = run("ctx.a = Boolean.parseBoolean('true'); "
+              "ctx.b = Objects.equals(ctx.x, ctx.y); "
+              "ctx.c = Objects.isNull(ctx.z); "
+              "ctx.d = Objects.requireNonNullElse(ctx.z, 'd');",
+              {"x": 1, "y": 1})
+    assert out == {"a": True, "b": True, "c": True, "d": "d"}
+
+
+def test_integer_long_radix_statics():
+    out = run("ctx.a = Integer.toHexString(255); "
+              "ctx.b = Integer.parseInt('ff', 16); "
+              "ctx.c = Integer.toString(255, 16); "
+              "ctx.d = Long.toHexString(255); "
+              "ctx.e = Long.MAX_VALUE; ctx.f = Integer.MAX_VALUE;")
+    assert out == {"a": "ff", "b": 255, "c": "ff", "d": "ff",
+                   "e": 9223372036854775807, "f": 2147483647}
+
+
+def test_string_format_with_array_literal():
+    out = run("ctx.a = String.format('%s-%03d', new def[] {ctx.h, ctx.n});",
+              {"h": "x", "n": 7})
+    assert out == {"a": "x-007"}
+
+
+def test_uuid_name_from_bytes_is_java_exact():
+    # java.util.UUID.nameUUIDFromBytes("stable".getBytes()) reference value
+    out = run("ctx.a = UUID.nameUUIDFromBytes(ctx.s.getBytes('UTF-8'))"
+              ".toString();", {"s": "stable"})
+    assert out == {"a": "f40faf63-84fc-35a3-bd3b-05a9d41c012b"}
+
+
+def test_duration_arithmetic():
+    out = run("""
+        ctx.a = Duration.ofSeconds(3661).toMinutes();
+        ctx.b = Duration.between(
+            Instant.parse('2024-01-01T00:00:00Z'),
+            Instant.parse('2024-01-01T01:30:00Z')).getSeconds();
+        ctx.c = Duration.ofMillis(1500).toString();
+    """)
+    assert out == {"a": 61, "b": 5400, "c": "PT1.5S"}
+
+
+def test_localdate_parse_with_pattern():
+    out = run("""
+        DateTimeFormatter f = DateTimeFormatter.ofPattern('yyyy/MM/dd');
+        ctx.a = LocalDate.parse(ctx.d, f).toString();
+        ctx.b = LocalDate.parse(ctx.d, f).getDayOfWeek().getValue();
+    """, {"d": "2024/05/06"})
+    assert out == {"a": "2024-05-06", "b": 1}  # a Monday
+
+
+def test_zdt_timezone_conversion():
+    out = run("""
+        ZonedDateTime z = ZonedDateTime.parse(ctx.t);
+        ctx.a = z.withZoneSameInstant(
+            ZoneId.of('America/New_York')).getHour();
+    """, {"t": "2024-03-01T12:00:00Z"})
+    assert out == {"a": 7}  # EST = UTC-5
+
+
+def test_universal_tostring_and_numeric_methods():
+    out = run("ctx.a = ctx.n.toString(); ctx.b = true.toString(); "
+              "ctx.c = ctx.l.toString();", {"n": 42, "l": [1, None]})
+    assert out == {"a": "42", "b": "true", "c": "[1, null]"}
+
+
+def test_math_additions():
+    out = run("ctx.a = Math.log10(100.0); ctx.b = Math.signum(-3.0); "
+              "ctx.c = Math.toIntExact(7);")
+    assert out == {"a": 2.0, "b": -1.0, "c": 7}
+
+
+def test_math_random_fails_loud():
+    cs = CompiledScript("ctx.a = Math.random();")
+    with pytest.raises(RuntimeError, match="nondeterministic"):
+        cs.run_row({})
+
+
+def test_string_breadth():
+    out = run("ctx.a = ctx.s.splitOnToken(':', 2); "
+              "ctx.b = ctx.s.contentEquals('a:b:c'); "
+              "ctx.c = ctx.s.indexOf(':', 2); ctx.d = ctx.s.repeat(2);",
+              {"s": "a:b:c"})
+    assert out == {"a": ["a", "b:c"], "b": True, "c": 3,
+                   "d": "a:b:ca:b:c"}
+
+
+def test_set_serializes_as_array():
+    out = run("Set s = new HashSet(); s.add('b'); s.add('a'); s.add('b'); "
+              "ctx.tags = s;")
+    assert sorted(out["tags"]) == ["a", "b"]
+
+
+def test_treeset_iterates_sorted():
+    out = run("Set s = new TreeSet(); s.add(3); s.add(1); s.add(2); "
+              "ctx.a = new ArrayList(s);")
+    assert out == {"a": [1, 2, 3]}
