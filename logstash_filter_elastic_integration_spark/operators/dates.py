@@ -146,14 +146,30 @@ def p_date(df, spec, ctx):
         df = ctx.fail(df, active, spec,
                       f"field [{f_name}] not present as part of path [{f_name}]")
         return df
-    src = _localize(fcol(f_name).cast("string"), cfg, formats)
+    raw = fcol(f_name).cast("string")
+    src = _localize(raw, cfg, formats)
+    drop_tmp = None
+    if src is not raw:
+        # MATERIALIZATION STAGING (same rationale as grok's
+        # __grok_parts, parse.py:140): the locale normalizer is a ~30
+        # regexp_replace chain referenced once per format plus the
+        # fail-check — inlined per reference it blew janino's 64 KB
+        # method limit (observed: whole-stage codegen silently disabled
+        # for the date stage).  Landed in ONE column, CollapseProject
+        # (SPARK-36718) keeps the non-cheap multi-referenced producer
+        # staged, so the chain exists once in the plan and the parse
+        # Project stays codegen-sized.
+        drop_tmp = "__date_norm"
+        df = df.withColumn(drop_tmp, src)
+        src = fcol(drop_tmp)
     parsed = F.coalesce(*[_parse_one(src, fmt, tz) for fmt in formats])
     df = ctx.fail(df, active & src.isNotNull() & parsed.isNull(), spec,
                   f"unable to parse date [{f_name}]")
     out_fmt = cfg.get("output_format")
     value = (F.date_format(F.convert_timezone(F.lit("UTC"), F.lit(tz), parsed), out_fmt)
              if out_fmt else _iso_with_offset(parsed, tz))
-    return guarded(df, active & parsed.isNotNull(), {target: value})
+    out = guarded(df, active & parsed.isNotNull(), {target: value})
+    return out.drop(drop_tmp) if drop_tmp else out
 
 
 _ROUND_TRUNC = {"y": "year", "M": "month", "w": "week", "d": "day",
@@ -175,7 +191,14 @@ def p_date_index_name(df, spec, ctx):
     if f_name not in df.columns:
         return ctx.fail(df, active, spec,
                         f"field [{f_name}] not present as part of path [{f_name}]")
-    src = _localize(fcol(f_name).cast("string"), cfg, formats)
+    raw = fcol(f_name).cast("string")
+    src = _localize(raw, cfg, formats)
+    drop_tmp = None
+    if src is not raw:
+        # stage the locale-normalizer chain once — see p_date above
+        drop_tmp = "__date_norm"
+        df = df.withColumn(drop_tmp, src)
+        src = fcol(drop_tmp)
     parsed = F.coalesce(*[_parse_one(src, f, tz) for f in formats])
     df = ctx.fail(df, active & parsed.isNull(), spec,
                   f"unable to parse date [{f_name}]")
@@ -187,4 +210,5 @@ def p_date_index_name(df, spec, ctx):
     index_expr = F.concat(
         F.lit("<"), prefix_col, F.lit("{"), formatted,
         F.lit("||/" + rounding + "{" + fmt + "|" + tz + "}}>"))
-    return guarded(df, active & parsed.isNotNull(), {"_index": index_expr})
+    out = guarded(df, active & parsed.isNotNull(), {"_index": index_expr})
+    return out.drop(drop_tmp) if drop_tmp else out

@@ -409,17 +409,35 @@ FROM documents
 
 
 def q_pipe_date(spark, sf_dir):
+    """date processor: numeric-format leg + a LOCALE leg (r5) — the
+    French month-name string is built from ts, then parsed back through
+    the `locale: fr-FR` CLDR normalization path (operators/
+    date_locales.py); the oracle computes the identity from ts, so the
+    whole localized parse is value-hash-gated."""
+    from .operators.date_locales import _BANK
     ev = load(spark, sf_dir, "events")
-    df = ev.withColumn("date_str",
-                       F.date_format("ts", "dd/MM/yyyy HH:mm:ss"))
+    fr_month = F.element_at(
+        F.array(*[F.lit(m) for m in _BANK["fr"]["months"]]), F.month("ts"))
+    df = (ev
+          .withColumn("date_str",
+                      F.date_format("ts", "dd/MM/yyyy HH:mm:ss"))
+          .withColumn("date_fr", F.format_string(
+              "%02d %s %04d %02d:%02d:%02d",
+              F.dayofmonth("ts"), fr_month, F.year("ts"),
+              F.hour("ts"), F.minute("ts"), F.second("ts"))))
     out = _pipe(spark, df, [
         {"date": {"field": "date_str", "formats": ["dd/MM/yyyy HH:mm:ss"],
-                  "timezone": "UTC", "target_field": "ts_iso"}}])
-    return out.select("event_id", "ts_iso")
+                  "timezone": "UTC", "target_field": "ts_iso"}},
+        {"date": {"field": "date_fr", "formats": ["dd MMMM yyyy HH:mm:ss"],
+                  "timezone": "UTC", "locale": "fr-FR",
+                  "target_field": "ts_fr_iso"}}])
+    return out.select("event_id", "ts_iso", "ts_fr_iso")
 
 
 O_DATE = """
-SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.000') || 'Z' AS ts_iso
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.000') || 'Z' AS ts_iso,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.000') || 'Z' AS ts_fr_iso
 FROM events
 """
 
