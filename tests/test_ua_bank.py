@@ -98,6 +98,60 @@ LONG_TAIL = {
                  "(KHTML, like Gecko) HeadlessChrome/118.0.5993.70 "
                  "Safari/537.36",
                  ("HeadlessChrome", "118.0.5993", "Linux", "Spider")),
+    # --- mainstream head (r5: the ≥25-UA default-config golden matrix) ----
+    "win_chrome": ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/"
+                   "537.36 (KHTML, like Gecko) Chrome/120.0.0.0 "
+                   "Safari/537.36",
+                   ("Chrome", "120.0.0", "Windows", "Other")),
+    "ubuntu_firefox": ("Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:109.0) "
+                       "Gecko/20100101 Firefox/115.0",
+                       ("Firefox", "115.0", "Ubuntu", "Other")),
+    "mac_safari": ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+                   "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.5 "
+                   "Safari/605.1.15",
+                   ("Safari", "16.5", "Mac OS X", "Mac")),
+    "win_edge": ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/"
+                 "537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+                 " Edg/120.0.2210.91",
+                 ("Edge", "120.0.2210", "Windows", "Other")),
+    "iphone_safari": ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS "
+                      "X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/"
+                      "16.6 Mobile/15E148 Safari/604.1",
+                      ("Mobile Safari", "16.6", "iOS", "iPhone")),
+    "ipad_safari": ("Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) "
+                    "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 "
+                    "Mobile/15E148 Safari/604.1",
+                    ("Mobile Safari", "16.6", "iOS", "iPad")),
+    "samsung_android": ("Mozilla/5.0 (Linux; Android 13; SM-S918B) "
+                        "AppleWebKit/537.36 (KHTML, like Gecko) "
+                        "SamsungBrowser/21.0 Chrome/110.0.5481.154 Mobile "
+                        "Safari/537.36",
+                        ("Samsung Internet", "21.0", "Android",
+                         "Samsung SM-S918B")),
+    "ie11": ("Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) "
+             "like Gecko",
+             ("IE", "11.0", "Windows", "Other")),
+    "opera_win": ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/"
+                  "537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/"
+                  "537.36 OPR/105.0.0.0",
+                  ("Opera", "105.0.0", "Windows", "Other")),
+    "fb_ios": ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) "
+               "AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 "
+               "[FBAN/FBIOS;FBAV/440.0.0.34.107;FBBV/537411454]",
+               ("Facebook", "440.0", "iOS", "iPhone")),
+    "yandex": ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/"
+               "537.36 (KHTML, like Gecko) Chrome/116.0.0.0 YaBrowser/"
+               "23.9.0.0 Safari/537.36",
+               ("Yandex Browser", "23.9.0", "Windows", "Other")),
+    "curl": ("curl/8.4.0", ("curl", "8.4.0", "Other", "Other")),
+    "firefox_android": ("Mozilla/5.0 (Android 13; Mobile; rv:119.0) Gecko/"
+                        "119.0 Firefox/119.0",
+                        ("Firefox Mobile", "119.0", "Android",
+                         "Generic Smartphone")),
+    "chrome_ios": ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) "
+                   "AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/119.0."
+                   "6045.169 Mobile/15E148 Safari/604.1",
+                   ("Chrome Mobile iOS", "119.0.6045", "iOS", "iPhone")),
 }
 
 
