@@ -64,6 +64,7 @@ _TOKEN_REWRITES = [
     (re.compile(r"\bnew\s+(?:HashSet|LinkedHashSet)\s*\("), "_jset_new("),
     (re.compile(r"\bnew\s+TreeSet\s*\("), "_jtreeset_new("),
     (re.compile(r"\bnew\s+StringBuilder\s*\("), "_jsb("),
+    (re.compile(r"\bnew\s+StringJoiner\s*\("), "_jsj("),
     (re.compile(r"\bnew\s+String\s*\("), "_jstrnew("),
     # `throw new SomeException(msg)` -> raise of a catchable _JThrown
     # carrying the Java type name (typed catch blocks filter on it)
@@ -664,10 +665,12 @@ class JStr(str):
     def endsWith(self, s):         # noqa: N802
         return self.endswith(s)
 
-    def toLowerCase(self):         # noqa: N802
+    def toLowerCase(self, locale=None):  # noqa: N802
+        # Locale arg (Locale.ROOT/ENGLISH) accepted: Python's str.lower
+        # is already locale-independent full-Unicode, i.e. ROOT behavior
         return JStr(self.lower())
 
-    def toUpperCase(self):         # noqa: N802
+    def toUpperCase(self, locale=None):  # noqa: N802
         return JStr(self.upper())
 
     def trim(self):
@@ -841,7 +844,72 @@ class JList(list):
         return all(x in self for x in xs)
 
     def iterator(self):
-        return iter(self)
+        return JIterator(self)
+
+    # Deque/Queue/Stack views (`new ArrayDeque()`/`new Stack()` lower to
+    # JList): ArrayDeque semantics — push/pop/peek/poll work the HEAD,
+    # offer/addLast the tail (LIFO via push/pop matches java.util.Stack
+    # behavior too, which painless scripts use interchangeably)
+    def push(self, x):
+        self.insert(0, x)
+
+    def pop(self, *a):
+        # no-arg = Java Deque.pop (remove head); with an index it is the
+        # transpiler-internal Python list.pop
+        if a:
+            return list.pop(self, *a)
+        if not self:
+            raise _jexc_new("NoSuchElementException")
+        return list.pop(self, 0)
+
+    def peek(self):
+        return self[0] if self else None
+    peekFirst = peek               # noqa: N815
+
+    def peekLast(self):            # noqa: N802
+        return self[-1] if self else None
+
+    def poll(self):
+        return list.pop(self, 0) if self else None
+    pollFirst = poll               # noqa: N815
+
+    def pollLast(self):            # noqa: N802
+        return list.pop(self) if self else None
+
+    def offer(self, x):
+        self.append(x)
+        return True
+    offerLast = offer              # noqa: N815
+
+    def offerFirst(self, x):       # noqa: N802
+        self.insert(0, x)
+        return True
+
+    def addFirst(self, x):         # noqa: N802
+        self.insert(0, x)
+
+    def addLast(self, x):          # noqa: N802
+        self.append(x)
+
+    def removeFirst(self):         # noqa: N802
+        if not self:
+            raise _jexc_new("NoSuchElementException")
+        return list.pop(self, 0)
+
+    def removeLast(self):          # noqa: N802
+        if not self:
+            raise _jexc_new("NoSuchElementException")
+        return list.pop(self)
+
+    def getFirst(self):            # noqa: N802
+        if not self:
+            raise _jexc_new("NoSuchElementException")
+        return self[0]
+
+    def getLast(self):             # noqa: N802
+        if not self:
+            raise _jexc_new("NoSuchElementException")
+        return self[-1]
 
     def toString(self):            # noqa: N802
         # AbstractCollection.toString rendering: [a, b, null]
@@ -934,6 +1002,9 @@ class JSet:
 
     def toArray(self):             # noqa: N802
         return JList(self._iterkeys())
+
+    def iterator(self):
+        return JIterator(self._iterkeys())
 
     def __iter__(self):
         return iter(self._iterkeys())
@@ -1381,6 +1452,18 @@ class JTreeMap(JMap):
 
     def entrySet(self):            # noqa: N802
         return JList(_JEntry(self, k) for k in self.keys())
+
+    def firstKey(self):            # noqa: N802
+        ks = self.keys()
+        if not ks:
+            raise _jexc_new("NoSuchElementException")
+        return ks[0]
+
+    def lastKey(self):             # noqa: N802
+        ks = self.keys()
+        if not ks:
+            raise _jexc_new("NoSuchElementException")
+        return ks[-1]
 
 
 class _JavaException(Exception):
@@ -2231,6 +2314,174 @@ class JStringBuilder:
     __str__ = toString
 
 
+class JStringJoiner:
+    """`new StringJoiner(sep[, prefix, suffix])`."""
+
+    def __init__(self, sep, prefix="", suffix=""):
+        self._sep, self._pre, self._suf = str(sep), str(prefix), str(suffix)
+        self._parts: list[str] = []
+        self._empty = None
+
+    def add(self, v):
+        self._parts.append("null" if v is None else str(v))
+        return self
+
+    def setEmptyValue(self, v):    # noqa: N802
+        self._empty = str(v)
+        return self
+
+    def length(self):
+        return len(self.toString())
+
+    def toString(self):            # noqa: N802
+        if not self._parts and self._empty is not None:
+            return JStr(self._empty)
+        return JStr(self._pre + self._sep.join(self._parts) + self._suf)
+
+    __str__ = toString
+
+
+class JIterator:
+    """java.util.Iterator: hasNext/next over any Python iterable."""
+
+    __slots__ = ("_it", "_buf", "_has")
+
+    def __init__(self, iterable):
+        self._it = iter(iterable)
+        self._buf = None
+        self._has = None
+
+    def hasNext(self):             # noqa: N802
+        if self._has is None:
+            try:
+                self._buf = next(self._it)
+                self._has = True
+            except StopIteration:
+                self._has = False
+        return self._has
+
+    def next(self):
+        if not self.hasNext():
+            raise _jexc_new("NoSuchElementException")
+        v, self._buf, self._has = self._buf, None, None
+        return v
+
+    def __iter__(self):            # for-each over an Iterator local
+        while self.hasNext():
+            yield self.next()
+
+
+class JFunc:
+    """Wrapper for transpiled painless lambdas / method refs: Java
+    functional-interface method names (f.apply(x), p.test(x), s.get(),
+    c.accept(x), cmp.compare(a,b)...) dispatch to the underlying
+    callable, while plain calls (stream pipelines, sort comparators)
+    pass straight through __call__."""
+
+    __slots__ = ("_f",)
+
+    def __init__(self, f):
+        self._f = f._f if isinstance(f, JFunc) else f
+
+    def __call__(self, *a):
+        return self._f(*a)
+
+    # Function/BiFunction/UnaryOperator + IntFunction/ToIntFunction...
+    def apply(self, *a):
+        return self._f(*a)
+    applyAsInt = applyAsLong = applyAsDouble = apply  # noqa: N815
+    # Predicate/BiPredicate
+    def test(self, *a):
+        return bool(self._f(*a))
+    # Supplier
+    def get(self):
+        return self._f()
+    # Consumer/BiConsumer
+    def accept(self, *a):
+        self._f(*a)
+    # Comparator
+    def compare(self, a, b):
+        return self._f(a, b)
+
+    def andThen(self, g):          # noqa: N802
+        return JFunc(lambda *a: (g._f if isinstance(g, JFunc) else g)(
+            self._f(*a)))
+
+    def compose(self, g):
+        return JFunc(lambda *a: self._f(
+            (g._f if isinstance(g, JFunc) else g)(*a)))
+
+    def negate(self):
+        return JFunc(lambda *a: not self._f(*a))
+
+    def reversed(self):            # Comparator.reversed()
+        return JFunc(lambda a, b: self._f(b, a))
+
+    def thenComparing(self, other):  # noqa: N802
+        o = other._f if isinstance(other, JFunc) else other
+        try:
+            two_arg = o.__code__.co_argcount >= 2
+        except AttributeError:
+            two_arg = True
+
+        def cmp(a, b):
+            r = self._f(a, b)
+            if r != 0:
+                return r
+            if two_arg:
+                return o(a, b)
+            ka, kb = o(a), o(b)
+            return -1 if ka < kb else (1 if ka > kb else 0)
+        return JFunc(cmp)
+
+
+def _jfn(f):
+    return f if isinstance(f, JFunc) else JFunc(f)
+
+
+class _JavaComparator:
+    """Comparator statics: comparing/comparingInt/naturalOrder/..."""
+
+    @staticmethod
+    def comparing(key):
+        k = key._f if isinstance(key, JFunc) else key
+
+        def cmp(a, b):
+            ka, kb = k(a), k(b)
+            return -1 if ka < kb else (1 if ka > kb else 0)
+        return JFunc(cmp)
+
+    comparingInt = comparingLong = comparingDouble = comparing
+
+    @staticmethod
+    def naturalOrder():            # noqa: N802
+        return JFunc(lambda a, b: -1 if a < b else (1 if a > b else 0))
+
+    @staticmethod
+    def reverseOrder():            # noqa: N802
+        return JFunc(lambda a, b: -1 if b < a else (1 if b > a else 0))
+
+
+class _JavaFunctionStatics:
+    """Function/UnaryOperator statics (identity)."""
+
+    @staticmethod
+    def identity():
+        return JFunc(lambda x: x)
+
+
+class _JavaLocale:
+    """java.util.Locale constants (toLowerCase(Locale.ROOT) etc.)."""
+    ROOT = "ROOT"
+    ENGLISH = "ENGLISH"
+    US = "US"
+    UK = "UK"
+
+    @staticmethod
+    def forLanguageTag(tag):       # noqa: N802
+        return str(tag)
+
+
 class _JavaDouble:
     MAX_VALUE = 1.7976931348623157e308
     MIN_VALUE = 4.9e-324
@@ -2374,6 +2625,56 @@ class _Processors:
                 setattr(s, key, parsed)
             return None
         return _wrap(_json.loads(str(s)))
+
+    # community-id v1 bidirectional ICMP type pairs (same tables as the
+    # community_id processor, operators/net.py:866)
+    _ICMP_EQ = {8: 0, 0: 8, 13: 14, 14: 13, 15: 16, 16: 15,
+                17: 18, 18: 17, 10: 9, 9: 10}
+    _ICMP6_EQ = {128: 129, 129: 128, 133: 134, 134: 133,
+                 135: 136, 136: 135}
+    _PROTO = {"icmp": 1, "igmp": 2, "tcp": 6, "udp": 17, "gre": 47,
+              "icmpv6": 58, "sctp": 132}
+
+    @staticmethod
+    def communityId(source_ip, dest_ip, iana_number, transport,  # noqa: N802
+                    source_port, dest_port, icmp_type, icmp_code, seed=0):
+        """ES Processors.communityId (9-arg; 8-arg form binds seed=0):
+        Community ID v1 flow hash, same layout as the community_id
+        processor (seed 2B BE + ips + proto + pad + ports, SHA-1,
+        base64, '1:' prefix)."""
+        import base64
+        import hashlib
+        import ipaddress
+        sip = ipaddress.ip_address(str(source_ip))
+        dip = ipaddress.ip_address(str(dest_ip))
+        if iana_number is not None:
+            proto = int(iana_number)
+        else:
+            name = str(transport).lower()
+            if name not in _Processors._PROTO:
+                raise ValueError(f"could not resolve transport [{transport}]")
+            proto = _Processors._PROTO[name]
+        one_way = False
+        if proto in (1, 58):
+            tbl = _Processors._ICMP_EQ if proto == 1 \
+                else _Processors._ICMP6_EQ
+            t = int(icmp_type)
+            eq = tbl.get(t)
+            sp, dp = t, (eq if eq is not None else int(icmp_code))
+            one_way = eq is None
+        else:
+            if source_port is None or dest_port is None:
+                raise ValueError(
+                    "could not compute community id: missing ports")
+            sp, dp = int(source_port) & 0xFFFF, int(dest_port) & 0xFFFF
+        sb, db = sip.packed, dip.packed
+        if not one_way and (sb > db or (sb == db and sp > dp)):
+            sb, db, sp, dp = db, sb, dp, sp
+        buf = (int(seed).to_bytes(2, "big") + sb + db
+               + bytes([proto & 0xFF, 0])
+               + sp.to_bytes(2, "big") + dp.to_bytes(2, "big"))
+        return JStr("1:" + base64.b64encode(
+            hashlib.sha1(buf).digest()).decode())
 
     @staticmethod
     def uriParts(s):               # noqa: N802
@@ -3168,6 +3469,9 @@ _GLOBALS = {
     "_jdiv": _jdiv, "_jmod": _jmod,
     "Character": _JavaCharacter, "Arrays": _JavaArrays,
     "Base64": _JavaBase64, "_jsb": JStringBuilder,
+    "_jsj": JStringJoiner, "_jfn": _jfn,
+    "Comparator": _JavaComparator, "Locale": _JavaLocale,
+    "Function": _JavaFunctionStatics, "UnaryOperator": _JavaFunctionStatics,
     "_jstrnew": _jstrnew_full,
     "_jlist_new": _jlist_new, "_jmap_new": _jmap_new,
     "_jtreemap_new": _jtreemap_new, "_jset_new": _jset_new,
@@ -3302,6 +3606,18 @@ class _JavaMethods(ast.NodeTransformer):
         return node
 
 
+class _JLambdas(ast.NodeTransformer):
+    """Wrap every lambda literal in _jfn(...) so Java functional-interface
+    method names work on stored lambdas (`Function f = x -> ...;
+    f.apply(5)`, maps of lambdas).  JFunc stays plain-callable, so every
+    existing consumer (streams, sort comparators) is unaffected."""
+
+    def visit_Lambda(self, node):  # noqa: N802
+        self.generic_visit(node)
+        return ast.Call(func=ast.Name(id="_jfn", ctx=ast.Load()),
+                        args=[node], keywords=[])
+
+
 class CompiledScript:
     """Transpiled + validated + compiled Painless statements, executable
     per row.  Pickles by source (code objects recompile per worker)."""
@@ -3327,6 +3643,7 @@ class CompiledScript:
         tree = _JavaMethods().visit(tree)
         tree = _JStrLiterals().visit(tree)
         tree = _JavaArith().visit(tree)
+        tree = _JLambdas().visit(tree)
         ast.fix_missing_locations(tree)
         self._rx_env = {
             f"_rx{kind}{i}": (_RxMatch(pat) if kind == "m"

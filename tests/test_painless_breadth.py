@@ -311,3 +311,112 @@ def test_treeset_iterates_sorted():
     out = run("Set s = new TreeSet(); s.add(3); s.add(1); s.add(2); "
               "ctx.a = new ArrayList(s);")
     assert out == {"a": [1, 2, 3]}
+
+
+# ------------------------------------------- r5 functional/util breadth --
+
+def test_lambda_stored_in_map_and_var_dispatches_java_names():
+    # Function.apply on a stored lambda (maps of lambdas, typed locals)
+    out = run("def m = ['a': x -> x + 1, 'b': x -> x * 2]; "
+              "Function f = x -> x * 3; "
+              "ctx.r = m.a.apply(4); ctx.s = m.b.apply(4); "
+              "ctx.t = f.apply(5);")
+    assert out == {"r": 5, "s": 8, "t": 15}
+
+
+def test_functional_interfaces_full_set():
+    out = run("BiFunction add = (a,b) -> a + b; "
+              "Predicate big = s -> s.length() > 2; "
+              "Supplier ans = () -> 42; "
+              "def acc = []; Consumer c = x -> acc.add(x); c.accept(7); "
+              "ctx.a = add.apply(2,3); ctx.b = big.test('abcd'); "
+              "ctx.c = ans.get(); ctx.d = acc; "
+              "ctx.e = Function.identity().apply(9);")
+    assert out == {"a": 5, "b": True, "c": 42, "d": [7], "e": 9}
+
+
+def test_function_compose_andthen_negate():
+    out = run("Function f = x -> x + 1; Function g = x -> x * 10; "
+              "Predicate p = s -> s.isEmpty(); "
+              "ctx.a = f.andThen(g).apply(2); "
+              "ctx.b = f.compose(g).apply(2); "
+              "ctx.c = p.negate().test('x');")
+    assert out == {"a": 30, "b": 21, "c": True}
+
+
+def test_comparator_statics_and_chaining():
+    out = run("def l = [['n': 2, 'm': 1], ['n': 1, 'm': 9]]; "
+              "l.sort(Comparator.comparing(m -> m.n)); ctx.a = l[0].m; "
+              "def k = [1, 3, 2]; "
+              "k.sort(Comparator.naturalOrder().reversed()); ctx.b = k;")
+    assert out == {"a": 9, "b": [3, 2, 1]}
+
+
+def test_string_joiner():
+    out = run("StringJoiner j = new StringJoiner(','); "
+              "j.add('a'); j.add('b'); ctx.a = j.toString(); "
+              "StringJoiner k = new StringJoiner(', ', '[', ']'); "
+              "k.add('x'); k.add('y'); ctx.b = k.toString(); "
+              "StringJoiner e = new StringJoiner('-'); "
+              "e.setEmptyValue('EMPTY'); ctx.c = e.toString();")
+    assert out == {"a": "a,b", "b": "[x, y]", "c": "EMPTY"}
+
+
+def test_explicit_iterator():
+    out = run("Iterator it = ctx.l.iterator(); int s = 0; "
+              "while (it.hasNext()) { s += it.next(); } ctx.s = s;",
+              {"l": [1, 2, 3]})
+    assert out == {"s": 6}
+
+
+def test_arraydeque_stack_and_queue():
+    out = run("ArrayDeque d = new ArrayDeque(); d.push(1); d.push(2); "
+              "ctx.a = d.pop(); "                  # LIFO head
+              "ArrayDeque q = new ArrayDeque(); q.offer(1); q.offer(2); "
+              "ctx.b = q.poll(); ctx.c = q.peek();")  # FIFO
+    assert out == {"a": 2, "b": 1, "c": 2}
+
+
+def test_treemap_first_last_key():
+    out = run("TreeMap t = new TreeMap(); t.put('b', 2); t.put('a', 1); "
+              "t.put('c', 3); ctx.a = t.firstKey(); ctx.b = t.lastKey();")
+    assert out == {"a": "a", "b": "c"}
+
+
+def test_locale_arg_on_case_methods():
+    out = run("ctx.a = ctx.s.toLowerCase(Locale.ROOT); "
+              "ctx.b = ctx.s.toLowerCase();", {"s": "ABC"})
+    assert out == {"a": "abc", "b": "abc"}
+
+
+def test_processors_community_id():
+    # the published community-id v1 test vector (128.232.110.120:34855 ->
+    # 66.35.250.204:80 tcp seed 0) — also pins parity with the
+    # community_id processor's Column path (operators/net.py:883)
+    out = run("ctx.cid = Processors.communityId(ctx.sip, ctx.dip, null, "
+              "'tcp', ctx.sp, ctx.dp, null, null, 0);",
+              {"sip": "128.232.110.120", "dip": "66.35.250.204",
+               "sp": 34855, "dp": 80})
+    assert out["cid"] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    # 8-arg overload binds seed=0; flipped endpoints hash identically
+    out2 = run("ctx.cid = Processors.communityId(ctx.sip, ctx.dip, 6, "
+               "null, ctx.sp, ctx.dp, null, null);",
+               {"sip": "66.35.250.204", "dip": "128.232.110.120",
+                "sp": 80, "dp": 34855})
+    assert out2["cid"] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+
+
+def test_processors_community_id_icmp_one_way():
+    # ICMP type 8 (echo) pairs with 0 -> bidirectional ordering; an
+    # unpaired type (e.g. 3 dest-unreachable) is one-way: never flipped
+    a = run("ctx.cid = Processors.communityId(ctx.s, ctx.d, null, "
+            "'icmp', null, null, 8, 0, 0);",
+            {"s": "10.0.0.1", "d": "10.0.0.2"})
+    b = run("ctx.cid = Processors.communityId(ctx.s, ctx.d, null, "
+            "'icmp', null, null, 0, 8, 0);",
+            {"s": "10.0.0.2", "d": "10.0.0.1"})
+    assert a["cid"] == b["cid"]
+    c = run("ctx.cid = Processors.communityId(ctx.s, ctx.d, null, "
+            "'icmp', null, null, 3, 1, 0);",
+            {"s": "10.0.0.2", "d": "10.0.0.1"})
+    assert c["cid"] != a["cid"]
