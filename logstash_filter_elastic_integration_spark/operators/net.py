@@ -379,7 +379,28 @@ def p_user_agent(df, spec, ctx):
         chains["__uad"] = d_chain
         dcol = "__uad"
     if chains:
-        df = df.withColumns(chains)
+        if cfg.get("dedup_parse", True):
+            # DISTINCT-PARSE: run the ~350-regex bank once per DISTINCT
+            # UA value, not once per row, then equi-join the parsed dim
+            # back.  This is the Spark-first shape of the reference's
+            # UserAgentCache (ES UserAgentProcessor memoizes parses
+            # keyed by the UA string) and the plan you want at 100 TB:
+            # web-log UA cardinality is ~1e4-1e6 against 1e10+ rows, the
+            # distinct is a partial+final hash agg (map-side dedup ships
+            # only per-partition-distinct strings), and AQE converts the
+            # join to broadcast once the dim materializes small — so the
+            # fact table is never shuffled.  `dedup_parse: false` forces
+            # the per-row chain (adversarial near-unique-UA inputs).
+            dim = (df.where(F.col(gate_col)).select("__ua_src")
+                   .where(F.col("__ua_src").isNotNull())
+                   .distinct()
+                   # every dim row came from a gated row: the chain's
+                   # per-segment short-circuit gate is constant-true here
+                   .withColumn(gate_col, F.lit(True))
+                   .withColumns(chains).drop(gate_col))
+            df = df.join(dim, on="__ua_src", how="left")
+        else:
+            df = df.withColumns(chains)
     temps = [gate_col, "__ua_src"] + list(chains)
 
     def _final(colname, field, default):

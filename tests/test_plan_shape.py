@@ -225,13 +225,33 @@ def test_user_agent_chain_outside_wholestage_codegen(spark):
     fused processNext() (one 47KB method -> janino failure / silent
     interpreted eval).  The chain Project runs standalone: its plan line
     has no whole-stage `*(n)` marker."""
-    out = _ua_pipeline(spark, _UA_ROWS, {"field": "ua"})
+    # dedup_parse=False pins the raw per-row chain shape (the DEFAULT
+    # distinct-parse path runs the IDENTICAL chain expressions on the
+    # distinct dim — see test_user_agent_default_dedup_parse below)
+    out = _ua_pipeline(spark, _UA_ROWS, {"field": "ua",
+                                         "dedup_parse": False})
     plan = _executed_plan(out)
     chain_lines = [ln for ln in plan.splitlines() if "coalesce(CASE WHEN" in ln]
     assert chain_lines, "UA chain Project missing from plan"
     for ln in chain_lines:
         assert not ln.lstrip("+- ").startswith("*("), (
             "UA chain fused into WholeStageCodegen:\n" + ln[:200])
+
+
+def test_user_agent_default_dedup_parse_broadcasts(spark):
+    """DEFAULT path: the bank runs once per DISTINCT UA (ES
+    UserAgentCache parity), joined back via an AQE-decided broadcast —
+    the fact side is never exchange-shuffled."""
+    out = _ua_pipeline(spark, _UA_ROWS * 50, {"field": "ua"})
+    rows = out.collect()                      # finalize the AQE plan
+    final = _executed_plan(out).split("== Initial Plan ==")[0]
+    assert "HashAggregate" in final           # the distinct dim
+    assert "BroadcastHashJoin" in final
+    # AQE replans the initial SMJ to broadcast; the fact side's planned
+    # exchange degrades to a LOCAL shuffle read (no network movement)
+    assert "SortMergeJoin" not in final
+    by_ua = {r["ua"]: r for r in rows}
+    assert by_ua[_UA_ROWS[0][0]]["user_agent.name"] == "Chrome"
 
 
 def test_user_agent_codegen_compiles_default_bank(spark):
