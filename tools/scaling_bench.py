@@ -168,6 +168,15 @@ def main():
     cpu_eff = (cpu32 / cpu8) / 4
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # the report carries round-history sections (bench-name mapping, soak
+    # tables, A/B protocol) BELOW the regenerated scaling block — preserve
+    # everything from the first "## " heading onward across rewrites
+    history = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        k = prev.find("\n## ")
+        if k >= 0:
+            history = prev[k + 1:]
     rows_md = "\n".join(
         f"| local[{c}] | {walls[c]} | {tputs[c]:,.0f} | {res[c]['steal_s']} "
         f"| {adj[c]} | {tputs_adj[c]:,.0f} |" for c in levels)
@@ -235,16 +244,24 @@ Other measurement notes:
   sink I/O scales with executors; here one disk is shared).  The parquet
   end-to-end run is in `BENCH_r*.json` (`python bench.py`).
 """)
-    print(json.dumps({"rows": rows, "passes": passes,
-                      "levels": {str(c): res[c] for c in levels},
-                      "cpu_probe_eff_8_32": round(cpu_eff, 3),
-                      "eff_pairs": {f"{lo}->{hi}": round(eff(tputs, lo, hi), 3)
-                                    for lo, hi in zip(levels, levels[1:])},
-                      "eff_pairs_steal_adj": {
-                          f"{lo}->{hi}": round(eff(tputs_adj, lo, hi), 3)
-                          for lo, hi in zip(levels, levels[1:])},
-                      "membw_gbs": {k: round(v, 1) for k, v in bw.items()},
-                      "report": path}))
+        if history:
+            f.write("\n" + history)
+    tag = os.environ.get("SCALE_TAG")
+    payload = {"rows": rows, "passes": passes,
+               "levels": {str(c): res[c] for c in levels},
+               "cpu_probe_eff_8_32": round(cpu_eff, 3),
+               "eff_pairs": {f"{lo}->{hi}": round(eff(tputs, lo, hi), 3)
+                             for lo, hi in zip(levels, levels[1:])},
+               "eff_pairs_steal_adj": {
+                   f"{lo}->{hi}": round(eff(tputs_adj, lo, hi), 3)
+                   for lo, hi in zip(levels, levels[1:])},
+               "membw_gbs": {k: round(v, 1) for k, v in bw.items()},
+               "report": path}
+    if tag:
+        with open(os.path.join(REPO, "BENCH",
+                               f"scaling_{tag}.json"), "w") as jf:
+            json.dump(payload, jf)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
