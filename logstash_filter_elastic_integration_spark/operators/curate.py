@@ -22,16 +22,24 @@ def _hash_bucket(key) -> "F.Column":
     return _md5_long(key.cast("string")) % _BUCKETS
 
 
+def sample_keep(key, rate: float, salt: str = "") -> "F.Column":
+    """Boolean keep-decision of :func:`stable_sample` as a pure Column
+    (exposed so pipelines can mark instead of filter; driver-gated via
+    the doc_quality query)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    k = F.concat(key.cast("string"), F.lit(salt))
+    return _hash_bucket(k) < int(rate * _BUCKETS)
+
+
 def stable_sample(df: DataFrame, key: str, rate: float,
                   salt: str = "") -> DataFrame:
     """Keep a deterministic ``rate`` fraction of rows by hashing ``key``:
     the kept set is a pure function of (key, salt) — identical on rerun,
     resume, and at any parallelism.  ``salt`` decorrelates independent
     samples drawn from the same corpus."""
-    if not 0.0 <= rate <= 1.0:
-        raise ValueError(f"rate must be in [0, 1], got {rate}")
-    k = F.concat(F.col(key).cast("string"), F.lit(salt))
-    return df.filter(_hash_bucket(k) < int(rate * _BUCKETS))
+    keep = sample_keep(F.col(key), rate, salt)   # validates rate first
+    return df.filter(keep)
 
 
 def stratified_mix(df: DataFrame, stratum_col: str,
@@ -43,13 +51,20 @@ def stratified_mix(df: DataFrame, stratum_col: str,
     deterministically with dedup and sharding.  This is the 'data mixing'
     step of a pretraining pipeline expressed as one shuffle-free
     filter."""
+    keep = mix_keep(F.col(stratum_col), target_rates, F.col(key), salt)
+    return df.filter(keep)
+
+
+def mix_keep(stratum, target_rates: dict[str, float], key,
+             salt: str = "") -> "F.Column":
+    """Boolean keep-decision of :func:`stratified_mix` as a pure Column."""
     for s, r in target_rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
-    k = F.concat(F.col(key).cast("string"), F.lit(salt))
+    k = F.concat(key.cast("string"), F.lit(salt))
     bucket = _hash_bucket(k)
     thresh = F.lit(_BUCKETS)
     for s, r in target_rates.items():
-        thresh = F.when(F.col(stratum_col) == s,
+        thresh = F.when(stratum == s,
                         F.lit(int(r * _BUCKETS))).otherwise(thresh)
-    return df.filter(bucket < thresh)
+    return bucket < thresh

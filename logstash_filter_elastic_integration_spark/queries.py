@@ -1406,6 +1406,16 @@ def q_doc_quality(spark, sf_dir):
     top_bigram_pct = F.when(
         tokens > 1, F.floor(run * 100 / (tokens - 1))).otherwise(0) \
         .cast("long")
+    # stable-hash curation decisions (operators/curate.py), emitted as
+    # marks so the driver value-hash gates the exact kept set: an 80%
+    # deterministic sample + a stratified mix (downweight src1, drop
+    # src2, keep src3) — rerun/resume/partitioning-invariant by
+    # construction (pure function of doc_id)
+    from .operators.curate import mix_keep, sample_keep
+    samp = sample_keep(F.col("doc_id"), 0.8, salt="s1")
+    mixk = mix_keep(F.col("source"),
+                    {"src1": 0.5, "src2": 0.0, "src3": 1.0},
+                    F.col("doc_id"), salt="mix")
     return doc.select(
         "doc_id", tokens.cast("long").alias("tokens"),
         mean_wlen_x100.alias("mean_wlen_x100"),
@@ -1414,12 +1424,14 @@ def q_doc_quality(spark, sf_dir):
         stop_pct.alias("stop_pct"),
         score.cast("long").alias("quality_score"),
         dup_word_pct.alias("dup_word_pct"),
-        top_bigram_pct.alias("top_bigram_pct"))
+        top_bigram_pct.alias("top_bigram_pct"),
+        samp.alias("sample_keep"),
+        mixk.alias("mix_keep"))
 
 
 O_DOC_QUALITY = r"""
 WITH q AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text, source,
          len(str_split(text, ' ')) AS tokens,
          length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
            AS punct,
@@ -1441,7 +1453,11 @@ SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
             AS BIGINT) AS quality_score,
        CAST(floor((tokens - len(list_distinct(str_split(text, ' '))))
                   * 100 / tokens) AS BIGINT) AS dup_word_pct,
-       CAST(coalesce(m.pct, 0) AS BIGINT) AS top_bigram_pct
+       CAST(coalesce(m.pct, 0) AS BIGINT) AS top_bigram_pct,
+       ({SAMPLE_BUCKET} < 8000) AS sample_keep,
+       ({MIX_BUCKET} < CASE q.source WHEN 'src1' THEN 5000
+                                     WHEN 'src2' THEN 0
+                                     ELSE 10000 END) AS mix_keep
 FROM q
 LEFT JOIN (
   -- most-frequent-bigram share: relational shape (unnest-group-max); the
@@ -1459,6 +1475,14 @@ LEFT JOIN (
   FROM c GROUP BY d, tk
 ) m ON m.d = q.doc_id
 """
+# stable-hash curation twins (operators/curate.py): bucket = md5-fold of
+# key||salt mod 10000, thresholds = int(rate * 10000)
+O_DOC_QUALITY = O_DOC_QUALITY.replace(
+    "{SAMPLE_BUCKET}",
+    _o_md5_long("CAST(q.doc_id AS VARCHAR) || 's1'") + " % 10000"
+).replace(
+    "{MIX_BUCKET}",
+    _o_md5_long("CAST(q.doc_id AS VARCHAR) || 'mix'") + " % 10000")
 
 
 def q_dedup_simhash(spark, sf_dir):
