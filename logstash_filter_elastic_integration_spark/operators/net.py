@@ -389,8 +389,13 @@ def p_user_agent(df, spec, ctx):
             # distinct is a partial+final hash agg (map-side dedup ships
             # only per-partition-distinct strings), and AQE converts the
             # join to broadcast once the dim materializes small — so the
-            # fact table is never shuffled.  `dedup_parse: false` forces
-            # the per-row chain (adversarial near-unique-UA inputs).
+            # fact table is never shuffled.  The dim branch re-executes
+            # the UPSTREAM plan column-pruned to the UA field (one extra
+            # derivation of that column per row, e.g. a second grok run
+            # when user_agent follows grok) — still ~2 regex executions
+            # against the ~350 the per-row chain pays.  `dedup_parse:
+            # false` forces the per-row chain (near-unique-UA inputs, or
+            # an upstream too expensive to re-derive).
             dim = (df.where(F.col(gate_col)).select("__ua_src")
                    .where(F.col("__ua_src").isNotNull())
                    .distinct()
