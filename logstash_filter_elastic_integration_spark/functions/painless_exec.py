@@ -633,14 +633,28 @@ def _jrender(v) -> str:
     return str(v)
 
 
+class JBytes(bytes):
+    """Java byte[]: `.length` field, signed elements (-128..127)."""
+
+    @property
+    def length(self):
+        return len(self)
+
+    def __getitem__(self, i):
+        v = bytes.__getitem__(self, i)
+        if isinstance(v, bytes):       # slice
+            return JBytes(v)
+        return v - 256 if v > 127 else v
+
+
 class JStr(str):
     """str with Painless/Java method names.  ``+`` follows Java string
     concatenation: any operand type coerces (s + 3 -> 's3', s + null ->
     'snull'), unlike Python's TypeError."""
 
     def getBytes(self, charset="UTF-8"):  # noqa: N802
-        return self.encode(str(charset).lower().replace("-", "_")
-                           .replace("utf_8", "utf-8"))
+        return JBytes(self.encode(str(charset).lower().replace("-", "_")
+                                  .replace("utf_8", "utf-8")))
 
     def __add__(self, o):
         return JStr(str.__add__(self, o if isinstance(o, str)
@@ -1525,13 +1539,23 @@ class _ElvisPartial:
         return self.left if self.left is not None else right
 
 
+_JAVA_NAMED_GROUP_RX = re.compile(r"\(\?<([A-Za-z][A-Za-z0-9]*)>")
+
+
+def _java_rx_compile(pat: str):
+    """Java regex -> Python re: named groups are `(?<name>...)` in Java,
+    `(?P<name>...)` in Python (the lookbehind forms `(?<=`/`(?<!` are
+    excluded by the leading-letter requirement)."""
+    return re.compile(_JAVA_NAMED_GROUP_RX.sub(r"(?P<\1>", pat))
+
+
 class _RxFind:
     """Reflected-== stand-in for `expr =~ /pat/` (Matcher.find): the left
     operand's __eq__ returns NotImplemented for this type, so Python
     dispatches to our __eq__ with the left value as `other`."""
 
     def __init__(self, pat: str):
-        self._rx = re.compile(pat)
+        self._rx = _java_rx_compile(pat)
 
     def __eq__(self, other):
         return other is not None and bool(self._rx.search(str(other)))
@@ -1573,7 +1597,8 @@ class _JMatcher:
     def group(self, i=0):
         if self._m is None:
             raise ValueError("No match available")
-        g = self._m.group(int(i))
+        # Java overloads group(int) and group(String name)
+        g = self._m.group(i if isinstance(i, str) else int(i))
         return None if g is None else JStr(g)
 
     def groupCount(self):          # noqa: N802
@@ -1596,7 +1621,7 @@ class _JPattern:
     """Compiled Pattern for a standalone regex literal (`_rxp<N>`)."""
 
     def __init__(self, pat: str):
-        self._rx = re.compile(pat)
+        self._rx = _java_rx_compile(pat)
 
     def matcher(self, s):
         return _JMatcher(self._rx, s)
@@ -2460,6 +2485,84 @@ class _JavaComparator:
     @staticmethod
     def reverseOrder():            # noqa: N802
         return JFunc(lambda a, b: -1 if b < a else (1 if b > a else 0))
+
+
+class _JavaMapStatics:
+    """java.util.Map statics (Java 9 factories + entry)."""
+
+    @staticmethod
+    def of(*kv):
+        if len(kv) % 2:
+            raise ValueError("Map.of requires an even argument count")
+        m = JMap()
+        for i in range(0, len(kv), 2):
+            m[kv[i]] = kv[i + 1]
+        return m
+
+    @staticmethod
+    def copyOf(m):                 # noqa: N802
+        return JMap(m)
+
+    @staticmethod
+    def entry(k, v):
+        m = JMap({k: v})
+        return _JEntry(m, k)
+
+
+class _JavaListStatics:
+    """java.util.List statics."""
+
+    @staticmethod
+    def of(*items):
+        return JList(items)
+
+    @staticmethod
+    def copyOf(xs):                # noqa: N802
+        return JList(xs)
+
+
+class _JavaSetStatics:
+    """java.util.Set statics."""
+
+    @staticmethod
+    def of(*items):
+        return JSet(items)
+
+    @staticmethod
+    def copyOf(xs):                # noqa: N802
+        return JSet(xs)
+
+
+class _JavaStreamStatics:
+    """java.util.stream.Stream statics."""
+
+    @staticmethod
+    def of(*items):
+        return _JStream(list(items))
+
+    @staticmethod
+    def concat(a, b):
+        return _JStream(list(a._items) + list(b._items))
+
+    @staticmethod
+    def empty():
+        return _JStream([])
+
+
+class _JavaIntStreamStatics:
+    """IntStream/LongStream statics (range/rangeClosed/of)."""
+
+    @staticmethod
+    def range(a, b):
+        return _JStream(list(range(int(a), int(b))))
+
+    @staticmethod
+    def rangeClosed(a, b):         # noqa: N802
+        return _JStream(list(range(int(a), int(b) + 1)))
+
+    @staticmethod
+    def of(*items):
+        return _JStream(list(items))
 
 
 class _JavaFunctionStatics:
@@ -3472,6 +3575,9 @@ _GLOBALS = {
     "_jsj": JStringJoiner, "_jfn": _jfn,
     "Comparator": _JavaComparator, "Locale": _JavaLocale,
     "Function": _JavaFunctionStatics, "UnaryOperator": _JavaFunctionStatics,
+    "Map": _JavaMapStatics, "List": _JavaListStatics,
+    "Set": _JavaSetStatics, "Stream": _JavaStreamStatics,
+    "IntStream": _JavaIntStreamStatics, "LongStream": _JavaIntStreamStatics,
     "_jstrnew": _jstrnew_full,
     "_jlist_new": _jlist_new, "_jmap_new": _jmap_new,
     "_jtreemap_new": _jtreemap_new, "_jset_new": _jset_new,

@@ -420,3 +420,35 @@ def test_processors_community_id_icmp_one_way():
             "'icmp', null, null, 3, 1, 0);",
             {"s": "10.0.0.2", "d": "10.0.0.1"})
     assert c["cid"] != a["cid"]
+
+
+def test_java9_collection_factories():
+    out = run("ctx.a = Map.of('a', 1, 'b', 2); ctx.b = List.of(1, 2, 3); "
+              "def s = Set.of(1, 2); ctx.c = s.contains(2); "
+              "def e = Map.entry('k', 5); "
+              "ctx.d = e.getKey() + ':' + e.getValue();")
+    assert out == {"a": {"a": 1, "b": 2}, "b": [1, 2, 3], "c": True,
+                   "d": "k:5"}
+
+
+def test_stream_and_intstream_statics():
+    out = run("ctx.a = Stream.of(1, 2, 3).map(x -> x + 1)"
+              ".collect(Collectors.toList()); "
+              "ctx.b = IntStream.range(0, 4).sum(); "
+              "ctx.c = IntStream.rangeClosed(1, 4).map(x -> x * x).sum();")
+    assert out == {"a": [2, 3, 4], "b": 6, "c": 30}
+
+
+def test_getbytes_length_and_signed_elements():
+    # Java byte[] exposes .length as a field and SIGNED elements
+    out = run("def b = ctx.s.getBytes('UTF-8'); "
+              "ctx.n = b.length; ctx.first = b[0];", {"s": "é"})
+    assert out == {"n": 2, "first": -61}
+
+
+def test_java_named_regex_groups():
+    # Java (?<name>...) syntax; lookbehind (?<=...) must stay untouched
+    out = run("def m = /(?<num>\\d+)/.matcher(ctx.s); "
+              "if (m.find()) { ctx.r = m.group('num'); } "
+              "ctx.lb = ctx.s =~ /(?<=b)1/;", {"s": "ab12"})
+    assert out == {"r": "12", "lb": True}
