@@ -568,9 +568,18 @@ def collect_ctx_paths(tree: ast.AST):
 
     def path_of(node):
         parts = []
-        while isinstance(node, ast.Attribute):
-            parts.append(node.attr)
-            node = node.value
+        while True:
+            if isinstance(node, ast.Attribute):
+                parts.append(node.attr)
+                node = node.value
+            elif (isinstance(node, ast.Subscript)
+                    and isinstance(node.slice, ast.Constant)
+                    and isinstance(node.slice.value, str)):
+                # bracket form ctx['_index'] / ctx['a']['b']
+                parts.append(node.slice.value)
+                node = node.value
+            else:
+                break
         if isinstance(node, ast.Name) and node.id == "ctx":
             return ".".join(reversed(parts))
         return None
@@ -616,6 +625,15 @@ def collect_ctx_paths(tree: ast.AST):
             p = path_of(target)
             if p:
                 if isinstance(target.ctx, ast.Store):
+                    writes.add(p)
+                else:
+                    reads.add(p)
+        elif (isinstance(node, ast.Subscript)
+                and isinstance(node.slice, ast.Constant)
+                and isinstance(node.slice.value, str)):
+            p = path_of(node)
+            if p:
+                if isinstance(node.ctx, ast.Store):
                     writes.add(p)
                 else:
                     reads.add(p)
@@ -1342,6 +1360,16 @@ class JMap(dict):
             self[name] = w
         return w
 
+    def __setattr__(self, name, value):
+        # dot-WRITE parity with the dot-read shorthand above: painless
+        # `m.key = v` (and `ctx.event.duration = x` through a nested
+        # map) is Map.put — without this the value landed as a Python
+        # instance attribute and the write was silently lost
+        if name.startswith("_"):
+            object.__setattr__(self, name, value)
+        else:
+            self[name] = value
+
     def put(self, k, v):
         prev = dict.get(self, k)
         self[k] = v
@@ -1666,7 +1694,23 @@ class _CtxNode:
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)
-        k = self._key(name)
+        return self._lookup(self._key(name))
+
+    def __getitem__(self, name):
+        # painless `ctx['_index']` / `ctx['@timestamp']` bracket form
+        # (the reference's own spec scripts use it,
+        # elastic_integration_spec.rb:761) — any string key including
+        # metadata underscore-names; dunders stay blocked
+        if not isinstance(name, str) or name.startswith("__"):
+            raise KeyError(name)
+        return self._lookup(self._key(name))
+
+    def __setitem__(self, name, value):
+        if not isinstance(name, str) or name.startswith("__"):
+            raise KeyError(name)
+        self._writes[self._key(name)] = value
+
+    def _lookup(self, k):
         if k in self._writes:
             v = self._writes[k]
             if v is _REMOVED:

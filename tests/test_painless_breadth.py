@@ -452,3 +452,27 @@ def test_java_named_regex_groups():
               "if (m.find()) { ctx.r = m.group('num'); } "
               "ctx.lb = ctx.s =~ /(?<=b)1/;", {"s": "ab12"})
     assert out == {"r": "12", "lb": True}
+
+
+def test_ctx_bracket_access_and_metadata_fields():
+    # the reference's own spec script shape
+    # (elastic_integration_spec.rb:761): bracket reads/writes incl. the
+    # _index metadata field and params bracket access
+    out = run_p("ctx['_index'] = ctx['lang'] + '-' + params['dataset'];",
+                {"lang": "en"}, {"dataset": "web"})
+    assert out == {"_index": "en-web"}
+    out2 = run_p("ctx['@t2'] = ctx['ts'];", {"ts": "2024-01-01"}, None)
+    assert out2 == {"@t2": "2024-01-01"}
+
+
+def test_nested_map_dot_write_is_map_put():
+    # `ctx.event.duration = ...` through a NESTED map must be Map.put —
+    # regression pin: it previously landed as a Python instance
+    # attribute and the write was silently dropped
+    out = run_p("ctx.event.duration = ctx.event.end - ctx.event.start;",
+                {"event": {"end": 100, "start": 40}}, None)
+    assert out["event"] == {"end": 100, "start": 40, "duration": 60}
+
+
+def run_p(src, doc, params):
+    return CompiledScript(src, params).run_row(dict(doc or {}))
