@@ -173,18 +173,23 @@ _MREF_STATIC = {"Integer", "Long", "Double", "Float", "Boolean", "Math",
                 "Processors"}
 
 
-def _rewrite_method_refs(src: str) -> str:
+def _rewrite_method_refs(src: str, wrap: str | None = None) -> str:
     """Method references: ``Integer::parseInt`` (static) -> the bound
     function; ``String::toLowerCase`` (instance) -> a one-arg lambda.
-    Unknown owners are left untouched and fail loud downstream."""
+    Unknown owners are left untouched and fail loud downstream.
+    ``wrap`` (interpreter only) encloses the result in a functional-
+    interface wrapper so a STORED ref dispatches Java names
+    (``Function f = String::valueOf; f.apply(3)``)."""
     def sub(m):
         cls, meth = m.groups()
         if cls in _MREF_STATIC or (cls == "String"
                                    and meth in ("valueOf", "join")):
-            return f"{cls}.{meth}"
-        if cls in ("String", "Object"):
-            return f"(lambda _mr: _mr.{meth}())"
-        return m.group(0)
+            out = f"{cls}.{meth}"
+        elif cls in ("String", "Object"):
+            out = f"(lambda _mr: _mr.{meth}())"
+        else:
+            return m.group(0)
+        return f"{wrap}({out})" if wrap else out
     return _MREF_RX.sub(sub, src)
 
 

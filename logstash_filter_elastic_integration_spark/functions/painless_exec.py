@@ -504,7 +504,7 @@ def transpile(source: str) -> tuple[str, list[tuple[str, str]]]:
     src, regexes = _protect_regexes(src)
     for rx, rep in _TOKEN_REWRITES:
         src = rx.sub(rep, src)
-    src = _rewrite_method_refs(src)
+    src = _rewrite_method_refs(src, wrap="_jfn")
     src = _rewrite_lambdas(src)
     src = _rewrite_casts(src)       # after lambdas: typed params are gone
     src = _rewrite_array_news(src)  # before collection literals: `[]` in
@@ -1116,6 +1116,22 @@ class _JStream:
     def skip(self, n):
         return _JStream(self._items[n:])
 
+    def takeWhile(self, pred):     # noqa: N802
+        out = []
+        for x in self._items:
+            if not pred(x):
+                break
+            out.append(x)
+        return _JStream(out)
+
+    def dropWhile(self, pred):     # noqa: N802
+        i = 0
+        for x in self._items:
+            if not pred(x):
+                break
+            i += 1
+        return _JStream(self._items[i:])
+
     def count(self):
         return len(self._items)
 
@@ -1223,6 +1239,20 @@ class _JOptional:
 
     def __init__(self, v):
         self._v = v
+
+    @staticmethod
+    def of(v):
+        if v is None:
+            raise ValueError("NullPointerException: Optional.of(null)")
+        return _JOptional(v)
+
+    @staticmethod
+    def ofNullable(v):             # noqa: N802
+        return _JOptional(v)
+
+    @staticmethod
+    def empty():
+        return _JOptional(None)
 
     def isPresent(self):           # noqa: N802
         return self._v is not None
@@ -2591,6 +2621,34 @@ class _JavaStreamStatics:
     @staticmethod
     def empty():
         return _JStream([])
+
+    @staticmethod
+    def iterate(seed, fn):
+        # Java's lazy infinite stream: the eager engine defers until the
+        # REQUIRED bounding limit(n) arrives
+        return _JLazyIterate(seed, fn)
+
+
+class _JLazyIterate:
+    """`Stream.iterate(seed, f)` — infinite until .limit(n) bounds it;
+    any other operation on the unbounded form fails loud (the eager
+    streams-lite engine cannot represent it)."""
+
+    __slots__ = ("_seed", "_fn")
+
+    def __init__(self, seed, fn):
+        self._seed, self._fn = seed, fn
+
+    def limit(self, n):
+        out, v = [], self._seed
+        for _ in range(int(n)):
+            out.append(v)
+            v = self._fn(v)
+        return _JStream(out)
+
+    def __getattr__(self, name):
+        raise AttributeError(
+            f"Stream.iterate is unbounded: call .limit(n) before .{name}")
 
 
 class _JavaIntStreamStatics:

@@ -476,3 +476,30 @@ def test_nested_map_dot_write_is_map_put():
 
 def run_p(src, doc, params):
     return CompiledScript(src, params).run_row(dict(doc or {}))
+
+
+def test_stored_method_reference_dispatches_apply():
+    out = run("Function f = String::valueOf; ctx.a = f.apply(3); "
+              "Function up = String::toUpperCase; ctx.b = up.apply('ab');")
+    assert out == {"a": "3", "b": "AB"}
+
+
+def test_optional_statics():
+    out = run("ctx.a = Optional.ofNullable(ctx.x).map(v -> v * 2)"
+              ".orElse(-1); "
+              "ctx.b = Optional.of(5).get(); "
+              "ctx.c = Optional.empty().isPresent();", {"x": None})
+    assert out == {"a": -1, "b": 5, "c": False}
+
+
+def test_stream_iterate_takewhile_dropwhile():
+    out = run("ctx.a = Stream.iterate(1, x -> x * 2).limit(4)"
+              ".collect(Collectors.toList()); "
+              "ctx.b = ctx.l.stream().takeWhile(x -> x < 3)"
+              ".collect(Collectors.toList()); "
+              "ctx.c = ctx.l.stream().dropWhile(x -> x < 3)"
+              ".collect(Collectors.toList());", {"l": [1, 2, 3, 1]})
+    assert out == {"a": [1, 2, 4, 8], "b": [1, 2], "c": [3, 1]}
+    # the unbounded form without limit() fails loud, not hangs
+    with pytest.raises(Exception, match="unbounded"):
+        run("ctx.r = Stream.iterate(1, x -> x + 1).count();")
