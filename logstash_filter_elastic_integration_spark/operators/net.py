@@ -379,7 +379,11 @@ def p_user_agent(df, spec, ctx):
         chains["__uad"] = d_chain
         dcol = "__uad"
     if chains:
-        if cfg.get("dedup_parse", True):
+        # a raw STREAMING DataFrame cannot host the distinct+join (no
+        # dedup aggregation mid-stream); the foreachBatch router path
+        # hands static per-batch frames in, so this only bites direct
+        # readStream pipelines — fall back to the per-row chain there
+        if cfg.get("dedup_parse", True) and not df.isStreaming:
             # DISTINCT-PARSE: run the ~350-regex bank once per DISTINCT
             # UA value, not once per row, then equi-join the parsed dim
             # back.  This is the Spark-first shape of the reference's
