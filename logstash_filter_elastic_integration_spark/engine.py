@@ -50,7 +50,17 @@ def sprintf_column(df: DataFrame, template: str):
 class SparkIngestFilter:
     """Drop-in-shaped engine: configure once, call :meth:`filter` per batch
     DataFrame (the ``multi_filter`` analogue — every input row comes back,
-    transformed / failure-tagged / cancelled-flagged)."""
+    transformed / failure-tagged / cancelled-flagged).
+
+    Plugin-option parity (docs/index.asciidoc:375-396): ``pipeline_name``
+    (sprintf/field templates), ``geoip_database_directory``, and the
+    pipeline/template sources map 1:1.  The remaining reference options —
+    ``hosts``/``cloud_id``/``api_key``/``username``/``password``/
+    ``proxy``/``ssl_*`` — exist only to FETCH pipeline definitions and
+    databases from a live Elasticsearch cluster; this engine takes those
+    same artifacts locally (``pipelines=`` dir/dict, ``dims=``,
+    ``geoip_database_directory=``), so connectivity/auth options have no
+    analogue by construction rather than as a gap."""
 
     def __init__(self,
                  pipelines: dict | str | None = None,
