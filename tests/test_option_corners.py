@@ -510,3 +510,41 @@ def test_network_direction_garbage_ip_not_composite(spark, registry):
         "sip string, dip string")
     # garbage side is external -> inbound / outbound (not internal)
     assert [r["dir"] for r in out] == ["inbound", "outbound"]
+
+
+def test_user_agent_option_interactions(spark, registry, tmp_path):
+    """regex_file x dedup_parse x properties x extract_device_type
+    together: the distinct-parse dim path must respect the wholesale
+    bank, the properties filter, and the device-type classifier
+    (the classifier reads the ORIGINAL ua column, not the dim)."""
+    p = tmp_path / "regexes.yaml"
+    p.write_text(UAP_YAML)
+    rows = [("MyBrowser/1.2.3 (MyOS 10_5) Gadget-Z9",),
+            ("MyBrowser/1.2.3 (MyOS 10_5) Gadget-Z9",),   # dup UA value
+            ("SomeBot crawler/2.0",)]
+    for dedup in (True, False):
+        out = run_one(
+            spark, registry,
+            [{"user_agent": {"field": "ua", "regex_file": str(p),
+                             "dedup_parse": dedup,
+                             "extract_device_type": True,
+                             "properties": ["name", "version"]}}],
+            rows, "ua string")
+        r0, r1, r2 = out
+        for r in (r0, r1):
+            assert r["user_agent.name"] == "My Browser"
+            assert r["user_agent.version"] == "1.2.3"
+            # properties filter: os/device/original suppressed
+            assert "user_agent.os.name" not in r
+            assert "user_agent.original" not in r
+        # ES contract: device.type emits only when DEVICE is in
+        # properties — this filter suppresses it
+        assert "user_agent.device.type" not in r2
+    # without a properties filter, extract_device_type emits device.type
+    out = run_one(
+        spark, registry,
+        [{"user_agent": {"field": "ua", "regex_file": str(p),
+                         "extract_device_type": True}}],
+        rows, "ua string")
+    assert out[2]["user_agent.device.type"] == "Robot"
+    assert out[0]["user_agent.device.type"] == "Desktop"
