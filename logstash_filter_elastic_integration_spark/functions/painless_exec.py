@@ -734,10 +734,11 @@ class JStr(str):
         return re.fullmatch(p, self) is not None
 
     def replaceAll(self, p, r):    # noqa: N802
-        return JStr(re.sub(p, r, self))
+        # Java replacement syntax: $N group refs, \$ literal dollar
+        return JStr(_java_rx_compile(p).sub(_java_repl(r), self))
 
     def replaceFirst(self, p, r):  # noqa: N802
-        return JStr(re.sub(p, r, self, count=1))
+        return JStr(_java_rx_compile(p).sub(_java_repl(r), self, count=1))
 
     def lastIndexOf(self, sub):    # noqa: N802
         return self.rfind(sub)
@@ -1629,8 +1630,38 @@ class _RxMatch(_RxFind):
 
 
 def _java_repl(rep: str) -> str:
-    """Java Matcher replacement `$1` -> python re `\\1`."""
-    return re.sub(r"\$(\d)", r"\\\1", str(rep))
+    """Java Matcher replacement -> python re: `$N`/`${name}` group refs
+    become `\\g<...>`; `\\$` is a literal dollar; `\\x` escapes x
+    literally (Java Matcher.quoteReplacement semantics)."""
+    rep = str(rep)
+    out = []
+    i = 0
+    while i < len(rep):
+        c = rep[i]
+        if c == "\\" and i + 1 < len(rep):
+            # backslash escapes the next char LITERALLY (Java
+            # Matcher.quoteReplacement semantics) — only a literal
+            # backslash itself needs python-side re-escaping
+            nxt = rep[i + 1]
+            out.append("\\\\" if nxt == "\\" else nxt)
+            i += 2
+        elif c == "$" and i + 1 < len(rep) and rep[i + 1] == "{":
+            k = rep.index("}", i + 1)
+            out.append(f"\\g<{rep[i + 2:k]}>")
+            i = k + 1
+        elif c == "$" and i + 1 < len(rep) and rep[i + 1].isdigit():
+            j = i + 1
+            while j < len(rep) and rep[j].isdigit():
+                j += 1
+            out.append(f"\\g<{rep[i + 1:j]}>")
+            i = j
+        elif c == "\\":
+            out.append("\\\\")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 class _JMatcher:

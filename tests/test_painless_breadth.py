@@ -503,3 +503,16 @@ def test_stream_iterate_takewhile_dropwhile():
     # the unbounded form without limit() fails loud, not hangs
     with pytest.raises(Exception, match="unbounded"):
         run("ctx.r = Stream.iterate(1, x -> x + 1).count();")
+
+
+def test_string_replaceall_java_replacement_syntax():
+    # String.replaceAll must honor Java's $N refs / \$ literal (the
+    # Column engine gets this free via Spark's Java-regex
+    # regexp_replace; the interpreter now translates)
+    out = run("ctx.a = ctx.s.replaceAll('(\\\\d+)-(\\\\d+)', '$2/$1'); "
+              "ctx.b = ctx.s.replaceAll('and', '\\\\$');"
+              , {"s": "12-34 and 5-6"})
+    assert out == {"a": "34/12 and 6/5", "b": "12-34 $ 5-6"}
+    out2 = run("ctx.r = ctx.s.replaceAll('(?<d>\\\\d+)', '<${d}>');",
+               {"s": "a12"})
+    assert out2 == {"r": "a<12>"}
