@@ -28,7 +28,15 @@ def template_column(df: DataFrame, template) -> Column:
         if m.start() > pos:
             parts.append(F.lit(template[pos:m.start()]))
         ref = m.group(1).strip()
-        if ref.startswith("_ingest.on_failure") and ref in df.columns:
+        if ref == "_ingest.timestamp":
+            # ES IngestDocument metadata: the pipeline's ingest instant
+            # (UTC ISO-8601); current_timestamp is per-query-constant,
+            # the Spark analogue of the per-batch ingest time
+            parts.append(F.date_format(
+                F.to_utc_timestamp(F.current_timestamp(),
+                                   F.lit("UTC")),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+        elif ref.startswith("_ingest.on_failure") and ref in df.columns:
             parts.append(F.coalesce(fcol(ref).cast("string"), F.lit("")))
         elif ref in df.columns:
             parts.append(F.coalesce(fcol(ref).cast("string"), F.lit("")))

@@ -548,3 +548,16 @@ def test_user_agent_option_interactions(spark, registry, tmp_path):
         rows, "ua string")
     assert out[2]["user_agent.device.type"] == "Robot"
     assert out[0]["user_agent.device.type"] == "Desktop"
+
+
+def test_set_ingest_timestamp_template(spark, registry):
+    """`{{_ingest.timestamp}}` resolves to the pipeline's ingest instant
+    (ES IngestDocument metadata), not empty string."""
+    out = run_one(spark, registry,
+                  [{"set": {"field": "received",
+                            "value": "{{_ingest.timestamp}}"}}],
+                  [("x",)], "k string")
+    import re as _re
+    assert _re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}(Z|[+-]\d{2}:\d{2})",
+        out[0]["received"]), out[0]["received"]
