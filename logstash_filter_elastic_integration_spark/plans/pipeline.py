@@ -156,6 +156,9 @@ class CompileContext:
                 "_ingest.on_failure_message": msg,
                 "_ingest.on_failure_processor_type": F.lit(spec.type),
                 "_ingest.on_failure_processor_tag": F.lit(spec.tag),
+                # ES IngestDocument ON_FAILURE_PIPELINE_FIELD: the
+                # pipeline the failing processor belonged to
+                "_ingest.on_failure_pipeline": F.lit(self.pipeline_name),
             })
             sub_ctx = CompileContext(
                 registry=self.registry,
@@ -167,7 +170,8 @@ class CompileContext:
             df = _compile_chain(df, handlers, sub_ctx)
             return df.drop(marker, "_ingest.on_failure_message",
                            "_ingest.on_failure_processor_type",
-                           "_ingest.on_failure_processor_tag")
+                           "_ingest.on_failure_processor_tag",
+                           "_ingest.on_failure_pipeline")
         failure = F.struct(
             F.lit(self.pipeline_name).alias("pipeline"),
             F.lit(spec.type).alias("processor_type"),

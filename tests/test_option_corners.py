@@ -561,3 +561,19 @@ def test_set_ingest_timestamp_template(spark, registry):
     assert _re.fullmatch(
         r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}(Z|[+-]\d{2}:\d{2})",
         out[0]["received"]), out[0]["received"]
+
+
+def test_on_failure_pipeline_metadata(spark, registry):
+    """on_failure handlers can template all four ES failure metadata
+    fields, including _ingest.on_failure_pipeline."""
+    registry.register("mainp", {"processors": [
+        {"fail": {"message": "boom",
+                  "on_failure": [
+                      {"set": {"field": "err", "value":
+                       "{{_ingest.on_failure_pipeline}}/"
+                       "{{_ingest.on_failure_processor_type}}: "
+                       "{{_ingest.on_failure_message}}"}}]}}]})
+    from logstash_filter_elastic_integration_spark.plans import run_pipeline
+    df = spark.createDataFrame([("x",)], "k string")
+    out = [r.asDict() for r in run_pipeline(df, "mainp", registry).collect()]
+    assert out[0]["err"] == "mainp/fail: boom"
