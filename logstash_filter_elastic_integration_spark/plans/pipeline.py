@@ -105,12 +105,26 @@ class PipelineRegistry:
         return p
 
     def register_dir(self, path: str) -> None:
-        """Load every ``*.json`` in a directory as pipeline ``<stem>`` —
-        the local-directory resolver shape used by the reference's tests
-        (LocalDirectoryPipelineConfigurationResolver.java)."""
+        """Load every ``*.json`` in a directory — either one pipeline per
+        file named ``<stem>`` (the reference's local-directory resolver,
+        LocalDirectoryPipelineConfigurationResolver.java) or the
+        Elasticsearch GET ``_ingest/pipeline`` API response format
+        (``{"id": {definition}, ...}``, possibly several per file — the
+        reference's elasticsearch-api-format-pipelines fixtures), which
+        registers each id."""
+        import json as _json
         import pathlib
         for f in sorted(pathlib.Path(path).glob("*.json")):
-            self.register(f.stem, f.read_text())
+            text = f.read_text()
+            parsed = _json.loads(text)
+            if (isinstance(parsed, dict) and parsed
+                    and "processors" not in parsed
+                    and all(isinstance(v, dict) and "processors" in v
+                            for v in parsed.values())):
+                for pid, definition in parsed.items():
+                    self.register(pid, definition)
+            else:
+                self.register(f.stem, text)
 
 
 @dataclass

@@ -577,3 +577,23 @@ def test_on_failure_pipeline_metadata(spark, registry):
     df = spark.createDataFrame([("x",)], "k string")
     out = [r.asDict() for r in run_pipeline(df, "mainp", registry).collect()]
     assert out[0]["err"] == "mainp/fail: boom"
+
+
+def test_register_dir_es_api_format(spark, registry, tmp_path):
+    """A directory file in the ES GET _ingest/pipeline response shape
+    ({"id": {definition}, ...}) registers each id (reference fixture
+    shape: elasticsearch-api-format-pipelines/two-pipelines.json)."""
+    (tmp_path / "bundle.json").write_text(
+        '{"pid-one": {"description": "d", "version": 1, "processors": '
+        '[{"set": {"field": "foo", "value": "bar"}}]}, '
+        '"pid-two": {"processors": '
+        '[{"set": {"field": "foo", "value": "baz"}}]}}')
+    (tmp_path / "plain.json").write_text(
+        '{"processors": [{"set": {"field": "foo", "value": "plain"}}]}')
+    registry.register_dir(str(tmp_path))
+    from logstash_filter_elastic_integration_spark.plans import run_pipeline
+    df = spark.createDataFrame([("x",)], "k string")
+    for name, want in [("pid-one", "bar"), ("pid-two", "baz"),
+                       ("plain", "plain")]:
+        got = run_pipeline(df, name, registry).collect()[0]["foo"]
+        assert got == want, (name, got)
