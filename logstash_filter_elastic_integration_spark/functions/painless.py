@@ -962,7 +962,22 @@ def _compile_script_p(source: str, lits: list[str], resolve,
             out.append((path, F.when(cond, body.get(path, cur))
                         .otherwise(els.get(path, cur))))
         return out
-    ctx = _Ctx(resolve, params, regexes)
+    # later statements see earlier in-script assignments (painless ctx is
+    # a live map: `ctx.r = ctx.i * 2; ctx.r2 = ctx.r + 1;`) — layer the
+    # accumulated assignments over the frame resolver
+    assigned: dict[str, tuple[Column, object]] = {}
+
+    def layered_resolve(path: str):
+        if path in assigned:
+            return assigned[path]
+        return resolve(path)
+
+    if hasattr(resolve, "present"):
+        # an in-script assignment makes the key present (even null)
+        layered_resolve.present = lambda path: (
+            F.lit(True) if path in assigned else resolve.present(path))
+
+    ctx = _Ctx(layered_resolve, params, regexes)
     out: list[tuple[str, Column]] = []
     for stmt in [s.strip() for s in source.split(";") if s.strip()]:
         lhs, rhs = _split_assignment(stmt)
@@ -978,8 +993,9 @@ def _compile_script_p(source: str, lits: list[str], resolve,
             tree = ast.parse(py, mode="eval")
         except SyntaxError as e:
             raise UnsupportedScriptError(f"cannot parse script stmt {stmt!r}: {e}") from e
-        col, _ = _eval(tree.body, ctx)
+        col, dt = _eval(tree.body, ctx)
         out.append((path, col))
+        assigned[path] = (col, dt)
     return out
 
 

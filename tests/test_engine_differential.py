@@ -1,0 +1,139 @@
+"""Differential testing: every straight-line painless script that the
+COLUMN engine accepts must produce the same values as the statement
+INTERPRETER.  The reference has one engine (the bundled painless
+script service) so it cannot diverge from itself; this repo has two, so
+cross-engine agreement is a correctness property worth pinning over a
+generated expression corpus — one Spark job evaluates the whole matrix.
+"""
+
+import math
+
+import pytest
+
+from logstash_filter_elastic_integration_spark.functions.painless import (
+    UnsupportedScriptError, compile_script)
+from logstash_filter_elastic_integration_spark.functions.painless_exec import (
+    CompiledScript)
+from logstash_filter_elastic_integration_spark.plans.document import (
+    resolver_for)
+
+DOC = {"i": 7, "j": -3, "d": 2.5, "s": "Hello World", "t": "abc",
+       "b": True, "z": 0, "neg": -9.5}
+SCHEMA = ("i long, j long, d double, s string, t string, b boolean, "
+          "z long, neg double")
+
+# operand pool: every expression references only DOC fields + literals
+CORPUS = [
+    # arithmetic (Java semantics: truncating division, sign of dividend)
+    "ctx.r = ctx.i + ctx.j;",
+    "ctx.r = ctx.i - ctx.j * 2;",
+    "ctx.r = ctx.i / 2;",
+    "ctx.r = ctx.j / 2;",
+    "ctx.r = ctx.i % 4;",
+    "ctx.r = ctx.j % 4;",
+    "ctx.r = ctx.i + ctx.d;",
+    "ctx.r = ctx.d * 4.0 - 1;",
+    "ctx.r = -ctx.i + 100;",
+    # string ops
+    "ctx.r = ctx.s + '!';",
+    "ctx.r = ctx.s + ctx.i;",
+    "ctx.r = 'n=' + ctx.d;",
+    "ctx.r = ctx.s.toLowerCase();",
+    "ctx.r = ctx.s.toUpperCase();",
+    "ctx.r = ctx.s.trim();",
+    "ctx.r = ctx.s.substring(6);",
+    "ctx.r = ctx.s.substring(0, 5);",
+    "ctx.r = ctx.s.replace('l', 'L');",
+    "ctx.r = ctx.s.contains('World');",
+    "ctx.r = ctx.s.startsWith('He');",
+    "ctx.r = ctx.s.endsWith('ld');",
+    "ctx.r = ctx.s.indexOf('o');",
+    "ctx.r = ctx.s.length();",
+    "ctx.r = ctx.s.isEmpty();",
+    # comparisons / boolean logic
+    "ctx.r = ctx.i > ctx.j;",
+    "ctx.r = ctx.i >= 7;",
+    "ctx.r = ctx.i == 7 && ctx.b;",
+    "ctx.r = ctx.i < 0 || !ctx.b;",
+    "ctx.r = ctx.s == 'Hello World';",
+    "ctx.r = ctx.t != 'abc';",
+    # ternary / Elvis
+    "ctx.r = ctx.i > 0 ? 'pos' : 'neg';",
+    "ctx.r = ctx.missing ?: 'dflt';",
+    "ctx.r = ctx.b ? ctx.i : ctx.j;",
+    # Math statics
+    "ctx.r = Math.abs(ctx.j);",
+    "ctx.r = Math.max(ctx.i, ctx.z);",
+    "ctx.r = Math.min(ctx.d, 1.0);",
+    "ctx.r = Math.floor(ctx.neg);",
+    "ctx.r = Math.ceil(ctx.d);",
+    "ctx.r = Math.sqrt(16.0);",
+    "ctx.r = Math.pow(2.0, 10.0);",
+    # parse / render statics
+    "ctx.r = Integer.parseInt('42') + ctx.i;",
+    "ctx.r = Double.parseDouble('1.5') + ctx.d;",
+    "ctx.r = String.valueOf(ctx.i);",
+    # null handling
+    "ctx.r = ctx.missing == null;",
+    "ctx.r = ctx.s != null;",
+    # regex operators
+    "ctx.r = ctx.s =~ /World/;",
+    "ctx.r = ctx.t ==~ /[a-c]+/;",
+    # multi-assignment
+    "ctx.r = ctx.i * 2; ctx.r2 = ctx.r != null ? 'y' : 'n';",
+]
+
+
+def _num(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+@pytest.fixture(scope="module")
+def diff_results(spark):
+    df = spark.createDataFrame([tuple(DOC.values())],
+                               ", ".join(f"`{k}` {t.split()[1]}"
+                                         for k, t in zip(
+                                             DOC, SCHEMA.split(", "))))
+    cols = {}
+    expected = {}
+    column_ok = []
+    for idx, src in enumerate(CORPUS):
+        try:
+            assignments = compile_script(src, resolver_for(df))
+        except UnsupportedScriptError:
+            continue  # interpreter-only scripts are out of scope here
+        column_ok.append(idx)
+        for path, col in assignments:
+            cols[f"c{idx}_{path}"] = col
+        interp = CompiledScript(src).run_row(dict(DOC))
+        for path, val in interp.items():
+            expected[f"c{idx}_{path}"] = val
+    row = df.withColumns(cols).select(*cols).collect()[0].asDict()
+    return column_ok, row, expected
+
+
+def test_column_engine_accepts_most_of_the_corpus(diff_results):
+    column_ok, _, _ = diff_results
+    # the corpus is straight-line by construction; the Column engine
+    # should take nearly all of it (a falling-back corpus would make
+    # this differential test vacuous)
+    assert len(column_ok) >= len(CORPUS) * 8 // 10, (
+        f"Column engine only accepted {len(column_ok)}/{len(CORPUS)}")
+
+
+def test_engines_agree_on_every_value(diff_results):
+    _, row, expected = diff_results
+    errors = []
+    for key, want in expected.items():
+        got = row.get(key)
+        if isinstance(want, float) or isinstance(got, float):
+            same = (got is not None and want is not None
+                    and math.isclose(float(got), float(want),
+                                     rel_tol=1e-9, abs_tol=1e-12))
+        else:
+            same = got == want
+        if not same:
+            errors.append(f"{key}: column={got!r} interpreter={want!r}")
+    assert not errors, "\n".join(errors)
