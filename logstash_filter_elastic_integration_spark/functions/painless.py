@@ -870,6 +870,8 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
             if meth == "length":
                 return F.length(recv), T.IntegerType()
             if meth == "isEmpty":
+                if isinstance(rdt, (T.ArrayType, T.MapType)):
+                    return F.size(recv) == 0, T.BooleanType()
                 return F.length(recv) == 0, T.BooleanType()
             if meth == "toLowerCase":
                 return F.lower(recv), T.StringType()
@@ -889,6 +891,26 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                 return (F.instr(recv, args[0]) - 1).cast("int"), T.IntegerType()
             if meth == "replace":
                 return F.replace(recv, args[0], args[1]), T.StringType()
+            if meth == "replaceAll" and len(args) == 2:
+                # Spark's regexp_replace IS Java Matcher.replaceAll:
+                # pattern syntax, $N group refs, \$ literal — exact
+                return (F.regexp_replace(recv, args[0], args[1]),
+                        T.StringType())
+            if meth == "splitOnToken" \
+                    and isinstance(node.args[0], ast.Constant) \
+                    and "\\E" not in str(node.args[0].value):
+                # ES StringFunctionUtils.splitOnToken: LITERAL separator
+                # (\Q..\E quoting), trailing empties kept (limit -1),
+                # limit > 0 caps parts with the last keeping the rest
+                sep = "\\Q" + str(node.args[0].value) + "\\E"
+                lim = -1
+                if len(node.args) > 1:
+                    if not isinstance(node.args[1], ast.Constant):
+                        raise UnsupportedScriptError(
+                            "splitOnToken limit must be constant")
+                    lim = int(node.args[1].value)
+                return (F.split(recv, sep, lim),
+                        T.ArrayType(T.StringType()))
             if meth == "equalsIgnoreCase":
                 return (F.lower(recv) == F.lower(args[0])), T.BooleanType()
             if meth == "matches" and isinstance(

@@ -18,9 +18,13 @@ from logstash_filter_elastic_integration_spark.plans.document import (
     resolver_for)
 
 DOC = {"i": 7, "j": -3, "d": 2.5, "s": "Hello World", "t": "abc",
-       "b": True, "z": 0, "neg": -9.5}
+       "b": True, "z": 0, "neg": -9.5, "arr": [4, 1, 3],
+       "sarr": ["b", "a", "c"], "csv": "x,y,z",
+       "iso": "2024-03-05T10:20:30Z", "sz": "2kb",
+       "url": "a%20b%26c"}
 SCHEMA = ("i long, j long, d double, s string, t string, b boolean, "
-          "z long, neg double")
+          "z long, neg double, arr array<long>, sarr array<string>, "
+          "csv string, iso string, sz string, url string")
 
 # operand pool: every expression references only DOC fields + literals
 CORPUS = [
@@ -79,8 +83,32 @@ CORPUS = [
     # regex operators
     "ctx.r = ctx.s =~ /World/;",
     "ctx.r = ctx.t ==~ /[a-c]+/;",
-    # multi-assignment
+    # multi-assignment: later statements see earlier assignments
     "ctx.r = ctx.i * 2; ctx.r2 = ctx.r != null ? 'y' : 'n';",
+    "ctx.r = ctx.i + 1; ctx.r2 = ctx.r + 1;",
+    # arrays / lists
+    "ctx.r = ctx.arr.size();",
+    "ctx.r = ctx.arr.contains(3L);",
+    "ctx.r = ctx.arr[0] + ctx.arr[2];",
+    "ctx.r = ctx.sarr.isEmpty();",
+    # streams-lite (Column engine lowers to higher-order functions)
+    "ctx.r = ctx.arr.stream().map(x -> x * 2).collect(Collectors.toList());",
+    "ctx.r = ctx.arr.stream().filter(x -> x > 1).count();",
+    "ctx.r = ctx.sarr.stream().anyMatch(x -> x == 'a');",
+    "ctx.r = String.join('-', ctx.sarr);",
+    # split
+    "ctx.r = ctx.csv.splitOnToken(',');",
+    # Processors statics
+    "ctx.r = Processors.lowercase(ctx.s);",
+    "ctx.r = Processors.uppercase(ctx.t);",
+    "ctx.r = Processors.bytes(ctx.sz);",
+    "ctx.r = Processors.urlDecode(ctx.url);",
+    # java.time (both engines)
+    "ctx.r = ZonedDateTime.parse(ctx.iso).getYear();",
+    "ctx.r = ZonedDateTime.parse(ctx.iso).getDayOfMonth();",
+    "ctx.r = Instant.parse(ctx.iso).toEpochMilli();",
+    # replaceAll with group refs (Java $N on both engines)
+    "ctx.r = ctx.csv.replaceAll('([a-z])', '<$1>');",
 ]
 
 
