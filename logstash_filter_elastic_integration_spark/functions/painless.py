@@ -663,7 +663,14 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
         rv, rdt = _eval(node.right, c)
         if isinstance(node.op, ast.Add):
             if _is_string(ldt) or _is_string(rdt):
-                return F.concat(lv.cast("string"), rv.cast("string")), T.StringType()
+                # Java string concat renders a null operand as "null"
+                # ('s=' + null -> "s=null"); Spark concat would
+                # null-propagate — pinned by the cross-engine
+                # differential corpus
+                return F.concat(
+                    F.coalesce(lv.cast("string"), F.lit("null")),
+                    F.coalesce(rv.cast("string"), F.lit("null"))), \
+                    T.StringType()
             return lv + rv, ldt or rdt
         if isinstance(node.op, ast.Sub):
             return lv - rv, ldt or rdt

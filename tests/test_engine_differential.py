@@ -109,6 +109,9 @@ CORPUS = [
     "ctx.r = Instant.parse(ctx.iso).toEpochMilli();",
     # replaceAll with group refs (Java $N on both engines)
     "ctx.r = ctx.csv.replaceAll('([a-z])', '<$1>');",
+    # Java null-rendering concat ('s=' + null -> "s=null", not null)
+    "ctx.r = 's=' + ctx.missing;",
+    "ctx.r = '' + ctx.b;",
 ]
 
 
