@@ -737,11 +737,18 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
             # java.lang.Math static methods -> built-in Column functions
             if isinstance(fn.value, ast.Name) and fn.value.id == "Math":
                 args = [_eval(a, c)[0] for a in node.args]
+                if fn.attr == "round" and len(args) == 1:
+                    # Java Math.round(double) = floor(x + 0.5) -> long
+                    # (F.round is HALF_UP on magnitude: Math.round(-2.5)
+                    # is -2 in Java but F.round gives -3 — caught by the
+                    # differential corpus)
+                    return (F.floor(args[0] + F.lit(0.5)).cast("long"),
+                            T.LongType())
                 unary = {"abs": F.abs, "floor": F.floor, "ceil": F.ceil,
-                         "sqrt": F.sqrt, "round": F.round, "log": F.log,
-                         "exp": F.exp}
+                         "sqrt": F.sqrt, "log": F.log,
+                         "exp": F.exp, "signum": F.signum}
                 if fn.attr in unary and len(args) == 1:
-                    dt = (T.LongType() if fn.attr in ("floor", "ceil", "round")
+                    dt = (T.LongType() if fn.attr in ("floor", "ceil")
                           else T.DoubleType())
                     out = unary[fn.attr](args[0])
                     if fn.attr in ("floor", "ceil"):
@@ -801,6 +808,21 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                         "parseFloat", "valueOf"):
                     t, dt = casts[owner]
                     return arg.try_cast(t), dt
+                if owner in ("Integer", "Long") and fn.attr in (
+                        "toString", "toHexString", "toOctalString",
+                        "toBinaryString"):
+                    # radix render: conv() emits uppercase, Java lower
+                    radix = {"toHexString": 16, "toOctalString": 8,
+                             "toBinaryString": 2}.get(fn.attr)
+                    if radix is None:
+                        if len(node.args) == 1:
+                            return arg.cast("string"), T.StringType()
+                        if not isinstance(node.args[1], ast.Constant):
+                            raise UnsupportedScriptError(
+                                f"{owner}.toString radix must be constant")
+                        radix = int(node.args[1].value)
+                    return (F.lower(F.conv(arg.cast("string"), 10, radix)),
+                            T.StringType())
                 raise UnsupportedScriptError(
                     f"{owner}.{fn.attr} unsupported")
             # ---- streams-lite on array columns: stream()/filter/map/
@@ -896,6 +918,26 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                                    args[1] - args[0]), T.StringType()
             if meth == "indexOf":
                 return (F.instr(recv, args[0]) - 1).cast("int"), T.IntegerType()
+            if meth == "lastIndexOf" and len(args) == 1:
+                # last occurrence via reversed instr; -1 when absent
+                rpos = F.instr(F.reverse(recv), F.reverse(args[0]))
+                return (F.when(
+                    rpos > 0,
+                    F.length(recv) - rpos - F.length(args[0]) + 1)
+                    .otherwise(F.lit(-1)).cast("int"), T.IntegerType())
+            if meth == "charAt" and len(args) == 1:
+                # painless char ~ 1-char string in the flat model (the
+                # interpreter's convention)
+                return (F.substring(recv, args[0] + 1, F.lit(1)),
+                        T.StringType())
+            if meth == "concat" and len(args) == 1:
+                return F.concat(recv, args[0]), T.StringType()
+            if meth == "compareTo" and len(args) == 1:
+                # sign convention (-1/0/1), same as the interpreter;
+                # Java's char-difference magnitude is not reproduced
+                return (F.when(recv < args[0], -1)
+                        .when(recv > args[0], 1)
+                        .otherwise(0).cast("int"), T.IntegerType())
             if meth == "replace":
                 return F.replace(recv, args[0], args[1]), T.StringType()
             if meth == "replaceAll" and len(args) == 2:

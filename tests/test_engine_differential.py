@@ -112,6 +112,18 @@ CORPUS = [
     # Java null-rendering concat ('s=' + null -> "s=null", not null)
     "ctx.r = 's=' + ctx.missing;",
     "ctx.r = '' + ctx.b;",
+    # Math.round is Java floor(x+0.5) -> long, NOT half-up-on-magnitude
+    "ctx.r = Math.round(ctx.neg);",
+    "ctx.r = Math.round(2.5);",
+    "ctx.r = Math.signum(-2.0) + Math.abs(ctx.j);",
+    # string methods newly on the fast path
+    "ctx.r = ctx.s.lastIndexOf('l');",
+    "ctx.r = ctx.s.lastIndexOf('zz');",
+    "ctx.r = ctx.s.charAt(1);",
+    "ctx.r = ctx.s.concat('!!');",
+    "ctx.r = ctx.s.compareTo('World') < 0;",
+    "ctx.r = Integer.toString(255, 16);",
+    "ctx.r = Integer.toHexString(255);",
 ]
 
 
