@@ -681,7 +681,10 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
             # Java); double->long cast truncates toward zero in Spark.
             # Only when BOTH static dtypes are known-integral.
             if _is_integral(ldt) and _is_integral(rdt):
-                return (lv / rv).cast("long"), T.LongType()
+                # IntegralDivide (SQL `div`), not a double round-trip:
+                # (lv / rv).cast(long) loses precision past 2^53
+                # (differential corpus: Long.MAX_VALUE / 7)
+                return (F.call_function("div", lv, rv), T.LongType())
             return lv / rv, T.DoubleType()
         if isinstance(node.op, ast.Mod):
             # Spark's % (Remainder) already matches Java: sign of dividend

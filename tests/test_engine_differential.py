@@ -21,10 +21,10 @@ DOC = {"i": 7, "j": -3, "d": 2.5, "s": "Hello World", "t": "abc",
        "b": True, "z": 0, "neg": -9.5, "arr": [4, 1, 3],
        "sarr": ["b", "a", "c"], "csv": "x,y,z",
        "iso": "2024-03-05T10:20:30Z", "sz": "2kb",
-       "url": "a%20b%26c"}
+       "url": "a%20b%26c", "big": 9223372036854775807}
 SCHEMA = ("i long, j long, d double, s string, t string, b boolean, "
           "z long, neg double, arr array<long>, sarr array<string>, "
-          "csv string, iso string, sz string, url string")
+          "csv string, iso string, sz string, url string, big long")
 
 # operand pool: every expression references only DOC fields + literals
 CORPUS = [
@@ -124,6 +124,11 @@ CORPUS = [
     "ctx.r = ctx.s.compareTo('World') < 0;",
     "ctx.r = Integer.toString(255, 16);",
     "ctx.r = Integer.toHexString(255);",
+    # integral division: exact past 2^53 (no double round-trip),
+    # truncating toward zero like Java
+    "ctx.r = ctx.big / 7;",
+    "ctx.r = ctx.big / ctx.i;",
+    "ctx.r = ctx.j / 2;",
 ]
 
 
