@@ -885,6 +885,13 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                 recv, rdt = _eval(fn.value, c)
                 if isinstance(rdt, (T.ArrayType, type(None))):
                     return F.size(recv).cast("long"), T.LongType()
+            if meth == "sum" and not node.args:
+                # IntStream/LongStream.sum() terminal: left-to-right fold
+                recv, rdt = _eval(fn.value, c)
+                if isinstance(rdt, (T.ArrayType, type(None))):
+                    return (F.aggregate(
+                        recv, F.lit(0).cast("long"),
+                        lambda acc, x: acc + x.cast("long")), T.LongType())
             recv, rdt = _eval(fn.value, c)
             if isinstance(rdt, (_ZdtType, _InstantType, _DowType)):
                 return _temporal_method(recv, rdt, meth, node, c)

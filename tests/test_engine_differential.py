@@ -129,6 +129,8 @@ CORPUS = [
     "ctx.r = ctx.big / 7;",
     "ctx.r = ctx.big / ctx.i;",
     "ctx.r = ctx.j / 2;",
+    # stream sum terminal
+    "ctx.r = ctx.arr.stream().mapToInt(x -> x).sum();",
 ]
 
 
