@@ -428,6 +428,20 @@ def _is_integral(dt) -> bool:
                            T.ByteType))
 
 
+def _promote(ldt, rdt):
+    """Java binary numeric promotion for the static type tracker: any
+    floating operand promotes the result to double; `ldt or rdt` (the
+    old rule) kept the LEFT type, typing `3 + 2.5` as long — which
+    routed a double through integral division (caught by the generated
+    differential arithmetic matrix)."""
+    if isinstance(ldt, (T.DoubleType, T.FloatType)) \
+            or isinstance(rdt, (T.DoubleType, T.FloatType)):
+        return T.DoubleType()
+    if _is_integral(ldt) and _is_integral(rdt):
+        return T.LongType()
+    return ldt or rdt
+
+
 def _lambda_fn(lam: ast.Lambda, c: _Ctx, edt=None):
     """Painless arrow (rewritten to ast.Lambda) -> a Python callable over
     Columns, for the pyspark higher-order functions (F.filter/F.transform/
@@ -671,11 +685,11 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
                     F.coalesce(lv.cast("string"), F.lit("null")),
                     F.coalesce(rv.cast("string"), F.lit("null"))), \
                     T.StringType()
-            return lv + rv, ldt or rdt
+            return lv + rv, _promote(ldt, rdt)
         if isinstance(node.op, ast.Sub):
-            return lv - rv, ldt or rdt
+            return lv - rv, _promote(ldt, rdt)
         if isinstance(node.op, ast.Mult):
-            return lv * rv, ldt or rdt
+            return lv * rv, _promote(ldt, rdt)
         if isinstance(node.op, ast.Div):
             # Java semantics: int / int TRUNCATES toward zero (painless is
             # Java); double->long cast truncates toward zero in Spark.
@@ -688,7 +702,7 @@ def _eval(node: ast.AST, c: _Ctx) -> tuple[Column, object]:
             return lv / rv, T.DoubleType()
         if isinstance(node.op, ast.Mod):
             # Spark's % (Remainder) already matches Java: sign of dividend
-            return lv % rv, ldt or rdt
+            return lv % rv, _promote(ldt, rdt)
         raise UnsupportedScriptError("unsupported binary op")
 
     if isinstance(node, ast.IfExp):

@@ -173,6 +173,66 @@ def test_column_engine_accepts_most_of_the_corpus(diff_results):
         f"Column engine only accepted {len(column_ok)}/{len(CORPUS)}")
 
 
+def _gen_arith_corpus():
+    """Deterministic combinatorial matrix: every binop pair over mixed
+    int/long/double operands, two nesting shapes — exercises Java
+    numeric-promotion, truncating/integral division, and remainder-sign
+    lowering agreement far beyond the hand-written cases."""
+    ops = ["+", "-", "*", "/", "%"]
+    operands = ["ctx.i", "ctx.j", "ctx.d", "3", "2.5"]
+    corpus = []
+    for k, (o1, o2) in enumerate(
+            (a, b) for a in ops for b in ops):
+        a = operands[k % len(operands)]
+        b = operands[(k + 1) % len(operands)]
+        c = operands[(k + 2) % len(operands)]
+        corpus.append(f"ctx.r = ({a} {o1} {b}) {o2} {c};")
+        corpus.append(f"ctx.r = {a} {o1} ({b} {o2} {c});")
+    return corpus
+
+
+@pytest.fixture(scope="module")
+def arith_results(spark):
+    df = spark.createDataFrame([tuple(DOC.values())],
+                               ", ".join(f"`{k}` {t.split()[1]}"
+                                         for k, t in zip(
+                                             DOC, SCHEMA.split(", "))))
+    cols = {}
+    expected = {}
+    for idx, src in enumerate(_gen_arith_corpus()):
+        try:
+            assignments = compile_script(src, resolver_for(df))
+        except UnsupportedScriptError:
+            continue
+        try:
+            interp = CompiledScript(src).run_row(dict(DOC))
+        except Exception:
+            continue     # row-failing scripts (e.g. % 0) are interp-only
+        for path, col in assignments:
+            cols[f"g{idx}_{path}"] = col
+        for path, val in interp.items():
+            expected[f"g{idx}_{path}"] = val
+    row = df.withColumns(cols).select(*cols).collect()[0].asDict()
+    return row, expected
+
+
+def test_generated_arithmetic_matrix_agrees(arith_results):
+    row, expected = arith_results
+    assert len(expected) >= 40    # the matrix must not silently shrink
+    errors = []
+    for key, want in expected.items():
+        got = row.get(key)
+        if isinstance(want, float) or isinstance(got, float):
+            same = (got is not None and want is not None
+                    and math.isclose(float(got), float(want),
+                                     rel_tol=1e-9, abs_tol=1e-12))
+        else:
+            same = got == want
+        if not same:
+            errors.append(f"{key}: column={got!r} interpreter={want!r}")
+    assert not errors, "\n".join(errors)
+
+
 def test_engines_agree_on_every_value(diff_results):
     _, row, expected = diff_results
     errors = []
