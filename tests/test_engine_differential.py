@@ -191,6 +191,53 @@ def _gen_arith_corpus():
     return corpus
 
 
+def _gen_string_corpus():
+    """Chained string-method matrix: pairs of zero-arg transforms over
+    pairs of extractors, so method-on-method results (and their static
+    types) agree across engines."""
+    transforms = [".toLowerCase()", ".toUpperCase()", ".trim()"]
+    extractors = [".substring(2)", ".substring(1, 7)",
+                  ".replace('l', 'L')", ".concat('xy')",
+                  ".replaceAll('[aeiou]', '_')"]
+    corpus = []
+    for i, t1 in enumerate(transforms):
+        for j, ex in enumerate(extractors):
+            corpus.append(f"ctx.r = ctx.s{t1}{ex};")
+            corpus.append(f"ctx.r = ctx.s{ex}{t1};")
+            t2 = transforms[(i + j + 1) % len(transforms)]
+            corpus.append(f"ctx.r = ctx.s{t1}{ex}{t2}.length();")
+    return corpus
+
+
+@pytest.fixture(scope="module")
+def string_results(spark):
+    df = spark.createDataFrame([tuple(DOC.values())],
+                               ", ".join(f"`{k}` {t.split()[1]}"
+                                         for k, t in zip(
+                                             DOC, SCHEMA.split(", "))))
+    cols = {}
+    expected = {}
+    for idx, src in enumerate(_gen_string_corpus()):
+        try:
+            assignments = compile_script(src, resolver_for(df))
+        except UnsupportedScriptError:
+            continue
+        for path, col in assignments:
+            cols[f"s{idx}_{path}"] = col
+        for path, val in CompiledScript(src).run_row(dict(DOC)).items():
+            expected[f"s{idx}_{path}"] = val
+    row = df.withColumns(cols).select(*cols).collect()[0].asDict()
+    return row, expected
+
+
+def test_generated_string_matrix_agrees(string_results):
+    row, expected = string_results
+    assert len(expected) >= 30
+    errors = [f"{k}: column={row.get(k)!r} interpreter={v!r}"
+              for k, v in expected.items() if row.get(k) != v]
+    assert not errors, "\n".join(errors)
+
+
 @pytest.fixture(scope="module")
 def arith_results(spark):
     df = spark.createDataFrame([tuple(DOC.values())],
