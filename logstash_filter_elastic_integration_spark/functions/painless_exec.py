@@ -585,6 +585,14 @@ def collect_ctx_paths(tree: ast.AST):
         return None
 
     for node in ast.walk(tree):
+        if (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "ctx"
+                and node.func.attr in ("keySet", "size", "isEmpty",
+                                       "entrySet", "values")):
+            # whole-document views: every column must ship into the UDF
+            reads.add("__ALL__")
         if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
                 and node.func.id in ("_nsget", "_nscall") and node.args:
             # lowered null-safe access `ctx.a?.b`: a READ of a.b
@@ -1803,6 +1811,50 @@ class _CtxNode:
     def __setattr__(self, name, value):
         self._writes[self._key(name)] = value
 
+    def keySet(self):              # noqa: N802
+        """Top-level key view, ES-nested-map-faithful for the flat
+        model: dotted columns contribute their FIRST segment under this
+        node's prefix (ctx.keySet() on {a.b, a.c, d} -> [a, d]); dynamic
+        _extras keys appear by name; internal __ fields are hidden.
+        Requires the whole row (the UDF ships all columns when a script
+        calls keySet/size/isEmpty on ctx — collect_ctx_paths marker)."""
+        pref = self._prefix + "." if self._prefix else ""
+        out: list[str] = []
+        seen: set[str] = set()
+
+        def add(full):
+            if pref and not full.startswith(pref):
+                return
+            seg = str(full)[len(pref):].split(".")[0]
+            if not seg or seg.startswith("__"):
+                return
+            if seg not in seen:
+                seen.add(seg)
+                out.append(seg)
+
+        for k in self._row:
+            if k == "_extras":
+                ex = self._row[k]
+                if isinstance(ex, dict):
+                    for ek in ex:
+                        add(ek)
+                continue
+            add(k)
+        removed_tops = set()
+        for k, v in self._writes.items():
+            if v is _REMOVED:
+                if k.startswith(pref) and "." not in k[len(pref):]:
+                    removed_tops.add(k[len(pref):])
+                continue
+            add(k)
+        return JList(JStr(k) for k in out if k not in removed_tops)
+
+    def size(self):
+        return len(self.keySet())
+
+    def isEmpty(self):             # noqa: N802
+        return not self.keySet()
+
     def containsKey(self, name):   # noqa: N802
         # ES map parity: a key written null is PRESENT; a removed key is
         # not.  Source rows consult the __nullset explicit-null registry.
@@ -2777,13 +2829,16 @@ class _JavaString:
             str(p) if isinstance(p, str) else _jrender(p) for p in parts))
 
     @staticmethod
-    def format(fmt, args):
-        """java.lang.String.format — painless signature takes a def[]
-        (an array literal after the `new def[]{...}` lowering).  The
-        common conversions map 1:1 onto Python %-formatting; %b renders
-        Java booleans, %n a newline."""
-        if not isinstance(args, (list, tuple)):
-            args = [args]
+    def format(fmt, *args):
+        """java.lang.String.format — accepts BOTH painless signatures:
+        a def[] second arg (`new def[]{...}` lowering) and Java-style
+        varargs (`String.format('%05d-%s', x, y)`).  The common
+        conversions map 1:1 onto Python %-formatting; %b renders Java
+        booleans, %n a newline."""
+        if len(args) == 1 and isinstance(args[0], (list, tuple)):
+            args = list(args[0])
+        else:
+            args = list(args)
         it = iter(args)
         out = []
         pos = 0

@@ -540,7 +540,14 @@ def _script_interpreted(df, spec, ctx, active):
 
     cfg = spec.config
     cs = CompiledScript(cfg.get("source", ""), cfg.get("params"))
-    in_paths = [p for p in sorted(cs.reads | cs.writes) if p in df.columns]
+    if "__ALL__" in cs.reads:
+        # ctx.keySet()/size()/isEmpty(): the whole-document view needs
+        # every column shipped (column pruning would hide fields)
+        in_paths = sorted(set(df.columns)
+                          | {p for p in cs.writes if p in df.columns})
+    else:
+        in_paths = [p for p in sorted(cs.reads | cs.writes)
+                    if p in df.columns]
     # dynamic keys (kv/json -> _extras) read by the script: ship them into
     # the UDF through the same lift-on-read the Column compiler uses
     dyn_reads = []

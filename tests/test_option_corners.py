@@ -597,3 +597,18 @@ def test_register_dir_es_api_format(spark, registry, tmp_path):
                        ("plain", "plain")]:
         got = run_pipeline(df, name, registry).collect()[0]["foo"]
         assert got == want, (name, got)
+
+
+def test_script_ctx_keyset_ships_all_columns(spark, registry):
+    """ctx.keySet() in a script processor sees EVERY document field (the
+    __ALL__ read marker defeats column pruning into the UDF)."""
+    out = run_one(spark, registry,
+                  [{"script": {"source":
+                    "def ks = new ArrayList(ctx.keySet()); ks.sort(null); "
+                    "ctx.fields = String.join(',', ks); "
+                    "ctx.nf = ctx.size();"}}],
+                  [("v1", "v2", 3)], "alpha string, beta string, gamma long")
+    r = out[0]
+    got = set(r["fields"].split(","))
+    assert {"alpha", "beta", "gamma"} <= got
+    assert r["nf"] >= 3

@@ -516,3 +516,28 @@ def test_string_replaceall_java_replacement_syntax():
     out2 = run("ctx.r = ctx.s.replaceAll('(?<d>\\\\d+)', '<${d}>');",
                {"s": "a12"})
     assert out2 == {"r": "a<12>"}
+
+
+def test_ctx_whole_document_views():
+    # keySet/size/isEmpty on ctx: top-level-segment view of the flat
+    # model (dotted columns collapse to their first segment, like the
+    # reference's nested document map); keys are Java strings
+    out = run_p("ctx.n = ctx.size(); "          # BEFORE any new key
+                "def ks = new ArrayList(ctx.keySet()); ks.sort(null); "
+                "ctx.r = ks;",
+                {"a.b": 1, "a.c": 2, "d": 3}, None)
+    # live-map semantics: size() counted the just-written 'n' too
+    assert out["r"] == ["a", "d", "n"] and out["n"] == 2
+    # the strip-fields-by-prefix cleanup idiom
+    out2 = run_p("def drop = []; for (k in ctx.keySet()) "
+                 "{ if (k.startsWith('tmp')) { drop.add(k); } } "
+                 "for (k in drop) { ctx.remove(k); } ctx.done = true;",
+                 {"tmp_a": 1, "keep": 2}, None)
+    assert out2["done"] is True and out2["tmp_a"] is None
+
+
+def test_string_format_both_signatures():
+    out = run_p("ctx.a = String.format('%05d-%s', ctx.i, ctx.s); "
+                "ctx.b = String.format('%d', new def[]{7});",
+                {"i": 42, "s": "x"}, None)
+    assert out == {"a": "00042-x", "b": "7"}
