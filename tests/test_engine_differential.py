@@ -238,6 +238,54 @@ def test_generated_string_matrix_agrees(string_results):
     assert not errors, "\n".join(errors)
 
 
+def _gen_bool_corpus():
+    """Comparison/ternary matrix: every comparator over mixed operand
+    pairs, negated and chained with &&/||, plus a ternary selecting on
+    each — the full boolean lowering surface."""
+    cmps = ["==", "!=", "<", "<=", ">", ">="]
+    pairs = [("ctx.i", "ctx.j"), ("ctx.d", "2.5"), ("ctx.i", "7"),
+             ("ctx.s", "'Hello World'"), ("ctx.z", "0")]
+    corpus = []
+    for k, op in enumerate(cmps):
+        for a, b in pairs:
+            corpus.append(f"ctx.r = {a} {op} {b};")
+            corpus.append(f"ctx.r = !({a} {op} {b});")
+            o2 = cmps[(k + 1) % len(cmps)]
+            corpus.append(
+                f"ctx.r = {a} {op} {b} && ctx.b || ctx.i {o2} 5;")
+            corpus.append(f"ctx.r = {a} {op} {b} ? 'T' : 'F';")
+    return corpus
+
+
+@pytest.fixture(scope="module")
+def bool_results(spark):
+    df = spark.createDataFrame([tuple(DOC.values())],
+                               ", ".join(f"`{k}` {t.split()[1]}"
+                                         for k, t in zip(
+                                             DOC, SCHEMA.split(", "))))
+    cols = {}
+    expected = {}
+    for idx, src in enumerate(_gen_bool_corpus()):
+        try:
+            assignments = compile_script(src, resolver_for(df))
+        except UnsupportedScriptError:
+            continue
+        for path, col in assignments:
+            cols[f"b{idx}_{path}"] = col
+        for path, val in CompiledScript(src).run_row(dict(DOC)).items():
+            expected[f"b{idx}_{path}"] = val
+    row = df.withColumns(cols).select(*cols).collect()[0].asDict()
+    return row, expected
+
+
+def test_generated_boolean_matrix_agrees(bool_results):
+    row, expected = bool_results
+    assert len(expected) >= 80
+    errors = [f"{k}: column={row.get(k)!r} interpreter={v!r}"
+              for k, v in expected.items() if row.get(k) != v]
+    assert not errors, "\n".join(errors)
+
+
 @pytest.fixture(scope="module")
 def arith_results(spark):
     df = spark.createDataFrame([tuple(DOC.values())],
