@@ -1855,6 +1855,12 @@ class _CtxNode:
     def isEmpty(self):             # noqa: N802
         return not self.keySet()
 
+    def values(self):
+        return JList(self._lookup(self._key(k)) for k in self.keySet())
+
+    def entrySet(self):            # noqa: N802
+        return JList(_CtxEntry(self, k) for k in self.keySet())
+
     def containsKey(self, name):   # noqa: N802
         # ES map parity: a key written null is PRESENT; a removed key is
         # not.  Source rows consult the __nullset explicit-null registry.
@@ -1878,6 +1884,26 @@ class _CtxNode:
     def remove(self, name):
         prev = self.get(name)
         self._writes[self._key(name)] = _REMOVED
+        return prev
+
+
+class _CtxEntry:
+    """Live Map.Entry over the document node (entrySet element)."""
+
+    __slots__ = ("_n", "_k")
+
+    def __init__(self, node, k):
+        self._n, self._k = node, k
+
+    def getKey(self):              # noqa: N802
+        return JStr(self._k)
+
+    def getValue(self):            # noqa: N802
+        return self._n[self._k]
+
+    def setValue(self, v):         # noqa: N802
+        prev = self._n[self._k]
+        self._n[self._k] = v
         return prev
 
 

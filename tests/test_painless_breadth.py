@@ -541,3 +541,17 @@ def test_string_format_both_signatures():
                 "ctx.b = String.format('%d', new def[]{7});",
                 {"i": 42, "s": "x"}, None)
     assert out == {"a": "00042-x", "b": "7"}
+
+
+def test_ctx_values_and_entryset():
+    out = run_p("def v = ctx.values(); ctx.n = v.size(); "
+                "def m = [:]; for (e in ctx.entrySet()) "
+                "{ m[e.getKey()] = e.getValue(); } ctx.copy = m;",
+                {"a": 1, "b": "x"}, None)
+    # live map: the copy sees the just-written 'n' too
+    assert out["n"] == 2 and out["copy"] == {"a": 1, "b": "x", "n": 2}
+    # Entry.setValue writes through to the document
+    out2 = run_p("for (e in ctx.entrySet()) "
+                 "{ if (e.getKey() == 'a') { e.setValue(99); } }",
+                 {"a": 1, "b": 2}, None)
+    assert out2 == {"a": 99}
