@@ -262,6 +262,36 @@ def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
     if _is_multi(df, cfg, f_name):
         return _multi_exact(df, cfg, dim, key_col, props, f_name, target,
                             active)
+    # literal-map fast path (r6, guide §2.4/§3.1): a tiny string-keyed dim
+    # compiles to ONE map literal probed per row — no BroadcastExchange, no
+    # hash-join output-row copy, and the probe fuses into the surrounding
+    # whole-stage codegen span instead of splitting it.  Measured on the
+    # flagship (1M rows, local[32]): the two role/tool lookups cost +0.54s
+    # as broadcast hash joins (the wide working row is re-copied through
+    # each join) vs ~0.05s as fused map probes.  Join-path parity: the dim
+    # is already deduped; a NULL dim key never matches a left join, so it
+    # is dropped; a NULL probe key returns NULL (miss).  Non-string keys
+    # keep the join (map probes in string space would change coercion).
+    key_dt = dim.schema[key_col].dataType
+    if isinstance(key_dt, T.StringType):
+        rows = [r for r in dim.collect() if r[key_col] is not None]
+        if len(rows) <= _MULTI_LITERAL_CAP:
+            struct_t = T.StructType(
+                [T.StructField(p, dim.schema[p].dataType) for p in props])
+            tmp = "__lkv_" + dim_name.replace(".", "_")
+            if rows:
+                m = F.create_map(*[c for r in rows for c in (
+                    F.lit(r[key_col]),
+                    F.struct(*[F.lit(r[p]).cast(struct_t[p].dataType).alias(p)
+                               for p in props]))])
+                looked = F.try_element_at(
+                    m, _lookup_key(df, cfg, f_name).cast("string"))
+            else:
+                looked = F.lit(None).cast(struct_t)
+            df = df.withColumn(tmp, looked)
+            updates = {f"{target}.{p}": fcol(tmp)[p] for p in props}
+            df = guarded(df, active, updates)
+            return df.drop(tmp)
     joined = "__lk_" + dim_name
     renamed = dim.select(
         F.col(key_col).alias(joined),

@@ -129,18 +129,20 @@ def p_grok(df, spec, ctx):
         gidx = _group_indexes(nc)
         groups = list(compiled.group_maps[0].items())  # (gname, fieldname)
         gsrc = F.when(active, src)  # inactive rows never run the regex
-        matched_raw = gsrc.rlike(java_rx)
         # packed fast path: ONE regexp_replace rewrites the whole string
-        # to all captures \x01-joined — 2 regex executions total (rlike +
-        # replace) instead of 1 + N regexp_extract.  Unanchored patterns
+        # to all captures \x01-joined, with a LEADING \x01 SENTINEL — one
+        # regex execution per row TOTAL (r6; was rlike + replace = 2 for
+        # matching rows): a non-match leaves the source unchanged, and a
+        # source without \x01 can never start with the sentinel, so
+        # startswith('\x01') IS the match test.  Unanchored patterns
         # (ES search semantics) get group-local-DOTALL wrappers
         # \A(?s:.*?) ... (?s:.*)\z so the single match consumes the whole
         # string without changing `.` semantics INSIDE the user pattern.
         #
-        # MATERIALIZATION STAGING: the regex result lands in ONE
-        # __grok_parts column.  Spark >= 3.3 (SPARK-36718) keeps it
+        # MATERIALIZATION STAGING: the regexp_replace lands in ONE
+        # __grok_packed_src column.  Spark >= 3.3 (SPARK-36718) keeps it
         # staged: CollapseProject refuses to inline a non-cheap producer
-        # expression (regexp_replace/rlike) that downstream projections
+        # expression (regexp_replace) that downstream projections
         # reference more than once, so the regex tree exists exactly once
         # in the physical plan and runs once per row — without this the
         # regex would re-execute per downstream reference
@@ -149,32 +151,40 @@ def p_grok(df, spec, ctx):
         # staging with a nondeterministic rand() guard; Spark 4.1
         # constant-folds that guard away (plan showed no rand), proving
         # the CollapseProject rule is what actually protects the plan.
-        # tests/test_plan_shape.py pins single-execution (RLIKE count).
+        # tests/test_plan_shape.py pins single-execution (the only RLIKE
+        # left sits behind the lazily-evaluated contains('\x01') branch).
         pat = compiled.java_patterns[0]
-        if len(groups) >= 3:
-            # packed: ONE regexp_replace -> \x01-joined captures -> split
-            refs = "\x01".join("${" + g + "}" for g, _ in groups)
+        if groups:
+            refs = "\x01" + "\x01".join("${" + g + "}" for g, _ in groups)
             pre = "" if pat.startswith("^") else r"\A(?s:.*?)"
-            post = "" if pat.endswith("$") else r"(?s:.*)\z"
-            packed = F.regexp_replace(gsrc, pre + java_rx + post, refs)
+            # a trailing $ only anchors when not escaped (\$ is a literal)
+            m_end = re.search(r"(\\*)\$\Z", pat)
+            anchored_end = bool(m_end) and len(m_end.group(1)) % 2 == 0
+            post = "" if anchored_end else r"(?s:.*)\z"
+            df = df.withColumn(
+                "__grok_packed_src",
+                F.regexp_replace(gsrc, pre + java_rx + post, refs))
+            pk = fcol("__grok_packed_src")
             # a source row CONTAINING the \x01 separator would mis-split
             # the packed column; such rows (vanishingly rare in real
-            # text) take a per-group regexp_extract branch instead —
-            # CASE evaluates lazily, so ordinary rows never pay the
-            # N-extract cost and \x01 rows are still exact
-            extracted = F.array(*[
+            # text) take an rlike + per-group regexp_extract branch
+            # instead — CASE evaluates lazily, so ordinary rows never pay
+            # that cost and \x01 rows are still exact.  The leading ""
+            # element keeps both branches aligned with the sentinel split.
+            extracted = F.array(F.lit(""), *[
                 F.regexp_extract(gsrc, java_rx, gidx[g])
                 for g, _ in groups])
-            raw_parts = F.when(gsrc.contains("\x01"), extracted) \
-                .otherwise(F.split(packed, "\x01", -1))
+            has_sep = gsrc.contains("\x01")
+            matched_src = F.when(has_sep, gsrc.rlike(java_rx)) \
+                .otherwise(pk.startswith("\x01"))
+            raw_parts = F.when(has_sep, extracted) \
+                .otherwise(F.split(pk, "\x01", -1))
         else:
-            raw_parts = F.array(*[
-                F.regexp_extract(gsrc, java_rx, gidx[g])
-                for g, _ in groups])
-        # stage 1 — the regex output lands in ONE array column; the
-        # non-cheap CASE/regex tree is multi-referenced downstream, so
-        # CollapseProject keeps it staged (see note above)
-        df = df.withColumn("__grok_parts", F.when(matched_raw, raw_parts))
+            matched_src = gsrc.rlike(java_rx)
+            raw_parts = F.array(F.lit(""))
+        # stage 1 — the parts land in ONE array column, multi-referenced
+        # downstream, so CollapseProject keeps the stage (see note above)
+        df = df.withColumn("__grok_parts", F.when(matched_src, raw_parts))
         pcol = fcol("__grok_parts")
         matched = pcol.isNotNull()
 
@@ -186,8 +196,10 @@ def p_grok(df, spec, ctx):
             return v.alias(g)
 
         # stage 2 — typed struct built from cheap attribute accesses
+        # (element 1 is the "" before the leading sentinel; captures
+        # start at 2)
         vals = F.struct(*[
-            _typed(g, fname, F.element_at(pcol, i + 1))
+            _typed(g, fname, F.element_at(pcol, i + 2))
             for i, (g, fname) in enumerate(groups)])
         df = df.withColumn("__grok_packed", F.when(matched, vals))
         updates = {fname: fcol("__grok_packed")[g] for g, fname in groups}
@@ -272,7 +284,7 @@ def p_grok(df, spec, ctx):
                   "Provided Grok expressions do not match field value: ["
                   + f_name + "]")
     for c in ("__grok_matched", "__grok_interrupted", "__grok_packed",
-              "__grok_parts"):
+              "__grok_parts", "__grok_packed_src"):
         if c in df.columns:
             df = df.drop(c)
     return df
