@@ -234,6 +234,15 @@ def _segmented_first_match(pairs, barrier=False, seg=_UA_SEG):
     return F.expr("coalesce(" + ", ".join(segs) + ")")
 
 
+# compiled chain cache (r6): the three segmented CASE chains are pure
+# functions of the regex bank (builtin or regex_file) and reference only
+# the fixed __ua_act/__ua_src staging columns, so the unresolved Column
+# trees are reusable across every p_user_agent compile in the session.
+# Building them fresh cost ~0.3s of driver time per query build (py4j +
+# JVM-side parse of three multi-KB SQL expressions).
+_UA_CHAIN_CACHE: dict = {}
+
+
 def p_user_agent(df, spec, ctx):
     cfg = spec.config
     f_name = cfg["field"]
@@ -310,7 +319,12 @@ def p_user_agent(df, spec, ctx):
     # curated builtin bank (see ua_bank.default_regex_file).
     from .ua_bank import default_regex_file, load_uap_regexes_cached
     regex_file = cfg.get("regex_file") or default_regex_file()
-    if regex_file:
+    cache_key = (df.sparkSession.sparkContext.applicationId,
+                 regex_file or "__builtin__")
+    cached = _UA_CHAIN_CACHE.get(cache_key)
+    if cached is not None:
+        pass  # chains unpacked below
+    elif regex_file:
         # ES regex_file option (docs/index.asciidoc:173-200): a full
         # uap-core regexes.yaml used WHOLESALE — exact ua-parser group
         # numbering ($N templates; group 1 = family/os/device slot,
@@ -364,11 +378,34 @@ def p_user_agent(df, spec, ctx):
                     f"named_struct('d', {_family_of(dname, drx)})")
                    for dname, drx in _UA_DEVICES]
 
+    if cached is None:
+        b_chain = _segmented_first_match(b_pairs, barrier=True)
+        o_chain = _segmented_first_match(o_pairs)
+        d_chain = _segmented_first_match(d_pairs)
+        # device-type classification is a pure function of the UA string
+        # too — computed with the chains (i.e. on the distinct-parse dim
+        # when enabled) instead of per fact row: its 4 rlike groups were
+        # the dominant per-row cost of the join-back stage (r6)
+        usrc = F.col("__ua_src")
+        t_chain = (
+            F.when(usrc.rlike(r"(?i)bot|spider|crawler|slurp|curl|wget|"
+                              r"python-requests|urllib|go-http-client|okhttp"),
+                   "Robot")
+            .when(usrc.rlike(r"iPad") | usrc.rlike(r"Android(?!.*Mobile)"),
+                  "Tablet")
+            .when(usrc.rlike(r"iPhone|Windows Phone")
+                  | usrc.rlike(r"Android.*Mobile"), "Phone")
+            .when(usrc.rlike(r"Smart-?TV|AppleTV|Apple TV|CrKey|Roku/DVP|"
+                             r"HbbTV|NetCast\.TV|Web0S.*?TV|BRAVIA|VIERA|"
+                             r"GoogleTV"), "Smart TV")
+            .otherwise("Desktop"))
+        _UA_CHAIN_CACHE[cache_key] = (b_chain, o_chain, d_chain, t_chain)
+    else:
+        b_chain, o_chain, d_chain, t_chain = cached
     chains = {}
-    b_chain = _segmented_first_match(b_pairs, barrier=True)
-    o_chain = _segmented_first_match(o_pairs)
-    d_chain = _segmented_first_match(d_pairs)
     bcol = ocol = dcol = None
+    if cfg.get("extract_device_type", False):
+        chains["__uat"] = t_chain
     if b_chain is not None:
         chains["__uab"] = b_chain
         bcol = "__uab"
@@ -437,19 +474,10 @@ def p_user_agent(df, spec, ctx):
         f"{target}.original": ua,
     }
     if cfg.get("extract_device_type", False):
-        # ES 8 beta option: coarse device class from UA hints
-        updates[f"{target}.device.type"] = (
-            F.when(ua.rlike(r"(?i)bot|spider|crawler|slurp|curl|wget|"
-                            r"python-requests|urllib|go-http-client|okhttp"),
-                   "Robot")
-            .when(ua.rlike(r"iPad") | ua.rlike(r"Android(?!.*Mobile)"),
-                  "Tablet")
-            .when(ua.rlike(r"iPhone|Windows Phone")
-                  | ua.rlike(r"Android.*Mobile"), "Phone")
-            .when(ua.rlike(r"Smart-?TV|AppleTV|Apple TV|CrKey|Roku/DVP|"
-                           r"HbbTV|NetCast\.TV|Web0S.*?TV|BRAVIA|VIERA|"
-                           r"GoogleTV"), "Smart TV")
-            .otherwise("Desktop"))
+        # ES 8 beta option: coarse device class from UA hints — computed
+        # in the __uat chain (distinct-parse dim when enabled), not per
+        # fact row
+        updates[f"{target}.device.type"] = F.col("__uat")
     props = cfg.get("properties")
     if props:
         # ES: restrict the emitted properties (NAME/OS/DEVICE/ORIGINAL/

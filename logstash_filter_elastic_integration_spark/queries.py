@@ -1187,36 +1187,47 @@ def _connected_components(pairs, max_rounds: int = 20):
     pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # seed labels with one propagation round for free: pairs carry a < b,
-    # so min(a) over a node's partners IS its round-1 label — bucket-clique
-    # graphs (the common near-dup shape) then converge on the first check
-    pre = pairs.groupBy(F.col("b").alias("node")).agg(F.min("a").alias("m"))
-    labels = (edges.select(F.col("a").alias("node")).distinct()
-              .join(pre, "node", "left")
-              .select("node", F.least(F.col("node"),
-                                      F.coalesce("m", F.col("node")))
-                      .alias("lab"))
+    # seed labels with one propagation round for free: every node appears
+    # on the `a` side of the bidirectional edge list, so ONE partial+final
+    # groupBy yields least(node, min(neighbor)) — r6: the former
+    # distinct + pre-groupBy + left-join seed collapsed into a single
+    # aggregation (one shuffle instead of two plus a join); bucket-clique
+    # graphs (the common near-dup shape) still converge on the first check
+    labels = (edges.groupBy(F.col("a").alias("node"))
+              .agg(F.min("b").alias("m"))
+              .select("node",
+                      F.least(F.col("node"), F.col("m")).alias("lab"))
               .localCheckpoint(eager=True))
     changed = 1
     for _ in range(max_rounds):
         nbr = (edges.join(labels.select(F.col("node").alias("b"), "lab"), "b")
                .groupBy("a").agg(F.min("lab").alias("nlab")))
+        # r6: the old-label column rides along so the convergence check is
+        # a filter over the checkpointed frame instead of a join back to
+        # the previous labels, and the check runs BEFORE the pointer-jump
+        # self-join — a converged graph (the common case: the seed already
+        # labels cliques) pays one join + one agg per round, not three
+        # joins.  Exit criterion unchanged: a full min-neighbor
+        # propagation that changes nothing is the fixpoint (labels are
+        # then constant within each component = the component min), and
+        # at that point the pointer jump is a no-op by construction.
         hop = (labels.join(nbr, labels["node"] == nbr["a"], "left")
-               .select("node", F.least(
-                   F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab")))
+               .select("node", F.col("lab").alias("old"),
+                       F.least(F.col("lab"),
+                               F.coalesce("nlab", F.col("lab"))).alias("lab"))
+               .localCheckpoint(eager=True))
+        changed = hop.filter(F.col("lab") != F.col("old")).limit(1).count()
+        if changed == 0:
+            return hop.select("node", "lab")
+        hop = hop.drop("old")
         # pointer jump: lab := label(lab) — every label is itself a node id,
         # so a self-join shortcuts chains (doubling reach per round)
         lol = hop.select(F.col("node").alias("lab"),
                          F.col("lab").alias("lab2"))
-        new = (hop.join(lol, "lab", "left")
-               .select("node", F.least(
-                   F.col("lab"), F.coalesce("lab2", F.col("lab"))).alias("lab"))
-               .localCheckpoint(eager=True))
-        changed = (new.join(labels.withColumnRenamed("lab", "old"), "node")
-                   .filter(F.col("lab") != F.col("old")).limit(1).count())
-        labels = new
-        if changed == 0:
-            break
+        labels = (hop.join(lol, "lab", "left")
+                  .select("node", F.least(
+                      F.col("lab"), F.coalesce("lab2", F.col("lab"))).alias("lab"))
+                  .localCheckpoint(eager=True))
     if changed != 0:
         # a silent fall-through would emit WRONG cluster ids — fail loud
         raise RuntimeError(
@@ -1732,10 +1743,6 @@ def _q_quant(col):
     return F.transform(col, lambda x: F.round(x * _KM_Q).cast("long"))
 
 
-def _lit_ivec(v):
-    return F.array(*[F.lit(int(x)) for x in v])
-
-
 def _assign_cell_expr(points, cents, qv="qv"):
     """Expression-level argmin over LITERAL centroids — a pure projection.
 
@@ -1753,13 +1760,24 @@ def _assign_cell_expr(points, cents, qv="qv"):
     because ``cents`` is sorted by cid and array_position returns the
     FIRST match of the min."""
     cents = sorted(cents, key=lambda t: t[0])
-    cmat = F.array(*[_lit_ivec(cv) for _, cv in cents])
-    darr = F.transform(cmat, lambda c: F.aggregate(
-        F.zip_with(F.col(qv), c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"), lambda a, x: a + x))
-    idx = F.array_position(darr, F.array_min(darr)).cast("int")
-    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
-    return points.withColumn("cell", F.element_at(cid_arr, idx))
+    # r6: ONE F.expr per column instead of ~550 py4j Column calls — the
+    # k x dim literal matrix built call-by-call cost ~0.7s of DRIVER time
+    # per Lloyd iteration (measured; the SQL string parses in one JVM
+    # round-trip to the identical Catalyst tree).  The distance array is
+    # staged in its own column so array_min + array_position reference a
+    # cheap attribute instead of re-evaluating the transform (SPARK-36718
+    # CollapseProject staging, same contract as the grok lowering).
+    cmat_sql = "array(" + ", ".join(
+        "array(" + ", ".join(str(int(x)) for x in cv) + ")"
+        for _, cv in cents) + ")"
+    darr_sql = (f"transform({cmat_sql}, c -> aggregate(zip_with({qv}, c, "
+                "(x, y) -> (x - y) * (x - y)), cast(0 as bigint), "
+                "(a, x) -> a + x))")
+    cid_sql = "array(" + ", ".join(str(int(cid)) for cid, _ in cents) + ")"
+    cell_sql = (f"element_at({cid_sql}, cast(array_position(__ivf_d, "
+                "array_min(__ivf_d)) as int))")
+    return (points.withColumn("__ivf_d", F.expr(darr_sql))
+            .withColumn("cell", F.expr(cell_sql)).drop("__ivf_d"))
 
 
 def _train_ivf_centroids(spark, sf_dir):
@@ -1790,10 +1808,13 @@ def _train_ivf_centroids(spark, sf_dir):
              for r in emb.filter(F.col("vec_id") < _KM_K)
              .select("vec_id", "qv").collect()]
     for _ in range(2):  # fixed iteration count = oracle-expressible
+        # r6: agg columns via F.expr (one JVM parse each) — the 64
+        # floor(sum/count) trees built call-by-call were measured driver
+        # overhead, same rationale as _assign_cell_expr
         rows = (_assign_cell_expr(emb, cents)
                 .groupBy("cell")
-                .agg(*[F.floor(F.sum(F.element_at("qv", i + 1))
-                               / F.count("*")).cast("long").alias(f"c{i}")
+                .agg(*[F.expr(f"cast(floor(sum(element_at(qv, {i + 1})) "
+                              f"/ count(*)) as bigint) as c{i}")
                        for i in range(_ANN_DIM)])
                 .collect())
         cents = [(int(r["cell"]), [int(r[f"c{i}"]) for i in range(_ANN_DIM)])
