@@ -543,6 +543,17 @@ def validate(tree: ast.AST) -> None:
         if isinstance(node, ast.Name) and node.id.startswith("__") \
                 and not node.id.startswith(("__wcap", "__dwfirst")):
             raise UnsupportedScriptError(f"name {node.id!r} blocked")
+        # the ?. lowering (_NullSafe, applied before validate) turns the
+        # attribute name into a string Constant argument of _nsget/_nscall
+        # — apply the same underscore block there, or a script could reach
+        # __class__/__mro__ and escape the interpreter sandbox (r5 ADVICE)
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and node.func.id in ("_nsget", "_nscall")
+                and len(node.args) > 1
+                and isinstance(node.args[1], ast.Constant)
+                and str(node.args[1].value).startswith("_")):
+            raise UnsupportedScriptError(
+                f"attribute {node.args[1].value!r} blocked")
 
 
 # Java Collection/Map methods that mutate the receiver IN PLACE.  A call
@@ -587,12 +598,23 @@ def collect_ctx_paths(tree: ast.AST):
     for node in ast.walk(tree):
         if (isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
-                and isinstance(node.func.value, ast.Name)
-                and node.func.value.id == "ctx"
                 and node.func.attr in ("keySet", "size", "isEmpty",
                                        "entrySet", "values")):
-            # whole-document views: every column must ship into the UDF
-            reads.add("__ALL__")
+            base = path_of(node.func.value)
+            if base == "":
+                # whole-document views on ctx itself: every column must
+                # ship into the UDF
+                reads.add("__ALL__")
+            elif base is not None:
+                # r5 ADVICE: a NESTED receiver (ctx.some_obj.keySet())
+                # previously recorded only a read of 'some_obj' — not a
+                # flat column — so nothing shipped and the row NPE'd
+                # instead of listing keys.  Record a prefix marker; the
+                # consumer ships every column under 'some_obj.' when
+                # 'some_obj' is not itself a flat column (a flat list
+                # receiver, e.g. ctx.tags.size(), stays covered by the
+                # ordinary method-receiver read below).
+                reads.add(f"__PREFIX__:{base}")
         if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
                 and node.func.id in ("_nsget", "_nscall") and node.args:
             # lowered null-safe access `ctx.a?.b`: a READ of a.b
@@ -3575,10 +3597,18 @@ class _UShrPartial:
         self.left = left
 
     def __rshift__(self, n):
+        # Java >>> semantics (r5 ADVICE): the shift count is masked by
+        # width-1 (x >>> 32 == x for int), and shift-by-0 returns the
+        # value unchanged (-1 >>> 0 == -1).  Width still comes from the
+        # runtime value's range (int if it fits, else long) — the
+        # documented heuristic in lieu of static type tracking.
         v = self.left
-        mask = 0xFFFFFFFF if -2 ** 31 <= v <= 2 ** 31 - 1 \
-            else 0xFFFFFFFFFFFFFFFF
-        return (v & mask) >> n
+        is_int = -2 ** 31 <= v <= 2 ** 31 - 1
+        n_eff = n & (31 if is_int else 63)
+        if n_eff == 0:
+            return v
+        mask = 0xFFFFFFFF if is_int else 0xFFFFFFFFFFFFFFFF
+        return (v & mask) >> n_eff
 
 
 class _JThrown(Exception):
@@ -3641,6 +3671,8 @@ def _nsget(v, name):
     """`a?.b` — null receiver short-circuits to null."""
     if v is None:
         return None
+    if name.startswith("_"):  # mirror validate(): sandbox, not reachable
+        raise AttributeError(f"attribute {name!r} blocked")
     try:
         return getattr(v, name)
     except AttributeError:
@@ -3653,6 +3685,8 @@ def _nscall(v, name, *args):
     """`a?.m(x)` — null receiver short-circuits without invoking."""
     if v is None:
         return None
+    if name.startswith("_"):  # mirror validate(): sandbox, not reachable
+        raise AttributeError(f"attribute {name!r} blocked")
     return getattr(v, name)(*args)
 
 

@@ -31,11 +31,16 @@ def template_column(df: DataFrame, template) -> Column:
         if ref == "_ingest.timestamp":
             # ES IngestDocument metadata: the pipeline's ingest instant
             # (UTC ISO-8601); current_timestamp is per-query-constant,
-            # the Spark analogue of the per-batch ingest time
+            # the Spark analogue of the per-batch ingest time.  Rendered
+            # explicitly in UTC (r5 ADVICE: to_utc_timestamp(...,'UTC')
+            # was a no-op and date_format used the SESSION zone, so a
+            # non-UTC session produced local time + local offset):
+            # convert_timezone yields a TIMESTAMP_NTZ carrying the UTC
+            # wall clock, which date_format renders zone-independently.
             parts.append(F.date_format(
-                F.to_utc_timestamp(F.current_timestamp(),
-                                   F.lit("UTC")),
-                "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+                F.convert_timezone(F.current_timezone(), F.lit("UTC"),
+                                   F.current_timestamp()),
+                "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
         elif ref.startswith("_ingest.on_failure") and ref in df.columns:
             parts.append(F.coalesce(fcol(ref).cast("string"), F.lit("")))
         elif ref in df.columns:

@@ -548,6 +548,15 @@ def _script_interpreted(df, spec, ctx, active):
     else:
         in_paths = [p for p in sorted(cs.reads | cs.writes)
                     if p in df.columns]
+        # nested map views (ctx.obj.keySet() etc., r5 ADVICE): ship every
+        # flat column under the receiver prefix when the receiver is not
+        # itself a flat column
+        for m in sorted(p for p in cs.reads if p.startswith("__PREFIX__:")):
+            base = m.split(":", 1)[1]
+            if base not in df.columns:
+                in_paths += [c for c in df.columns
+                             if c.startswith(base + ".")
+                             and c not in in_paths]
     # dynamic keys (kv/json -> _extras) read by the script: ship them into
     # the UDF through the same lift-on-read the Column compiler uses
     dyn_reads = []

@@ -459,12 +459,16 @@ def p_json(df, spec, ctx):
     add_to_root = cfg.get("add_to_root", False)
     strict = cfg.get("strict_json_parsing", True)
     allow_dup = cfg.get("allow_duplicate_keys", False)
-    if allow_dup:
+    if allow_dup and df.sparkSession.conf.get(
+            "spark.sql.variant.allowDuplicateKeys", "false") != "true":
         # ES allow_duplicate_keys=true: last duplicate wins.  Jackson
         # (from_json) natively last-wins; the variant parser rejects
-        # duplicates unless the session conf says otherwise — flip it
-        # here (strict mode below stays exact under EITHER conf state,
-        # so this cannot corrupt other pipelines in the session).
+        # duplicates unless the session conf says otherwise.  Engine
+        # sessions set the conf statically at build (session.py), so
+        # this compile-time mutation only fires on foreign sessions —
+        # r5 ADVICE: a mid-session conf flip silently changed other
+        # pipelines' behavior; the strict duplicate check below is
+        # conf-independent either way.
         df.sparkSession.conf.set(
             "spark.sql.variant.allowDuplicateKeys", "true")
     # Spark's json parser is natively LENIENT exactly like ES's

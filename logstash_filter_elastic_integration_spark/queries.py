@@ -855,7 +855,7 @@ def q_token_rolling_hash(spark, sf_dir):
       arithmetic so the oracle matches bit-for-bit: v(word) =
       len(word)*31 + first-char-code; h = (h*131 + v) mod 1e9+7, folded
       left-to-right with F.aggregate."""
-    doc = load(spark, sf_dir, "documents")
+    doc = _spread(load(spark, sf_dir, "documents"), "doc_id")
     pat = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]+"
     words = F.split("text", " ")
     v = lambda w: (F.length(w) * 31 + F.ascii(F.substring(w, 1, 1))).cast("long")  # noqa: E731
@@ -988,14 +988,21 @@ def _md5_long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _spread(df, *cols):
+def _spread(df, *cols, waves: int = 2):
     """Explicit fan-out before compute-heavy per-row sketch work.  Small
     inputs arrive as one parquet split (and AQE coalesces tiny shuffles to
     one partition because it sizes by bytes, not downstream CPU) — without
     this the whole sketch runs on a single core.  AQE does not re-coalesce
     a user-specified repartition, and at 100 TB the same call balances
-    skew from variable document lengths."""
-    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    skew from variable document lengths.
+
+    ``waves`` — task waves per core.  2 (default) for JVM stages: cheap
+    tasks, finer skew balance.  1 for stages feeding mapInPandas: each
+    Python task costs ~10-20 ms of Arrow/worker round-trip regardless of
+    data (measured: a trivial mapInPandas over 5k rows takes 0.58 s at 64
+    partitions vs 0.32 s at 32 on local[32]), and guide §4.2 wants fewer,
+    larger batches across the Python boundary."""
+    n = df.sparkSession.sparkContext.defaultParallelism * waves
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
@@ -1375,7 +1382,7 @@ def q_doc_quality(spark, sf_dir):
     counts, stopword-ratio percent, and a composite keep/drop score of
     the common heuristic shape (length band + stopword evidence -
     symbol noise)."""
-    doc = load(spark, sf_dir, "documents")
+    doc = _spread(load(spark, sf_dir, "documents"), "doc_id")
     words = F.split("text", " ")
     tokens = F.size(words)
     mean_wlen_x100 = F.floor(
@@ -2078,7 +2085,7 @@ def q_multimodal_av(spark, sf_dir):
     doc = _spread(load(spark, sf_dir, "documents")
                   .select("doc_id",
                           F.col("n_chars").cast("long").alias("n_samples")),
-                  "doc_id")
+                  "doc_id", waves=1)
     feats = decode_av_features(encode_av(doc, side=16), blocks=4)
     # scalar rendering (driver canonicalizer can't sort list cells)
     return feats.withColumn(
@@ -2125,7 +2132,7 @@ def q_multimodal_video(spark, sf_dir):
     recomputes each sampled frame's features exactly."""
     from .operators.multimodal import encode_gif, sample_gif_frames
     doc = _spread(load(spark, sf_dir, "documents").select("doc_id"),
-                  "doc_id")
+                  "doc_id", waves=1)
     return sample_gif_frames(encode_gif(doc, side=8, frames=6), every=2)
 
 

@@ -67,6 +67,12 @@ def get_spark(
         .config("spark.sql.optimizer.excludedRules",
                 "org.apache.spark.sql.catalyst.optimizer."
                 "InferFiltersFromGenerate")
+        # static session default (r5 ADVICE fix): the json processor's
+        # allow_duplicate_keys=true needs the variant parser to accept
+        # duplicates; setting it here once keeps p_json from mutating the
+        # shared conf mid-session (the strict duplicate REJECTION is an
+        # explicit conf-independent check in operators/parse.py)
+        .config("spark.sql.variant.allowDuplicateKeys", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -567,3 +567,46 @@ def test_do_while_continue_reevaluates_condition():
 def test_do_while_body_runs_once_when_condition_false():
     cs = CompiledScript("int n = 0; do { n++; } while (false); ctx.n = n;")
     assert cs.run_row({}) == {"n": 1}
+
+
+# ------------------------------------------------------- r5 ADVICE fixes --
+
+def test_nullsafe_cannot_reach_underscore_attributes():
+    """Sandbox: the ?. lowering turns attribute names into string
+    constants — validate() must still block underscore names there
+    (previously ctx.msg?.__class__?.__mro__ compiled and returned live
+    class objects)."""
+    for src in ("ctx.a = ctx.msg?.__class__;",
+                "ctx.a = ctx.msg?.__class__?.__mro__;",
+                "ctx.a = ctx?._row;"):
+        with pytest.raises(UnsupportedScriptError):
+            CompiledScript(src)
+
+
+def test_ushr_java_corners():
+    """>>> must mask the shift count by width-1 and return the value
+    unchanged for an effective shift of 0 (Java int semantics:
+    -1 >>> 0 == -1, x >>> 32 == x)."""
+    cs = CompiledScript("ctx.a = -1 >>> 0; ctx.b = 7 >>> 32; "
+                        "ctx.c = -1 >>> 1; ctx.d = -8 >>> 2;")
+    out = cs.run_row({})
+    assert out["a"] == -1
+    assert out["b"] == 7
+    assert out["c"] == 2147483647
+    assert out["d"] == 1073741822
+
+
+def test_nested_object_keyset_ships_prefix_columns(spark, registry):
+    """ctx.some_obj.keySet() on a dotted-column object: the prefix's flat
+    columns must ship into the UDF (previously nothing shipped and the
+    row failed with an NPE instead of listing keys)."""
+    out = run_one(
+        spark, registry,
+        [{"script": {"lang": "painless", "source":
+                     "def ks = ctx.obj.keySet();"
+                     "ctx.nkeys = ks.size();"
+                     "ctx.names = ks.toString();"}}],
+        [("a", "b")], "`obj.x` string, `obj.y` string")
+    assert (out[0]["tags"] or []) == []
+    assert out[0]["nkeys"] == 2
+    assert out[0]["names"] == "[x, y]"
