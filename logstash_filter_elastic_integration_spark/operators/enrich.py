@@ -273,7 +273,7 @@ def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
     # is dropped; a NULL probe key returns NULL (miss).  Non-string keys
     # keep the join (map probes in string space would change coercion).
     key_dt = dim.schema[key_col].dataType
-    if isinstance(key_dt, T.StringType):
+    if props and isinstance(key_dt, T.StringType):
         rows = [r for r in dim.collect() if r[key_col] is not None]
         if len(rows) <= _MULTI_LITERAL_CAP:
             struct_t = T.StructType(
