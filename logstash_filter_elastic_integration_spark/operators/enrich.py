@@ -231,6 +231,24 @@ def _disjoint_narrowest(dim, lo: str, hi: str, props: list[str]):
                 F.col("__seg_hi").alias(hi), *props))
 
 
+def _literal_map_entry(dim, key_col: str, props: list[str]):
+    """(map-literal Column | None-if-empty, value struct type) for the
+    literal-map lookup fast path, or None when the dim exceeds the
+    literal cap (caller falls back to the broadcast join)."""
+    rows = [r for r in dim.collect() if r[key_col] is not None]
+    if len(rows) > _MULTI_LITERAL_CAP:
+        return None
+    struct_t = T.StructType(
+        [T.StructField(p, dim.schema[p].dataType) for p in props])
+    if not rows:
+        return (None, struct_t)
+    m = F.create_map(*[c for r in rows for c in (
+        F.lit(r[key_col]),
+        F.struct(*[F.lit(r[p]).cast(struct_t[p].dataType).alias(p)
+                   for p in props]))])
+    return (m, struct_t)
+
+
 def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
                       unavailable_tag: str | None):
     cfg = spec.config
@@ -274,16 +292,18 @@ def _broadcast_lookup(df, spec, ctx, dim_name: str, default_target: str,
     # keep the join (map probes in string space would change coercion).
     key_dt = dim.schema[key_col].dataType
     if props and isinstance(key_dt, T.StringType):
-        rows = [r for r in dim.collect() if r[key_col] is not None]
-        if len(rows) <= _MULTI_LITERAL_CAP:
-            struct_t = T.StructType(
-                [T.StructField(p, dim.schema[p].dataType) for p in props])
+        # the map literal is a pure function of the prepared dim — cached
+        # on the registry like the prepared dim itself (r6: re-collecting
+        # even a localized dim pays full query planning, measured ~0.27 s
+        # per lookup per Router.execute compile)
+        entry = _prepared_dim(
+            ctx, ("exact_lit", dim_name, id(dims[dim_name]), key_col,
+                  tuple(props)), dims[dim_name],
+            lambda: _literal_map_entry(dim, key_col, props))
+        if entry is not None:
+            m, struct_t = entry
             tmp = "__lkv_" + dim_name.replace(".", "_")
-            if rows:
-                m = F.create_map(*[c for r in rows for c in (
-                    F.lit(r[key_col]),
-                    F.struct(*[F.lit(r[p]).cast(struct_t[p].dataType).alias(p)
-                               for p in props]))])
+            if m is not None:
                 looked = F.try_element_at(
                     m, _lookup_key(df, cfg, f_name).cast("string"))
             else:

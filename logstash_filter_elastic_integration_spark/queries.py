@@ -1515,20 +1515,23 @@ def q_dedup_simhash(spark, sf_dir):
     ex = (doc.select("doc_id", F.explode(words).alias("w"))
           .withColumn("ha", _md5_long(F.col("w")))
           .withColumn("hb", _md5_long(F.concat(F.col("w"), F.lit("#1")))))
-    aggs = []
+    # r6 (guide §1.2 per-task work): the ±1 vote sum is computed as the
+    # branch-free ones-count — sum over the CASE WHEN bit=1 THEN 1 ELSE -1
+    # equals 2*ones - n exactly, so the majority test v_b > 0 becomes
+    # 2*ones_b > n.  64 branchless shift-and sums instead of 64
+    # conditional sums (and F.expr builds instead of per-call py4j Column
+    # trees) measured 1.12 s -> 0.53 s interleaved ABBA at sf0.1 with
+    # bit-identical output (asserted over the full result set).
+    aggs = [F.expr("count(*) as n")]
     for b in range(64):
-        src, sb = (F.col("ha"), b) if b < 60 else (F.col("hb"), b - 60)
-        aggs.append(F.sum(
-            F.when(F.shiftright(src, sb).bitwiseAND(F.lit(1)) == 1,
-                   1).otherwise(-1)).alias(f"v{b}"))
+        src, sb = ("ha", b) if b < 60 else ("hb", b - 60)
+        aggs.append(F.expr(f"sum(shiftright({src}, {sb}) & 1) as o{b}"))
     v = ex.groupBy("doc_id").agg(*aggs)
 
     def pack(lo_bit, hi_bit):
-        acc = F.lit(0)
-        for b in range(lo_bit, hi_bit):
-            acc = acc + F.when(F.col(f"v{b}") > 0,
-                               F.lit(1 << (b - lo_bit))).otherwise(F.lit(0))
-        return acc.cast("long")
+        return F.expr("cast(" + " + ".join(
+            f"(case when 2*o{b} > n then {1 << (b - lo_bit)} else 0 end)"
+            for b in range(lo_bit, hi_bit)) + " as bigint)")
 
     return v.select("doc_id", pack(0, 32).alias("sim_lo"),
                     pack(32, 64).alias("sim_hi"))
