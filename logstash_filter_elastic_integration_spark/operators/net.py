@@ -973,8 +973,21 @@ def p_community_id(df, spec, ctx):
         .otherwise(dst_port)
     one_way = is_icmp & equiv.isNull()
 
-    src_hex = _ip_hex_any(src_ip)
-    dst_hex = _ip_hex_any(dst_ip)
+    # r6: stage the endpoint-hex conversions in their own columns — each
+    # is referenced by the ordering flip, both tuple slots and the ok
+    # check, and the inlined copies of the (large, IPv6-capable) _ip_hex_any
+    # tree blew the generated method past the JIT's huge-method limit as
+    # soon as two community_id processors shared a stage (measured 8x the
+    # per-row cost of a single processor).  Multi-referenced non-cheap
+    # producers stay staged (SPARK-36718), so each tree now exists — and
+    # runs — once per row.
+    hx = "__cidhex_" + str(abs(hash(target)) % 10**6)
+    df = df.withColumns({
+        f"{hx}s": F.when(active, _ip_hex_any(src_ip)),
+        f"{hx}d": F.when(active, _ip_hex_any(dst_ip)),
+    })
+    src_hex = fcol(f"{hx}s")
+    dst_hex = fcol(f"{hx}d")
     # canonical ordering: smaller (ip, port) endpoint first (hex strings of
     # equal length compare numerically)
     flip = (~one_way & ((src_hex > dst_hex)
@@ -996,7 +1009,7 @@ def p_community_id(df, spec, ctx):
           & p1.isNotNull() & p2.isNotNull())
     df = ctx.fail(df, active & ~ok, spec,
                   "unable to compute community id: missing required fields")
-    return guarded(df, active & ok, {target: cid})
+    return guarded(df, active & ok, {target: cid}).drop(f"{hx}s", f"{hx}d")
 
 
 # ---------------------------------------------------------- fingerprint ----
