@@ -137,12 +137,18 @@ class CompileContext:
     extra_gate: Column | None = None
 
     def base_active(self, df: DataFrame) -> Column:
-        cond = (
-            fcol(FAILURE).isNull()
-            & ~fcol(TERMINATED)
-            & ~fcol(DROPPED)
-            & ~fcol(REROUTED)
-        )
+        # the engine-state condition is frame-independent (unresolved
+        # column refs by fixed names) — build it once per context instead
+        # of ~10 py4j calls per processor (r6 driver-time trim)
+        cond = getattr(self, "_state_cond", None)
+        if cond is None:
+            cond = (
+                fcol(FAILURE).isNull()
+                & ~fcol(TERMINATED)
+                & ~fcol(DROPPED)
+                & ~fcol(REROUTED)
+            )
+            object.__setattr__(self, "_state_cond", cond)
         if self.extra_gate is not None:
             cond = cond & self.extra_gate
         return cond
