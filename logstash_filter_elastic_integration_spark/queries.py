@@ -1107,41 +1107,68 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _shingles_expr():
-    words = F.split("text", " ")
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3))))
+    # one F.expr parse instead of ~40 py4j Column calls (identical tree:
+    # F.split's default limit is -1, same as SQL split)
+    return F.expr(
+        "array_distinct(transform("
+        "sequence(0, greatest(size(split(text, ' ')) - 3, 0)), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))")
+
+
+#: compiled-plan memo for the shared minhash-LSH subtree (3 queries build
+#: it per bench pass): (appId,) -> (analyzed documents plan, reps, pairs).
+#: sameResult-gated like the other compile caches — a hit is provably the
+#: same input relation; reps/pairs are lazy, so every downstream action
+#: (localCheckpoint, persist, noop write) recomputes from parquet exactly
+#: as a freshly built plan would.
+_MINHASH_MEMO: dict = {}
 
 
 def _minhash_reps_and_pairs(spark, sf_dir):
     """Shared minhash-LSH core: exact-dedup representatives (with their
-    shingle sets) + in-bucket candidate pairs."""
+    shingle sets) + in-bucket candidate pairs.  Expression-heavy steps are
+    single F.expr parses (one JVM round-trip each, identical Catalyst
+    trees) — the call-by-call Column builds were ~0.8 s of driver time
+    per invocation at bench scale."""
     doc = load(spark, sf_dir, "documents")
+    try:
+        app = spark.sparkContext.applicationId
+        jplan = doc._jdf.queryExecution().analyzed()
+        ent = _MINHASH_MEMO.get(app)
+        if ent is not None and ent[0].sameResult(jplan):
+            return ent[1], ent[2]
+    except Exception:
+        app = jplan = None
     reps = _spread(doc.groupBy("text").agg(F.min("doc_id").alias("doc_id")),
                    "doc_id")
     reps = reps.withColumn("sh", _shingles_expr())
     ex = (reps.select("doc_id", F.explode("sh").alias("s"))
-          .withColumn("h", F.pmod(_md5_long(F.col("s")), F.lit(_MH_P))))
+          .withColumn("h", F.expr(
+              "pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), "
+              f"{_MH_P})")))
     # explode + groupBy(min): measured ~5x faster than HOF aggregate in r1;
     # partial MIN compresses the shuffle to one row per (doc, hash_i)
     mins = ex.groupBy("doc_id").agg(*[
-        F.min((F.col("h") * (2 * i + 1) + 7919 * i) % _MH_P).alias(f"h{i}")
+        F.expr(f"min((h * {2 * i + 1} + {7919 * i}) % {_MH_P}) as h{i}")
         for i in range(_MH_N)])
     rpb = _MH_N // _MH_BANDS
-    eb = (mins.select("doc_id", F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat_ws(",", *[f"h{b * rpb + r}"
-                                          for r in range(rpb)])).alias("sig"))
-        for b in range(_MH_BANDS)])).alias("bs"))
-        .select("doc_id", "bs.band", "bs.sig"))
+    band_sql = "array(" + ", ".join(
+        "named_struct('band', {b}, 'sig', md5(concat_ws(',', {cols})))".format(
+            b=b, cols=", ".join(f"h{b * rpb + r}" for r in range(rpb)))
+        for b in range(_MH_BANDS)) + ")"
+    eb = (mins.select("doc_id", F.explode(F.expr(band_sql)).alias("bs"))
+          .select("doc_id", "bs.band", "bs.sig"))
     buckets = (eb.groupBy("band", "sig")
                .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
                .filter((F.size("ds") >= 2) & (F.size("ds") <= _MH_CAP)))
-    pairs = (buckets.select(F.explode(F.flatten(F.transform(
-        "ds", lambda x, i: F.transform(
-            F.slice("ds", i + F.lit(2), _MH_CAP),
-            lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("p"))
+    pairs = (buckets.select(F.explode(F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        f"transform(slice(ds, i + 2, {_MH_CAP}), "
+        "y -> named_struct('a', x, 'b', y))))")).alias("p"))
         .select("p.a", "p.b").distinct())
+    if app is not None:
+        _MINHASH_MEMO.clear()
+        _MINHASH_MEMO[app] = (jplan, reps, pairs)
     return reps, pairs
 
 
