@@ -1305,25 +1305,30 @@ def _connected_components(pairs, max_rounds: int = 20):
               .select("node",
                       F.least(F.col("node"), F.col("m")).alias("lab"))
               .localCheckpoint(eager=True))
+    from pyspark.sql import Observation
     changed = 1
     for _ in range(max_rounds):
         nbr = (edges.join(labels.select(F.col("node").alias("b"), "lab"), "b")
                .groupBy("a").agg(F.min("lab").alias("nlab")))
-        # r6: the old-label column rides along so the convergence check is
-        # a filter over the checkpointed frame instead of a join back to
-        # the previous labels, and the check runs BEFORE the pointer-jump
-        # self-join — a converged graph (the common case: the seed already
-        # labels cliques) pays one join + one agg per round, not three
-        # joins.  Exit criterion unchanged: a full min-neighbor
+        # r6: the old-label column rides along and the convergence count is
+        # an ``observe`` metric collected DURING the eager checkpoint job —
+        # no separate count job per round — and the check runs BEFORE the
+        # pointer-jump self-join: a converged graph (the common case: the
+        # seed already labels cliques) pays one join + one agg per round,
+        # not three joins.  Exit criterion unchanged: a full min-neighbor
         # propagation that changes nothing is the fixpoint (labels are
         # then constant within each component = the component min), and
         # at that point the pointer jump is a no-op by construction.
+        obs = Observation()
         hop = (labels.join(nbr, labels["node"] == nbr["a"], "left")
                .select("node", F.col("lab").alias("old"),
                        F.least(F.col("lab"),
                                F.coalesce("nlab", F.col("lab"))).alias("lab"))
+               .observe(obs, F.sum(F.when(
+                   F.col("lab") != F.col("old"), 1).otherwise(0))
+                   .alias("changed"))
                .localCheckpoint(eager=True))
-        changed = hop.filter(F.col("lab") != F.col("old")).limit(1).count()
+        changed = obs.get["changed"] or 0
         if changed == 0:
             return hop.select("node", "lab")
         hop = hop.drop("old")
