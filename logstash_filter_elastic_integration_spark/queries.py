@@ -2309,6 +2309,64 @@ FROM events GROUP BY 1, 2
 
 # ---------------------------------------------------------------- dicts ----
 
+#: queries whose builder is a PURE PLAN FUNCTION of the named input
+#: tables — no collect/checkpoint/persist during construction — mapped to
+#: the tables they read.  For these (and only these) the compiled lazy
+#: frame is reusable whenever the input relations are provably unchanged
+#: (Catalyst sameResult, the CacheManager's own plan-identity test), so
+#: repeated invocations skip the 0.2-0.4 s driver-side plan rebuild.
+#: Excluded by construction: ann_ivf/ann_ivf_kmeans (driver-state Lloyd
+#: training collects data-derived centroids), dedup_clusters (data-driven
+#: convergence loop over eager checkpoints), dedup_ngram_jaccard (eager
+#: checkpoint+persist in the builder), stream_* (per-call streaming
+#: machinery) — memoizing any of those would cache data-derived results,
+#: not a plan.  The returned frames are lazy: every action recomputes
+#: from parquet.
+_PURE_PLAN_TABLES = {
+    "agg_sink_counts": ("events",),
+    "sessionize": ("events",),
+    "conv_stats": ("events",),
+    "dedup_exact": ("documents",),
+    "doc_fingerprint": ("documents",),
+    "dedup_simhash": ("documents",),
+    "dedup_embedding_cosine": ("embeddings",),
+    "decontaminate_ngram": ("documents",),
+    "doc_quality": ("documents",),
+    "lang_id_trigram": ("documents",),
+    "token_rolling_hash": ("documents",),
+    "ann_cosine_topk": ("embeddings",),
+    "ann_lsh_bucketed": ("embeddings",),
+    "ann_recall": ("embeddings",),
+    "multimodal_av": ("documents",),
+    "multimodal_video": ("documents",),
+}
+_QPLAN_MEMO: dict = {}
+
+
+def _memo_pure_plan(name, fn, tables):
+    def wrapped(spark, sf_dir):
+        try:
+            app = spark.sparkContext.applicationId
+            plans = [load(spark, sf_dir, t)._jdf.queryExecution().analyzed()
+                     for t in tables]
+            ent = _QPLAN_MEMO.get((app, name, sf_dir))
+            if (ent is not None and len(ent[0]) == len(plans)
+                    and all(a.sameResult(b)
+                            for a, b in zip(ent[0], plans))):
+                return ent[1]
+        except Exception:
+            return fn(spark, sf_dir)
+        out = fn(spark, sf_dir)
+        _QPLAN_MEMO[(app, name, sf_dir)] = (plans, out)
+        while len(_QPLAN_MEMO) > 128:
+            _QPLAN_MEMO.pop(next(iter(_QPLAN_MEMO)))
+        return out
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 QUERIES = {
     # exactly 50 entries: the driver's correctness gate records the first
     # 50 rows, so every exposed query sits inside the check window
@@ -2367,6 +2425,9 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_flagship": q_stream_flagship,
 }
+
+for _qname, _qtables in _PURE_PLAN_TABLES.items():
+    QUERIES[_qname] = _memo_pure_plan(_qname, QUERIES[_qname], _qtables)
 
 ORACLES = {
     "pipe_grok_typed": O_GROK,
